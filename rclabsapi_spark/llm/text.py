@@ -1,0 +1,125 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All built-in Column expressions — these run inside whole-stage codegen
+over billions of documents with no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# n-gram-heuristic language ID: marker-token hit counts per language.
+# Deliberately tiny marker sets — the operator shape (score per language →
+# deterministic argmax) is what matters; swap in real profiles for prod.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "ist", "das"),
+    "es": ("el", "la", "de", "que", "es"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+# BPE-ish subword segmentation regex: words, numbers, or single
+# non-space symbols (the shape GPT-2's pre-tokenizer uses).
+BPE_ISH_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_count(text: Column) -> Column:
+    """Subword-ish token count via regexp — a cheap len(tokenize(text))
+    proxy that needs no vocab file."""
+    return F.regexp_count(text, F.lit(BPE_ISH_RE)).cast("long")
+
+
+def stopword_ratio(text: Column) -> Column:
+    t = tokens(text)
+    stops = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    return F.round(stops / F.size(t), 6)
+
+
+def mean_token_len(text: Column) -> Column:
+    t = tokens(text)
+    return F.round(
+        F.length(F.replace(text, F.lit(" "), F.lit(""))) / F.size(t), 6
+    )
+
+
+def quality_features(
+    docs: DataFrame, *, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Length / token / stopword / punctuation features + a composite
+    quality score in [0,1] (clamped-term mean, the A13 shape applied to
+    text quality)."""
+    text = F.col(text_col)
+    t = tokens(text)
+    n_tok = F.size(t)
+    char_len = F.length(text)
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
+    out = docs.select(
+        F.col(key_col),
+        char_len.cast("long").alias("char_len"),
+        n_tok.cast("long").alias("n_tokens"),
+        mean_token_len(text).alias("mean_token_len"),
+        stopword_ratio(text).alias("stopword_ratio"),
+        F.round(punct / char_len, 6).alias("punct_ratio"),
+    )
+    score = (
+        F.least(F.lit(1.0), F.col("n_tokens") / 50.0)
+        + (1.0 - F.least(F.lit(1.0), F.col("punct_ratio") * 10.0))
+        + F.least(F.lit(1.0), F.col("mean_token_len") / 8.0)
+    ) / 3.0
+    return out.withColumn("quality_score", F.round(score, 6))
+
+
+def _isin_filter(markers: tuple[str, ...]):
+    return lambda x: x.isin(*markers)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    t = tokens(text)
+    return {
+        lang: F.size(F.filter(t, _isin_filter(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(docs: DataFrame, *, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Marker-token language ID with a deterministic argmax (ties resolve
+    in LANG_MARKERS declaration order)."""
+    scores = lang_scores(F.col(text_col))
+    langs = list(scores)
+    # argmax via iterated CASE: lang L wins if its score >= all later langs
+    # and > all earlier langs (strict ties keep the earliest).
+    pred = None
+    out_cols = [F.col(key_col)]
+    for lang in langs:
+        out_cols.append(scores[lang].alias(f"score_{lang}"))
+    best = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        is_better = scores[lang] > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    out_cols.append(best.alias("predicted_lang"))
+    return docs.select(*out_cols)
+
+
+def fingerprint(docs: DataFrame, *, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Normalized-content fingerprint: md5 over lowercased,
+    whitespace-collapsed text (the rolling-hash shape, engine-portable)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return docs.select(
+        F.col(key_col),
+        F.md5(norm).alias("fingerprint"),
+    )

@@ -1,0 +1,85 @@
+"""Window-shaped operators (SURVEY §2.5, W1-W5 + ST7's lag compare).
+
+The reference keeps these as imperative running state (running peaks,
+ring buffers, EWMA); the engine expresses them as SQL window functions so
+they parallelize per partition key. ``partitionBy`` on the entity key means
+no global sort — each key's window evaluates inside one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window, WindowSpec
+
+
+def entity_window(key: str, order: str | Column, *extra_order: str | Column) -> WindowSpec:
+    return Window.partitionBy(key).orderBy(order, *extra_order)
+
+
+def running_peak(df: DataFrame, key: str, order: str, metric: str, out: str) -> DataFrame:
+    """W1 — running max per entity (job_monitoring_models.cpp:202-208)."""
+    w = entity_window(key, order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(out, F.max(metric).over(w))
+
+
+def time_to_first_event(
+    df: DataFrame, key: str, pred: Column, ts: str, out: str
+) -> DataFrame:
+    """W2 — first matching event's time, set once per entity
+    (job_monitoring_models.cpp:211-220)."""
+    w = Window.partitionBy(key)
+    return df.withColumn(out, F.min(F.when(pred, F.col(ts))).over(w))
+
+
+def keep_last_n(df: DataFrame, key: str, order_desc: str, n: int, *tiebreak: str) -> DataFrame:
+    """W3/W4 — ring-buffer retention: last N rows per entity
+    (job_monitor_service.hpp:156-166). The row_number plan shuffles once on
+    the key, then each partition sorts locally — no global sort."""
+    w = Window.partitionBy(key).orderBy(
+        F.col(order_desc).desc(), *[F.col(t).desc() for t in tiebreak]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def ewma_per_key(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    tiebreak: str,
+    value: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """W5/A15 — exponential moving average, α=0.1
+    (performance_monitor.hpp:378-392): y_i = α·x_i + (1−α)·y_{i−1}, seeded
+    with the first observation.
+
+    A sequential fold can't be a plain window expression; we collect each
+    key's ordered series and fold it with ``aggregate`` — still fully
+    distributed across keys (the per-key series is the reference's own
+    in-memory ring buffer, bounded). Returns one row per key with the final
+    EWMA.
+    """
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col(ts).alias("t"), F.col(tiebreak).alias("k"), F.col(value).alias("v")))
+    )
+    vals = F.transform(ordered, lambda s: s["v"])
+    ew = F.aggregate(
+        F.slice(vals, 2, 1_000_000_000),
+        F.element_at(vals, 1).cast("double"),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return df.groupBy(key).agg(ew.alias("ewma"))
+
+
+def delta_vs_previous(
+    df: DataFrame, key: str, ts: str, tiebreak: str, value: str, out: str = "delta"
+) -> DataFrame:
+    """ST7 helper — change vs previous row per entity (lag compare,
+    job_monitor_service.hpp:167-168)."""
+    w = entity_window(key, ts, tiebreak)
+    return df.withColumn(out, F.col(value) - F.lag(value).over(w))

@@ -1,0 +1,196 @@
+"""Streaming-semantics suite, batch-replayed over the ``events`` fixture
+(SURVEY §2.9). The live Structured Streaming versions of these operators
+live in ``rclabsapi_spark.streaming``; these queries verify the *window /
+predicate semantics* against DuckDB on the same data, per SURVEY §5's
+batch-replay strategy.
+
+Domain mapping (FIXTURES.md §8): client_id→user_id, endpoint→event_type,
+log level→value band (value<50 INFO, <150 WARN, else ERROR), jobId→user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rclabsapi_spark.catalog import load_table
+from rclabsapi_spark.registry import query
+from rclabsapi_spark.streaming.rate_limiter import RATE_RULES, rate_limit_check
+from rclabsapi_spark.streaming.routing import route_events, subscriptions_df
+
+_LEVEL_SQL = "CASE WHEN value < 50 THEN 'INFO' WHEN value < 150 THEN 'WARN' ELSE 'ERROR' END"
+
+
+def _with_level(ev):
+    return ev.withColumn(
+        "level",
+        F.when(F.col("value") < 50, "INFO")
+        .when(F.col("value") < 150, "WARN")
+        .otherwise("ERROR"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST5 — tumbling-window rate limiting with longest-prefix rule match
+# (rate_limiter.cpp:10-33, 48-90, 206-214)
+# ---------------------------------------------------------------------------
+
+_RULES_SQL = """
+    SELECT * FROM (VALUES
+        ('purch', 2),
+        ('p', 3),
+        ('error', 1),
+        ('', 5)
+    ) AS rules(prefix, per_minute_limit)
+"""
+
+_ST5_ORACLE = f"""
+WITH counts AS (
+    SELECT user_id, event_type, date_trunc('minute', ts) AS window_start,
+           COUNT(*)::BIGINT AS request_count
+    FROM events
+    GROUP BY user_id, event_type, date_trunc('minute', ts)
+),
+rules AS ({_RULES_SQL}),
+matched AS (
+    SELECT c.*, r.prefix, r.per_minute_limit
+    FROM counts c JOIN rules r
+      ON c.event_type LIKE r.prefix || '%'
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type, window_start
+        ORDER BY length(r.prefix) DESC) = 1
+)
+SELECT user_id, event_type, window_start, request_count,
+       prefix AS matched_prefix, per_minute_limit,
+       request_count <= per_minute_limit AS allowed,
+       GREATEST(per_minute_limit - request_count, 0)::BIGINT AS remaining
+FROM matched
+"""
+
+
+@query("st5_rate_limit_windows", _ST5_ORACLE, bench=True)
+def q_st5(spark, sf_dir):
+    """ST5 — per-(client, endpoint) tumbling-minute counts vs per-rule
+    limits with longest-prefix rule match (rate_limiter.cpp:25-29, 48-90)."""
+    ev = load_table(spark, sf_dir, "events")
+    return rate_limit_check(ev, RATE_RULES)
+
+
+# ---------------------------------------------------------------------------
+# P9/ST1 — per-subscriber predicate routing
+# (job_monitoring_models.cpp:817-859; message_broadcaster.cpp:154-233)
+# ---------------------------------------------------------------------------
+
+_SUBS_SQL = """
+    SELECT * FROM (VALUES
+        ('conn_all',    []::BIGINT[],    []::VARCHAR[],          []::VARCHAR[]),
+        ('conn_errors', []::BIGINT[],    ['ERROR']::VARCHAR[],   ['error']::VARCHAR[]),
+        ('conn_user7',  [7]::BIGINT[],   []::VARCHAR[],          []::VARCHAR[]),
+        ('conn_mixed',  [1, 2, 3]::BIGINT[], ['WARN','ERROR']::VARCHAR[],
+            ['purchase','view']::VARCHAR[])
+    ) AS subs(connection_id, job_ids, levels, types)
+"""
+
+_P9_ORACLE = f"""
+WITH ev AS (
+    SELECT event_id, user_id, event_type, {_LEVEL_SQL} AS level FROM events
+),
+subs AS ({_SUBS_SQL})
+SELECT s.connection_id, e.event_id, e.user_id, e.event_type, e.level
+FROM ev e CROSS JOIN subs s
+WHERE (len(s.types) = 0 OR list_contains(s.types, e.event_type))
+  AND (len(s.job_ids) = 0 OR list_contains(s.job_ids, e.user_id))
+  AND (len(s.levels) = 0 OR list_contains(s.levels, e.level))
+"""
+
+
+@query("p9_subscription_routing", _P9_ORACLE)
+def q_p9(spark, sf_dir):
+    """P9/ST1 — ConnectionFilters.shouldReceiveMessage: empty set = match
+    all; else membership, conjunctive across dimensions
+    (job_monitoring_models.cpp:817-859)."""
+    ev = _with_level(load_table(spark, sf_dir, "events"))
+    return route_events(ev, subscriptions_df(ev.sparkSession))
+
+
+# ---------------------------------------------------------------------------
+# ST6 — threshold alerting (system_metrics.hpp:43-54, config.json:108-117)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st6_threshold_alerts",
+    """
+    SELECT event_id, user_id, ts, value,
+           'RESOURCE_ALERT' AS alert_type,
+           CASE WHEN value > 195 THEN 'critical' ELSE 'warning' END AS severity
+    FROM events WHERE value > 180
+    """,
+)
+def q_st6(spark, sf_dir):
+    """ST6 — metric > threshold → alert rows with severity tiers."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("value") > 180).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lit("RESOURCE_ALERT").alias("alert_type"),
+        F.when(F.col("value") > 195, "critical").otherwise("warning").alias("severity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST9 — streaming log handler filter (log_handler.hpp:236-300)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st9_stream_filter",
+    f"""
+    WITH ev AS (
+        SELECT *, {_LEVEL_SQL} AS level FROM events
+    )
+    SELECT event_id, user_id, event_type, level, ts FROM ev
+    WHERE (CASE level WHEN 'INFO' THEN 1 WHEN 'WARN' THEN 2 ELSE 3 END) >= 2
+      AND user_id IN (1, 3, 5, 7, 9)
+    """,
+)
+def q_st9(spark, sf_dir):
+    """ST9 — minLevel gate + job-id set filter (empty = all)."""
+    ev = _with_level(load_table(spark, sf_dir, "events"))
+    ordinal = (
+        F.when(F.col("level") == "INFO", 1)
+        .when(F.col("level") == "WARN", 2)
+        .otherwise(3)
+    )
+    return ev.filter(
+        (ordinal >= 2) & F.col("user_id").isin(1, 3, 5, 7, 9)
+    ).select("event_id", "user_id", "event_type", "level", "ts")
+
+
+# ---------------------------------------------------------------------------
+# ST3 — priority ordering within a batch (message_broadcaster.hpp:52-60)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st3_priority_batches",
+    """
+    SELECT event_id, user_id, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+                              ORDER BY value DESC, event_id) AS drain_order
+    FROM events
+    """,
+)
+def q_st3(spark, sf_dir):
+    """ST3 — higher-priority-first drain order per micro-batch (hour =
+    batch analog, value = priority)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(F.date_trunc("hour", F.col("ts"))).orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return ev.select(
+        "event_id", "user_id", "event_type", "value",
+        F.row_number().over(w).alias("drain_order"),
+    )

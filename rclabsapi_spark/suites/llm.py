@@ -1,0 +1,400 @@
+"""Training-data pipeline suite: dedup, similarity search, text analysis,
+multimodal plumbing over the ``documents`` / ``embeddings`` fixtures.
+
+Oracle parity strategy: all hashing is md5 (identical hex in both
+engines); vector math folds left-to-right in both (Spark ``aggregate`` ≙
+DuckDB ``list_reduce``), so even cosine scores are bit-identical before
+rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rclabsapi_spark.catalog import load_table
+from rclabsapi_spark.llm.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from rclabsapi_spark.llm.multimodal import (
+    attach_binary,
+    extract_binary_meta,
+    map_binary_batches,
+)
+from rclabsapi_spark.llm.similarity import (
+    cosine_topk,
+    lsh_bucket_stats,
+    lsh_bucketed_topk,
+)
+from rclabsapi_spark.llm.text import (
+    bpe_ish_count,
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+)
+from rclabsapi_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    "SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_doc_id,"
+    " COUNT(*)::BIGINT AS dup_count FROM documents GROUP BY md5(text)",
+    bench=True,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via hash-groupBy; shuffles 32-byte digests, not bodies."""
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+# Shared SQL fragment: distinct word-3-gram shingles (mirrors
+# llm.dedup.shingles exactly, including the short-doc guard).
+_SHINGLES_SQL = """
+    SELECT doc_id,
+           list_distinct(
+               list_transform(range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                   i -> string_split(text, ' ')[i] || ' '
+                        || string_split(text, ' ')[i+1] || ' '
+                        || string_split(text, ' ')[i+2])
+           ) AS shingle_set
+    FROM documents
+"""
+
+_MINHASH_SQL = (
+    "SELECT doc_id, shingle_set, "
+    + ", ".join(
+        "list_aggregate(list_transform(shingle_set,"
+        f" s -> md5('{i}|' || s)), 'min') AS mh_{i}"
+        for i in range(8)
+    )
+    + f" FROM ({_SHINGLES_SQL}) AS sh_t WHERE len(shingle_set) > 0"
+)
+
+_BANDS_SQL = "\nUNION ALL\n".join(
+    f"SELECT doc_id, shingle_set, {b} AS band_id,"
+    f" md5(mh_{2*b} || '|' || mh_{2*b+1}) AS band_key FROM sigs"
+    for b in range(4)
+)
+
+_MINHASH_ORACLE = f"""
+WITH sigs AS ({_MINHASH_SQL}),
+banded AS ({_BANDS_SQL}),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       ROUND(len(list_intersect(sa.shingle_set, sb.shingle_set))
+             / (len(sa.shingle_set) + len(sb.shingle_set)
+                - len(list_intersect(sa.shingle_set, sb.shingle_set))),
+             6) AS jaccard
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.doc_a
+JOIN sigs sb ON sb.doc_id = p.doc_b
+"""
+
+
+@query("dedup_minhash_lsh", _MINHASH_ORACLE, bench=True)
+def q_minhash(spark, sf_dir):
+    """MinHash (8 seeded md5 permutations) + 4-band LSH self-join +
+    exact-Jaccard verification of candidates."""
+    return lsh_candidate_pairs(
+        load_table(spark, sf_dir, "documents"), num_hashes=8, bands=4
+    )
+
+
+_JACCARD_ORACLE = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sh2 AS (SELECT doc_id, shingle_set FROM sh WHERE len(shingle_set) > 0),
+posting AS (SELECT doc_id, UNNEST(shingle_set) AS shingle FROM sh2),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS common
+    FROM posting a JOIN posting b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, len(shingle_set) AS sz FROM sh2)
+SELECT doc_a, doc_b, common,
+       ROUND(common / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(common / (sa.sz + sb.sz - common), 6) >= 0.2
+"""
+
+
+@query("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def q_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard pairs ≥ 0.2 via inverted shingle index."""
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+_SIMHASH_ORACLE = (
+    """
+WITH tok AS (
+    SELECT doc_id, md5(UNNEST(string_split(text, ' '))) AS h FROM documents
+),
+votes AS (
+    SELECT doc_id, """
+    + ", ".join(
+        "SUM(CASE WHEN substring(h, {p}, 1) IN"
+        " ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{j}".format(
+            p=j + 1, j=j
+        )
+        for j in range(16)
+    )
+    + """
+    FROM tok GROUP BY doc_id
+)
+SELECT doc_id, CAST("""
+    + " + ".join(f"CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END" for j in range(16))
+    + """ AS BIGINT) AS simhash
+FROM votes
+"""
+)
+
+
+@query("dedup_simhash", _SIMHASH_ORACLE)
+def q_simhash(spark, sf_dir):
+    """16-bit SimHash fingerprints (token bit votes from md5)."""
+    return simhash16(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_DOT_SQL = (
+    "list_reduce(list_transform(range(1, len({a}) + 1),"
+    " i -> {a}[i] * {b}[i]), (acc, x) -> acc + x)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT_SQL.format(a=a, b=b)} / "
+        f"(sqrt({_DOT_SQL.format(a=a, b=a)}) * sqrt({_DOT_SQL.format(a=b, b=b)}))"
+    )
+
+
+_TOPK_ORACLE = f"""
+WITH q AS (
+    SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+    SELECT e.vec_id,
+           ROUND({_cos_sql("(e.embedding::DOUBLE[])", "q.qvec")}, 6)
+               AS cosine_sim
+    FROM embeddings e, q
+    WHERE e.vec_id <> 0
+)
+SELECT vec_id, cosine_sim FROM scored
+ORDER BY cosine_sim DESC, vec_id LIMIT 10
+"""
+
+
+@query("sim_bruteforce_topk", _TOPK_ORACLE, bench=True)
+def q_topk(spark, sf_dir):
+    """Brute-force exact cosine top-10 vs vec_id=0 (broadcast query row +
+    distributed TakeOrdered)."""
+    return cosine_topk(load_table(spark, sf_dir, "embeddings"), 0, k=10)
+
+
+_BUCKET_SQL = "concat(" + ", ".join(
+    f"CASE WHEN embedding[{i+1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)
+) + ")"
+
+
+@query(
+    "sim_lsh_bucket_stats",
+    f"SELECT {_BUCKET_SQL} AS bucket, COUNT(*)::BIGINT AS cnt"
+    " FROM embeddings GROUP BY 1",
+)
+def q_buckets(spark, sf_dir):
+    """Sign-LSH bucket histogram — the ANN index layout."""
+    return lsh_bucket_stats(load_table(spark, sf_dir, "embeddings"), num_bits=8)
+
+
+_LSH_TOPK_ORACLE = f"""
+WITH b AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           concat({", ".join(f"CASE WHEN embedding[{i+1}] >= 0 THEN '1' ELSE '0' END" for i in range(4))})
+               AS bucket
+    FROM embeddings
+),
+q AS (SELECT bucket AS qbucket, v AS qvec FROM b WHERE vec_id = 0),
+scored AS (
+    SELECT b.vec_id, b.bucket,
+           ROUND({_cos_sql("b.v", "q.qvec")}, 6) AS cosine_sim
+    FROM b, q
+    WHERE b.vec_id <> 0 AND b.bucket = q.qbucket
+)
+SELECT vec_id, bucket, cosine_sim FROM scored
+ORDER BY cosine_sim DESC, vec_id LIMIT 10
+"""
+
+
+@query("sim_lsh_bucketed_topk", _LSH_TOPK_ORACLE)
+def q_lsh_topk(spark, sf_dir):
+    """ANN top-10: probe only the query's sign bucket."""
+    return lsh_bucketed_topk(
+        load_table(spark, sf_dir, "embeddings"), 0, k=10, num_bits=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS n_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT
+               AS n_bpe_ish
+    FROM documents
+    """,
+)
+def q_tokens(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex segmentation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_count(F.col("text")).alias("n_bpe_ish"),
+    )
+
+
+_QUALITY_ORACLE = """
+WITH feat AS (
+    SELECT doc_id,
+           length(text)::BIGINT AS char_len,
+           len(string_split(text, ' '))::BIGINT AS n_tokens,
+           ROUND(length(replace(text, ' ', ''))
+                 / len(string_split(text, ' ')), 6) AS mean_token_len,
+           ROUND(len(list_filter(string_split(text, ' '),
+                     x -> x IN ('the','a','an','and','or','of','to','in','is','it')))
+                 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           ROUND(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                 / length(text), 6) AS punct_ratio
+    FROM documents
+)
+SELECT *,
+       ROUND((LEAST(1.0, n_tokens / 50.0)
+              + (1.0 - LEAST(1.0, punct_ratio * 10.0))
+              + LEAST(1.0, mean_token_len / 8.0)) / 3.0, 6) AS quality_score
+FROM feat
+"""
+
+
+@query("text_quality_features", _QUALITY_ORACLE, bench=True)
+def q_quality(spark, sf_dir):
+    """Quality scoring: length/token/stopword/punctuation features +
+    clamped composite score."""
+    return quality_features(load_table(spark, sf_dir, "documents"))
+
+
+_LANG_SCORE_SQL = {
+    lang: (
+        "len(list_filter(string_split(text, ' '), x -> x IN ({})))::INT".format(
+            ", ".join(f"'{m}'" for m in markers)
+        )
+    )
+    for lang, markers in {
+        "en": ("the", "and", "of", "to", "is"),
+        "de": ("der", "die", "und", "ist", "das"),
+        "es": ("el", "la", "de", "que", "es"),
+        "fr": ("le", "la", "et", "les", "des"),
+        "zh": ("的", "是", "了", "在", "我"),
+    }.items()
+}
+
+_LANGID_ORACLE = f"""
+WITH scores AS (
+    SELECT doc_id,
+           {_LANG_SCORE_SQL['en']} AS score_en,
+           {_LANG_SCORE_SQL['de']} AS score_de,
+           {_LANG_SCORE_SQL['es']} AS score_es,
+           {_LANG_SCORE_SQL['fr']} AS score_fr,
+           {_LANG_SCORE_SQL['zh']} AS score_zh
+    FROM documents
+)
+SELECT *,
+       CASE
+         WHEN score_en >= GREATEST(score_en, score_de, score_es, score_fr, score_zh) THEN 'en'
+         WHEN score_de >= GREATEST(score_de, score_es, score_fr, score_zh) THEN 'de'
+         WHEN score_es >= GREATEST(score_es, score_fr, score_zh) THEN 'es'
+         WHEN score_fr >= GREATEST(score_fr, score_zh) THEN 'fr'
+         ELSE 'zh'
+       END AS predicted_lang
+FROM scores
+"""
+
+
+@query("text_lang_id", _LANGID_ORACLE)
+def q_langid(spark, sf_dir):
+    """Marker-token language ID with first-max tie resolution."""
+    return lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "text_fingerprint",
+    "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    " AS fingerprint FROM documents",
+)
+def q_fingerprint(spark, sf_dir):
+    """Normalized-content md5 fingerprint."""
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_binary_metadata",
+    """
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS byte_len,
+           lower(substring(hex(encode(text)), 1, 8)) AS magic_hex,
+           'application/octet-stream' AS media_type
+    FROM documents
+    """,
+)
+def q_mm_meta(spark, sf_dir):
+    """Binary-column metadata extraction (no Python in the loop)."""
+    docs = attach_binary(load_table(spark, sf_dir, "documents"))
+    return extract_binary_meta(docs)
+
+
+@query(
+    "mm_decoded_features",
+    """
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT % 640 AS width,
+           (CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                 ELSE ascii(substring(text, 1, 1)) END * 4)::BIGINT AS height,
+           octet_length(encode(text))::BIGINT AS n_bytes
+    FROM documents
+    """,
+)
+def q_mm_decode(spark, sf_dir):
+    """mapInPandas decode harness with the deterministic fake decoder
+    (real decoder is stubbed — no imaging libs in this container)."""
+    docs = attach_binary(load_table(spark, sf_dir, "documents"))
+    return map_binary_batches(
+        docs, "doc_id long, width long, height long, n_bytes long"
+    )

@@ -1,0 +1,91 @@
+"""Shared fixtures: one SparkSession per test session + the DuckDB oracle
+harness that mirrors the driver's compare (row count, column names,
+order-insensitive canonicalized value multiset)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rclabsapi_spark.catalog import TABLES
+from rclabsapi_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("rclabsapi-tests", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_CORRECT}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def canon(v):
+    """Canonicalize a value for order-insensitive multiset compare:
+    floats to 9 significant digits (tolerates accumulation-order ulp,
+    catches real semantic diffs), Decimal→float, timestamps→isoformat."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    return v
+
+
+def df_to_multiset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        tuple(canon(r[i]) for i in order) for r in rows
+    )
+
+
+def assert_oracle_match(spark, duck, spec, sf_dir=SF_CORRECT):
+    sdf = spec.fn(spark, sf_dir)
+    srows = sdf.collect()
+    scols = sdf.columns
+
+    rel = duck.sql(spec.oracle)
+    dcols = rel.columns
+    drows = rel.fetchall()
+
+    assert sorted(scols) == sorted(dcols), (
+        f"{spec.name}: column mismatch spark={sorted(scols)} duck={sorted(dcols)}"
+    )
+    assert len(srows) == len(drows), (
+        f"{spec.name}: row count spark={len(srows)} duck={len(drows)}"
+    )
+    sset = df_to_multiset(scols, [tuple(r[c] for c in scols) for r in srows])
+    dset = df_to_multiset(dcols, drows)
+    if sset != dset:
+        diffs = [
+            (a, b) for a, b in zip(sset, dset) if a != b
+        ][:5]
+        raise AssertionError(f"{spec.name}: value mismatch, first diffs: {diffs}")
