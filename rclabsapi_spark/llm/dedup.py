@@ -24,12 +24,46 @@ pipelines drop boilerplate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def tokens(text: Column) -> Column:
     return F.split(text, " ")
+
+
+def shingle_posting(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Flat (key, shingle) posting rows — the engine's shingle generator.
+
+    Physical shape: repartition by key (fixture parquet = 1 file = 1 task
+    otherwise), ``posexplode(split(text))`` to flat token rows, then window
+    ``lead`` to stitch n-grams. All whole-stage-codegen expressions: the
+    array-lambda alternative (``transform`` + ``element_at``) falls back to
+    interpreted eval and re-evaluates ``split(text)`` per element, which
+    measured ~40s single-task on 5k docs vs ~1s for this shape. The window
+    partitions by doc (docs are small), so no skew; at 100 TB the
+    repartition spreads shingling across every executor."""
+    posting = docs.repartition(F.col(key_col)).select(
+        F.col(key_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(key_col).orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, n)]
+    return (
+        posting.select(
+            F.col(key_col),
+            F.concat_ws(" ", F.col("tok"), *leads).alias("shingle"),
+            leads[-1].isNotNull().alias("_full"),
+        )
+        .filter(F.col("_full"))
+        .drop("_full")
+    )
 
 
 def shingles(text: Column, n: int = 3) -> Column:
@@ -66,19 +100,6 @@ def exact_dedup(
     )
 
 
-def minhash_signature(sh: Column, num_hashes: int = 8) -> list[Column]:
-    """MinHash via seeded md5: sig_i = min over shingles of md5('i|'+s)."""
-    def seeded(i: int):
-        # closure (not a default arg — a 2-param lambda would receive the
-        # array index as its second argument)
-        return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
-
-    return [
-        F.array_min(F.transform(sh, seeded(i))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-
-
 def minhash_docs(
     docs: DataFrame,
     *,
@@ -87,10 +108,34 @@ def minhash_docs(
     n: int = 3,
     num_hashes: int = 8,
 ) -> DataFrame:
-    sh = distinct_shingles(F.col(text_col), n)
-    return docs.select(
-        F.col(key_col), sh.alias("shingle_set"), *minhash_signature(sh, num_hashes)
-    ).filter(F.size("shingle_set") > 0)
+    """Per-doc MinHash signatures + distinct shingle set.
+
+    One-permutation scheme: each shingle is md5'd ONCE and the 128-bit
+    digest is sliced into ``num_hashes`` 16-bit lanes (4 hex chars each);
+    lane i's signature is the lexicographic min over the doc's shingles.
+    Compared with seeded per-lane hashing this cuts hash work ×num_hashes
+    and keeps exact DuckDB parity (md5 + substring are portable).
+
+    Physical shape: repartition docs by key (a fixture parquet is often a
+    single file → single task; the shingle/hash work must spread across
+    the cluster), explode shingles to flat rows (the shingle expression is
+    evaluated once — not re-inlined per signature lane the way per-lane
+    array exprs are), then one partial-aggregatable groupBy(key): min per
+    lane combines map-side, and the repartition already hash-distributes
+    by key so the groupBy adds no second shuffle."""
+    assert num_hashes <= 8, "md5 has 32 hex chars = 8 four-char lanes"
+    posting = shingle_posting(
+        docs, text_col=text_col, key_col=key_col, n=n
+    ).withColumn("h", F.md5("shingle"))
+    # min over the duplicate-bearing posting equals min over the distinct
+    # set, so no pre-dedup pass; collect_set dedupes the verification sets.
+    return posting.groupBy(key_col).agg(
+        F.collect_set("shingle").alias("shingle_set"),
+        *[
+            F.min(F.substring("h", 4 * i + 1, 4)).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ],
+    )
 
 
 def lsh_candidate_pairs(
@@ -101,13 +146,19 @@ def lsh_candidate_pairs(
     n: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band of the signature become a
     candidate pair, then exact Jaccard on the shingle sets verifies.
 
-    Physical shape: explode to (band_id, band_key, doc) → shuffle on the
-    band key → per-bucket self-join. Bucket sizes are the knob (bands ×
-    rows-per-band), not data size."""
+    Physical shape: explode to (band_id, band_key, doc, set) → ONE shuffle
+    on the band key → per-bucket pair generation via array combinatorics
+    (``collect_list`` + indexed ``transform``/``slice``). No self-join, so
+    the signature pipeline is computed once, not once per join side.
+    Bucket sizes are the knob (bands × rows-per-band), not data size;
+    ``max_bucket_size`` drops degenerate hot buckets (boilerplate dups) the
+    way web-scale dedup pipelines do — a bucket of B docs yields B²/2
+    pairs, so one 10⁶-doc bucket would dominate the job."""
     rows = num_hashes // bands
     mh = minhash_docs(
         docs, text_col=text_col, key_col=key_col, n=n, num_hashes=num_hashes
@@ -115,8 +166,8 @@ def lsh_candidate_pairs(
     band_cols = [
         F.struct(
             F.lit(b).alias("band_id"),
-            F.md5(
-                F.concat_ws("|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)])
+            F.concat_ws(
+                "|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
             ).alias("band_key"),
         )
         for b in range(bands)
@@ -125,21 +176,37 @@ def lsh_candidate_pairs(
         key_col, "shingle_set", F.explode(F.array(*band_cols)).alias("band")
     ).select(key_col, "shingle_set", "band.band_id", "band.band_key")
 
-    left = banded.alias("a")
-    right = banded.alias("b")
+    buckets = (
+        banded.groupBy("band_id", "band_key")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(key_col), F.col("shingle_set")))
+            ).alias("members")
+        )
+        .filter(F.size("members") >= 2)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("members") <= max_bucket_size)
+
+    m = F.col("members")
+    # members are sorted by key (first struct field) → doc_a < doc_b.
+    pair_structs = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + F.lit(2), F.size(m) - i - F.lit(1)),
+                lambda y: F.struct(
+                    x[key_col].alias("doc_a"),
+                    y[key_col].alias("doc_b"),
+                    x["shingle_set"].alias("set_a"),
+                    y["shingle_set"].alias("set_b"),
+                ),
+            ),
+        )
+    )
     pairs = (
-        left.join(
-            right,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
-        )
-        .select(
-            F.col(f"a.{key_col}").alias("doc_a"),
-            F.col(f"b.{key_col}").alias("doc_b"),
-            F.col("a.shingle_set").alias("set_a"),
-            F.col("b.shingle_set").alias("set_b"),
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.set_a", "p.set_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
     inter = F.size(F.array_intersect("set_a", "set_b"))
@@ -165,11 +232,10 @@ def ngram_jaccard_pairs(
 
     ``max_shingle_df`` drops shingles appearing in more than N docs
     (boilerplate guard — at web scale hot shingles explode the join)."""
-    sh = docs.select(
-        F.col(key_col), distinct_shingles(F.col(text_col), n).alias("sh")
-    ).filter(F.size("sh") > 0)
-    sizes = sh.select(key_col, F.size("sh").alias("sh_size"))
-    posting = sh.select(key_col, F.explode("sh").alias("shingle"))
+    posting = shingle_posting(
+        docs, text_col=text_col, key_col=key_col, n=n
+    ).dropDuplicates([key_col, "shingle"])
+    sizes = posting.groupBy(key_col).agg(F.count(F.lit(1)).alias("sh_size"))
     if max_shingle_df is not None:
         hot = (
             posting.groupBy("shingle")

@@ -66,11 +66,13 @@ _SHINGLES_SQL = """
     FROM documents
 """
 
+# One-permutation MinHash: md5 each shingle once, slice the 32-hex digest
+# into eight 4-char lanes, min per lane (mirrors llm.dedup.minhash_docs).
 _MINHASH_SQL = (
     "SELECT doc_id, shingle_set, "
     + ", ".join(
         "list_aggregate(list_transform(shingle_set,"
-        f" s -> md5('{i}|' || s)), 'min') AS mh_{i}"
+        f" s -> substring(md5(s), {4 * i + 1}, 4)), 'min') AS mh_{i}"
         for i in range(8)
     )
     + f" FROM ({_SHINGLES_SQL}) AS sh_t WHERE len(shingle_set) > 0"
@@ -78,7 +80,7 @@ _MINHASH_SQL = (
 
 _BANDS_SQL = "\nUNION ALL\n".join(
     f"SELECT doc_id, shingle_set, {b} AS band_id,"
-    f" md5(mh_{2*b} || '|' || mh_{2*b+1}) AS band_key FROM sigs"
+    f" mh_{2*b} || '|' || mh_{2*b+1} AS band_key FROM sigs"
     for b in range(4)
 )
 
