@@ -122,3 +122,63 @@ def lsh_bucketed_topk(
         )
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(key_col)).limit(k)
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    num_bits: int = 8,
+    threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the fifth dedup tier
+    (alongside exact / MinHash-LSH / SimHash / n-gram Jaccard).
+
+    Physical shape mirrors llm.dedup.lsh_candidate_pairs: one shuffle on
+    the sign-LSH bucket, per-bucket pair generation via array
+    combinatorics (no self-join → the embedding scan runs once), exact
+    cosine only within buckets. ``num_bits`` trades recall vs bucket
+    size; ``max_bucket_size`` guards the B² blowup of degenerate buckets
+    at corpus scale."""
+    v = _as_double(F.col(vec_col))
+    bucketed = embeddings.repartition(F.col(key_col)).select(
+        F.col(key_col), v.alias("v"), sign_bucket(v, num_bits).alias("bucket")
+    )
+    buckets = (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(key_col), F.col("v")))
+            ).alias("members")
+        )
+        .filter(F.size("members") >= 2)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("members") <= max_bucket_size)
+    m = F.col("members")
+    pair_structs = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + F.lit(2), F.size(m) - i - F.lit(1)),
+                lambda y: F.struct(
+                    x[key_col].alias("id_a"),
+                    y[key_col].alias("id_b"),
+                    x["v"].alias("va"),
+                    y["v"].alias("vb"),
+                ),
+            ),
+        )
+    )
+    pairs = buckets.select(
+        F.col("bucket"), F.explode(pair_structs).alias("p")
+    ).select("bucket", "p.id_a", "p.id_b", "p.va", "p.vb")
+    out = pairs.select(
+        "bucket",
+        "id_a",
+        "id_b",
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+    )
+    return out.filter(F.col("cosine_sim") >= threshold)

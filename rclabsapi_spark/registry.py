@@ -57,6 +57,12 @@ def query(name: str, oracle: str | None, bench: bool = False):
 
 def get_registry() -> dict[str, QuerySpec]:
     """Import all suites (idempotent) and return the full registry."""
-    from rclabsapi_spark.suites import core, events, llm, transform  # noqa: F401
+    from rclabsapi_spark.suites import (  # noqa: F401
+        core,
+        events,
+        llm,
+        metrics_ext,
+        transform,
+    )
 
     return dict(_REGISTRY)

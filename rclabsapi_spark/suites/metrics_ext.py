@@ -1,0 +1,612 @@
+"""Extended coverage suite — the SURVEY §2 rows not in the core suite:
+
+- P5 type filter, P11 full LogQueryParams pipeline
+- A4/A6 filtered rollups, A8 error-rate mean, A10 resource utilization,
+  A12 batch accounting, A13 composite efficiency score, A14 baseline
+  comparison
+- W4 retention caps
+- F20 roles array round-trip
+- ST11 job state machine transitions (batch replay)
+- embedding-cosine near-dup (fifth dedup tier)
+
+Fixture mapping follows FIXTURES.md §9 (etl_jobs→orders/lineitem metric
+map, logs→events with derived level, users→customer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from rclabsapi_spark.catalog import load_table
+from rclabsapi_spark.llm.similarity import embedding_near_dup_pairs
+from rclabsapi_spark.operators.aggregates import efficiency_score, metric_rollup
+from rclabsapi_spark.plans.log_query import LogQueryParams, search_logs
+from rclabsapi_spark.registry import query
+from rclabsapi_spark.suites.core import _METRIC_MAP_SQL, _metric_mapped
+
+# ---------------------------------------------------------------------------
+# P5 — equality filter by type (etl_job_repository.cpp:296-311)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p5_filter_type",
+    "SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'",
+)
+def q_p5(spark, sf_dir):
+    """P5 — WHERE job_type = … (pushed to the parquet scan)."""
+    return load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P11 — full LogQueryParams pipeline (log_file_manager.hpp:45-61, declared
+# semantics; the reference .cpp only implements the substring scan)
+# ---------------------------------------------------------------------------
+
+_LEVEL_SQL = "CASE WHEN value < 50 THEN 'INFO' WHEN value < 150 THEN 'WARN' ELSE 'ERROR' END"
+
+_P11_ORACLE = f"""
+WITH logs AS (
+    SELECT event_id, ts, user_id, event_type, value, props,
+           {_LEVEL_SQL} AS level
+    FROM events
+)
+SELECT event_id, ts, user_id, event_type, level, props
+FROM logs
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-25 00:00:00'
+  AND (CASE level WHEN 'DEBUG' THEN 0 WHEN 'INFO' THEN 1 WHEN 'WARN' THEN 2
+       WHEN 'ERROR' THEN 3 WHEN 'FATAL' THEN 4 ELSE -1 END) >= 2
+  AND (CASE level WHEN 'DEBUG' THEN 0 WHEN 'INFO' THEN 1 WHEN 'WARN' THEN 2
+       WHEN 'ERROR' THEN 3 WHEN 'FATAL' THEN 4 ELSE -1 END) <= 3
+  AND event_type = 'click'
+  AND props LIKE '%9%'
+ORDER BY ts DESC, event_id
+LIMIT 200 OFFSET 10
+"""
+
+
+@query("p11_log_query_pipeline", _P11_ORACLE)
+def q_p11(spark, sf_dir):
+    """P11+P12+O3+O4 composed — time range, level ordinal range, component
+    equality, substring search, sort desc, offset+limit."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.expr(_LEVEL_SQL).alias("level"),
+        "props",
+    )
+    params = LogQueryParams(
+        start_time="2024-01-05 00:00:00",
+        end_time="2024-01-25 00:00:00",
+        min_level="WARN",
+        max_level="ERROR",
+        component="click",
+        search_text="9",
+        max_results=200,
+        offset=10,
+        sort_by="timestamp",
+        ascending=False,
+    )
+    return search_logs(
+        ev,
+        params,
+        ts_col="ts",
+        component_col="event_type",
+        job_col="__absent__",
+        thread_col="__absent__",
+        message_col="props",
+        key_col="event_id",
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 / A6 — rollups filtered by id-list / time range
+# (job_monitor_service.cpp:477-489, 514-538)
+# ---------------------------------------------------------------------------
+
+_ROLLUP_SELECT_SQL = """
+    SELECT CAST(SUM(records_processed) AS BIGINT) AS sum_records_processed,
+           CAST(SUM(records_failed) AS BIGINT) AS sum_records_failed,
+           CAST(SUM(batches) AS BIGINT) AS sum_batches,
+           MAX(peak_memory) AS max_peak_memory,
+           ROUND(AVG(CASE WHEN rate > 0 THEN rate END), 6) AS avg_rate_positive
+"""
+
+
+@query(
+    "a4_rollup_idlist",
+    f"""
+    WITH m AS ({_METRIC_MAP_SQL.replace("FROM lineitem", ", l_suppkey FROM lineitem")})
+    {_ROLLUP_SELECT_SQL}
+    FROM m
+    WHERE l_suppkey IN (1, 2, 3, 4, 5, 6, 7, 8, 9, 10)
+      AND records_processed > 0
+    """,
+)
+def q_a4(spark, sf_dir):
+    """A4 — rollup over an explicit id list, excluding records_processed=0
+    rows (job_monitor_service.cpp:477-489)."""
+    m = _metric_mapped_with_supp(spark, sf_dir)
+    filtered = m.filter(
+        F.col("l_suppkey").isin(list(range(1, 11)))
+        & (F.col("records_processed") > 0)
+    )
+    return _rollup_select(filtered)
+
+
+def _metric_mapped_with_supp(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    failed = F.when(F.col("l_returnflag") == "R", F.col("l_quantity")).otherwise(0.0)
+    return li.select(
+        "l_suppkey",
+        "l_shipdate",
+        F.col("l_quantity").alias("records_processed"),
+        failed.alias("records_failed"),
+        (F.col("l_discount") * 100.0).alias("rate"),
+        F.col("l_linenumber").alias("batches"),
+        F.col("l_extendedprice").alias("peak_memory"),
+        (F.col("l_tax") * 100.0).alias("peak_cpu"),
+    )
+
+
+def _rollup_select(df):
+    return df.agg(
+        F.sum("records_processed").cast("long").alias("sum_records_processed"),
+        F.sum("records_failed").cast("long").alias("sum_records_failed"),
+        F.sum("batches").cast("long").alias("sum_batches"),
+        F.max("peak_memory").alias("max_peak_memory"),
+        F.round(
+            F.avg(F.when(F.col("rate") > 0, F.col("rate"))), 6
+        ).alias("avg_rate_positive"),
+    )
+
+
+@query(
+    "a6_rollup_time_range",
+    f"""
+    WITH m AS ({_METRIC_MAP_SQL.replace("FROM lineitem", ", l_shipdate FROM lineitem")})
+    {_ROLLUP_SELECT_SQL}
+    FROM m
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate <= TIMESTAMP '1996-12-31'
+    """,
+)
+def q_a6(spark, sf_dir):
+    """A6 — rollup over a start-time range (job_monitor_service.cpp:514-538)."""
+    m = _metric_mapped_with_supp(spark, sf_dir)
+    return _rollup_select(
+        m.filter(F.col("l_shipdate").between("1996-01-01", "1996-12-31"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — mean error rate where records_processed > 0
+# (job_monitor_service.cpp:574-606)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a8_avg_error_rate",
+    f"""
+    WITH m AS ({_METRIC_MAP_SQL.replace("FROM lineitem", ", l_linestatus FROM lineitem")})
+    SELECT l_linestatus,
+           ROUND(AVG(CASE WHEN records_processed > 0
+                 THEN 100.0 * records_failed / records_processed END), 6)
+               AS avg_error_rate
+    FROM m GROUP BY l_linestatus
+    """,
+)
+def q_a8(spark, sf_dir):
+    """A8 — AVG error rate over rows with records_processed > 0, grouped
+    by type."""
+    li = load_table(spark, sf_dir, "lineitem")
+    failed = F.when(F.col("l_returnflag") == "R", F.col("l_quantity")).otherwise(0.0)
+    m = li.select(
+        "l_linestatus",
+        F.col("l_quantity").alias("records_processed"),
+        failed.alias("records_failed"),
+    )
+    er = F.when(
+        F.col("records_processed") > 0,
+        100.0 * F.col("records_failed") / F.col("records_processed"),
+    )
+    return m.groupBy("l_linestatus").agg(
+        F.round(F.avg(er), 6).alias("avg_error_rate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10 — resource utilization over active jobs (job_monitor_service.cpp:688-727)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a10_resource_utilization",
+    f"""
+    WITH m AS ({_METRIC_MAP_SQL})
+    SELECT ROUND(AVG(peak_memory / 1048576.0), 6) AS avg_memory_mb,
+           ROUND(AVG(peak_cpu), 6) AS avg_cpu,
+           MAX(peak_memory) AS max_peak_memory,
+           MAX(peak_cpu) AS max_peak_cpu,
+           COUNT(*)::BIGINT AS n_jobs
+    FROM m
+    WHERE peak_memory > 0 OR peak_cpu > 0
+    """,
+)
+def q_a10(spark, sf_dir):
+    """A10 — AVG/MAX memory+cpu over rows with any resource signal."""
+    m = _metric_mapped(spark, sf_dir)
+    return m.filter((F.col("peak_memory") > 0) | (F.col("peak_cpu") > 0)).agg(
+        F.round(F.avg(F.col("peak_memory") / 1048576.0), 6).alias("avg_memory_mb"),
+        F.round(F.avg("peak_cpu"), 6).alias("avg_cpu"),
+        F.max("peak_memory").alias("max_peak_memory"),
+        F.max("peak_cpu").alias("max_peak_cpu"),
+        F.count(F.lit(1)).alias("n_jobs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A12 — incremental batch accounting (job_monitoring_models.cpp:222-252)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a12_batch_accounting",
+    """
+    WITH b AS (
+        SELECT l_orderkey,
+               COUNT(*)::BIGINT AS total_batches,
+               SUM(l_quantity) AS records_processed,
+               CAST(SUM(FLOOR(l_extendedprice)) AS BIGINT) AS total_bytes,
+               CAST(SUM(l_suppkey * 100) AS BIGINT) AS execution_time_ms
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey, total_batches, records_processed, total_bytes,
+           ROUND(CASE WHEN total_batches > 0
+                 THEN records_processed / total_batches ELSE 0.0 END, 6)
+               AS avg_batch_size,
+           ROUND(CASE WHEN execution_time_ms / 1000.0 > 0
+                 THEN records_processed / (execution_time_ms / 1000.0)
+                 ELSE 0.0 END, 6) AS avg_rate
+    FROM b
+    """,
+)
+def q_a12(spark, sf_dir):
+    """A12 — per-job batch counters + calculateAverages: lineitem rows are
+    the batch events, one groupBy replaces the reference's mutexed
+    increments."""
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("total_batches"),
+        F.sum("l_quantity").alias("records_processed"),
+        F.sum(F.floor("l_extendedprice")).cast("long").alias("total_bytes"),
+        F.sum(F.col("l_suppkey") * 100).cast("long").alias("execution_time_ms"),
+    )
+    sec = F.col("execution_time_ms") / 1000.0
+    return b.select(
+        "l_orderkey",
+        "total_batches",
+        "records_processed",
+        "total_bytes",
+        F.round(
+            F.when(
+                F.col("total_batches") > 0,
+                F.col("records_processed") / F.col("total_batches"),
+            ).otherwise(0.0),
+            6,
+        ).alias("avg_batch_size"),
+        F.round(
+            F.when(sec > 0, F.col("records_processed") / sec).otherwise(0.0), 6
+        ).alias("avg_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A13 — composite efficiency score (job_monitoring_models.cpp:285-319)
+# ---------------------------------------------------------------------------
+
+_A13_TERMS_SQL = """
+    SELECT l_returnflag, records_processed,
+           CASE WHEN rate > 0
+                THEN LEAST(1.0, rate / 1000.0) END AS t_rate,
+           CASE WHEN error_rate > 0
+                THEN (100.0 - error_rate) / 100.0 END AS t_err,
+           CASE WHEN mem_eff > 0
+                THEN LEAST(1.0, mem_eff / 1000.0) END AS t_mem,
+           CASE WHEN cpu_eff > 0
+                THEN LEAST(1.0, cpu_eff / 100.0) END AS t_cpu
+    FROM ind
+"""
+
+
+@query(
+    "a13_efficiency_score",
+    f"""
+    WITH m AS ({_METRIC_MAP_SQL}),
+    ind AS (
+        SELECT l_returnflag, records_processed,
+               rate,
+               CASE WHEN records_processed > 0
+                    THEN 100.0 * records_failed / records_processed
+                    ELSE 0.0 END AS error_rate,
+               CASE WHEN peak_memory > 0
+                    THEN records_processed / (peak_memory / 1048576.0)
+                    ELSE 0.0 END AS mem_eff,
+               CASE WHEN peak_cpu > 0
+                    THEN records_processed / peak_cpu
+                    ELSE 0.0 END AS cpu_eff
+        FROM m
+    ),
+    terms AS ({_A13_TERMS_SQL})
+    SELECT l_returnflag,
+           ROUND(AVG(
+               CASE WHEN COALESCE(t_rate, t_err, t_mem, t_cpu) IS NOT NULL
+                    THEN (COALESCE(t_rate, 0) + COALESCE(t_err, 0)
+                          + COALESCE(t_mem, 0) + COALESCE(t_cpu, 0))
+                         / ((CASE WHEN t_rate IS NULL THEN 0 ELSE 1 END)
+                            + (CASE WHEN t_err IS NULL THEN 0 ELSE 1 END)
+                            + (CASE WHEN t_mem IS NULL THEN 0 ELSE 1 END)
+                            + (CASE WHEN t_cpu IS NULL THEN 0 ELSE 1 END))
+                    ELSE 0.0 END), 6) AS avg_efficiency_score
+    FROM terms GROUP BY l_returnflag
+    """,
+)
+def q_a13(spark, sf_dir):
+    """A13 — per-row composite score (mean of up-to-4 clamped terms, each
+    included only when its input > 0), averaged per group."""
+    m = _metric_mapped(spark, sf_dir)
+    ind = m.select(
+        "l_returnflag",
+        "records_processed",
+        F.col("rate"),
+        F.when(
+            F.col("records_processed") > 0,
+            100.0 * F.col("records_failed") / F.col("records_processed"),
+        )
+        .otherwise(0.0)
+        .alias("error_rate"),
+        F.when(
+            F.col("peak_memory") > 0,
+            F.col("records_processed") / (F.col("peak_memory") / 1048576.0),
+        )
+        .otherwise(0.0)
+        .alias("mem_eff"),
+        F.when(
+            F.col("peak_cpu") > 0, F.col("records_processed") / F.col("peak_cpu")
+        )
+        .otherwise(0.0)
+        .alias("cpu_eff"),
+    )
+    score = efficiency_score(
+        F.col("rate"), F.col("error_rate"), F.col("mem_eff"), F.col("cpu_eff")
+    )
+    return ind.select("l_returnflag", score.alias("score")).groupBy(
+        "l_returnflag"
+    ).agg(F.round(F.avg("score"), 6).alias("avg_efficiency_score"))
+
+
+# ---------------------------------------------------------------------------
+# A14 — baseline comparison predicate (job_monitoring_models.cpp:321-352)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a14_baseline_comparison",
+    f"""
+    WITH m AS ({_METRIC_MAP_SQL}),
+    per_group AS (
+        SELECT l_returnflag,
+               AVG(rate) AS rate,
+               AVG(CASE WHEN records_processed > 0
+                   THEN 100.0 * records_failed / records_processed
+                   ELSE 0.0 END) AS error_rate,
+               AVG(peak_cpu) AS cpu
+        FROM m GROUP BY l_returnflag
+    ),
+    baseline AS (
+        SELECT AVG(rate) AS b_rate, AVG(error_rate) AS b_err, AVG(cpu) AS b_cpu
+        FROM per_group
+    )
+    SELECT l_returnflag,
+           ROUND(rate, 6) AS rate, ROUND(error_rate, 6) AS error_rate,
+           ((CASE WHEN b_rate > 0 THEN rate >= 0.8 * b_rate ELSE TRUE END)
+            AND (CASE WHEN b_err > 0 THEN error_rate <= 1.2 * b_err ELSE TRUE END)
+            AND (CASE WHEN b_cpu > 0 THEN cpu >= 0.8 * b_cpu ELSE TRUE END))
+               AS is_performing_well
+    FROM per_group, baseline
+    """,
+)
+def q_a14(spark, sf_dir):
+    """A14 — isPerformingWell vs a 1-row baseline (each bound applies only
+    when its baseline > 0); baseline side is a broadcast cross join."""
+    m = _metric_mapped(spark, sf_dir)
+    er = F.when(
+        F.col("records_processed") > 0,
+        100.0 * F.col("records_failed") / F.col("records_processed"),
+    ).otherwise(0.0)
+    per_group = m.groupBy("l_returnflag").agg(
+        F.avg("rate").alias("rate"),
+        F.avg(er).alias("error_rate"),
+        F.avg("peak_cpu").alias("cpu"),
+    )
+    baseline = per_group.agg(
+        F.avg("rate").alias("b_rate"),
+        F.avg("error_rate").alias("b_err"),
+        F.avg("cpu").alias("b_cpu"),
+    )
+    ok = (
+        F.when(F.col("b_rate") > 0, F.col("rate") >= 0.8 * F.col("b_rate")).otherwise(
+            F.lit(True)
+        )
+        & F.when(
+            F.col("b_err") > 0, F.col("error_rate") <= 1.2 * F.col("b_err")
+        ).otherwise(F.lit(True))
+        & F.when(F.col("b_cpu") > 0, F.col("cpu") >= 0.8 * F.col("b_cpu")).otherwise(
+            F.lit(True)
+        )
+    )
+    return per_group.crossJoin(F.broadcast(baseline)).select(
+        "l_returnflag",
+        F.round("rate", 6).alias("rate"),
+        F.round("error_rate", 6).alias("error_rate"),
+        ok.alias("is_performing_well"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4 — history retention caps (job_monitor_service.hpp:156-159)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w4_retention_caps",
+    """
+    WITH capped AS (
+        SELECT event_id, user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id) AS rn,
+               MAX(ts) OVER () AS max_ts
+        FROM events
+    )
+    SELECT event_id, user_id, ts, value
+    FROM capped
+    WHERE rn <= 50 AND ts >= max_ts - INTERVAL 24 HOURS
+    """,
+)
+def q_w4(spark, sf_dir):
+    """W4 — keep ≤N rows per key AND within the retention window (≤1000
+    snapshots/job, 24h retention)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id"))
+    w_all = Window.partitionBy()
+    capped = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.max("ts").over(w_all).alias("max_ts"),
+    )
+    return capped.filter(
+        (F.col("rn") <= 50)
+        & (F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 24 HOURS"))
+    ).select("event_id", "user_id", "ts", "value")
+
+
+# ---------------------------------------------------------------------------
+# F20 — TEXT[] roles parse/serialize (user_repository.cpp:32-33)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f20_roles_roundtrip",
+    """
+    SELECT c_custkey,
+           string_split(c_mktsegment || ','
+               || CASE WHEN c_acctbal >= 0 THEN 'active' ELSE 'debtor' END, ',')
+               AS roles,
+           c_mktsegment || ','
+               || CASE WHEN c_acctbal >= 0 THEN 'active' ELSE 'debtor' END
+               AS roles_str,
+           2::BIGINT AS n_roles
+    FROM customer
+    """,
+)
+def q_f20(spark, sf_dir):
+    """F20 — rolesToString/stringToRoles round-trip as native ArrayType:
+    split ↔ array_join are exact inverses for comma-free role names."""
+    c = load_table(spark, sf_dir, "customer")
+    roles_str = F.concat_ws(
+        ",",
+        F.col("c_mktsegment"),
+        F.when(F.col("c_acctbal") >= 0, "active").otherwise("debtor"),
+    )
+    roles = F.split(roles_str, ",")
+    return c.select(
+        "c_custkey",
+        roles.alias("roles"),
+        F.array_join(roles, ",").alias("roles_str"),
+        F.size(roles).cast("long").alias("n_roles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST11 — job state machine transitions (etl_job_manager.cpp:671-699),
+# batch replay: consecutive event types per user = status transitions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "st11_state_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*)::BIGINT AS transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def q_st11(spark, sf_dir):
+    """ST11 — transition matrix of the per-key event sequence (the
+    PENDING→RUNNING→… state machine replayed from the event log)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("transitions"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (fifth dedup tier)
+# ---------------------------------------------------------------------------
+
+_DOT_SQL = (
+    "list_reduce(list_transform(range(1, len({a}) + 1),"
+    " i -> {a}[i] * {b}[i]), (acc, x) -> acc + x)"
+)
+_COS_SQL = (
+    f"{_DOT_SQL.format(a='a.v', b='b.v')} / "
+    f"(sqrt({_DOT_SQL.format(a='a.v', b='a.v')})"
+    f" * sqrt({_DOT_SQL.format(a='b.v', b='b.v')}))"
+)
+_EMB_BUCKET_SQL = "concat(" + ", ".join(
+    f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(8)
+) + ")"
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, {_EMB_BUCKET_SQL} AS bucket
+        FROM embeddings
+    )
+    SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_COS_SQL}, 6) AS cosine_sim
+    FROM b a JOIN b b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ROUND({_COS_SQL}, 6) >= 0.5
+    """,
+)
+def q_emb_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: sign-LSH buckets, exact cosine
+    within buckets only (llm.similarity.embedding_near_dup_pairs)."""
+    return embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), num_bits=8, threshold=0.5
+    )
