@@ -1,0 +1,256 @@
+"""ETL job runner — the reference's job pipeline, Spark-first (SURVEY §3.2).
+
+Reference flow (etl_job_manager.cpp:540-654): a worker thread dequeues a
+job, transitions PENDING→RUNNING, executes EXTRACT (batched reads) →
+TRANSFORM (DataTransformer over DataRecords) → LOAD (transaction + batched
+INSERTs, rollback on failure), publishes progress milestones 10/50/80/100,
+collects metrics, and lands in COMPLETED/FAILED.
+
+Spark mapping:
+- extract        → ``spark.read.<format>`` (batching ≙ partitions/tasks)
+- transform      → the TransformationRule compiler (one fused projection)
+- load           → staged-commit parquet write: write to a staging dir,
+                   atomic rename on success, delete on failure — the
+                   rollback semantics of the reference's transaction
+                   (etl_job_manager.cpp:467-519) without Delta
+- progress (ST7) → milestone callbacks, throttled to ≥``threshold`` deltas
+                   (job_monitor_service.hpp:167-168)
+- metrics        → record counts from the run itself; bytes from the
+                   committed files; rate/error-rate with the A11 guards
+
+Single-driver orchestration is intentional: Spark owns the distributed
+part (the reads/transforms/writes); the manager is control plane only —
+no data ever flows through it.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import shutil
+import uuid
+from collections.abc import Callable, Iterator
+from dataclasses import asdict
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rclabsapi_spark.etl.models import (
+    ETL_JOBS_SCHEMA,
+    ETLJob,
+    ETLJobConfig,
+    InvalidTransition,
+    JobStatus,
+    JobType,
+    VALID_TRANSITIONS,
+)
+from rclabsapi_spark.functions.transformer import (
+    apply_rules,
+    required_field_errors,
+    rules_from_dicts,
+)
+
+Clock = Callable[[], dt.datetime]
+ProgressCallback = Callable[[str, int], None]
+
+# etl_job_manager.cpp:575-589 — FULL_ETL milestone percentages.
+MILESTONES = {"extracted": 10, "transformed": 50, "loading": 80, "done": 100}
+
+
+def generate_job_id(clock: Clock) -> str:
+    """job_<epoch>_<rand> (etl_job_manager.cpp:701-710)."""
+    epoch = int(clock().replace(tzinfo=dt.timezone.utc).timestamp())
+    return f"job_{epoch}_{1000 + uuid.uuid4().int % 9000}"
+
+
+class ETLJobManager:
+    """Control-plane job registry + executor (etl_job_manager.hpp analog).
+
+    ``progress_threshold`` reproduces ST7: progress events under the
+    threshold delta are swallowed (job_monitor_service.hpp:167-168).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        *,
+        clock: Clock | None = None,
+        progress_threshold: int = 5,
+    ) -> None:
+        self.spark = spark
+        self.clock: Clock = clock or dt.datetime.utcnow
+        self.progress_threshold = progress_threshold
+        self._jobs: dict[str, ETLJob] = {}
+        self._configs: dict[str, ETLJobConfig] = {}
+        self._queue: list[str] = []
+        self._listeners: list[ProgressCallback] = []
+        self._last_progress: dict[str, int] = {}
+
+    # -- registry / repository surface (S2, P3-P6 over the jobs table) ----
+
+    def schedule_job(self, config: ETLJobConfig) -> str:
+        """Persist a PENDING row and enqueue (etl_job_manager.cpp:39-67)."""
+        job = ETLJob(
+            job_id=config.job_id,
+            job_type=config.job_type.value,
+            status=JobStatus.PENDING.value,
+            source_config=json.dumps(dict(config.source_config)),
+            target_config=json.dumps(dict(config.target_config)),
+            created_at=self.clock(),
+        )
+        self._jobs[config.job_id] = job
+        self._configs[config.job_id] = config
+        self._queue.append(config.job_id)
+        return config.job_id
+
+    def get_job(self, job_id: str) -> ETLJob:
+        return self._jobs[job_id]
+
+    def jobs_df(self) -> DataFrame:
+        """The etl_jobs fact table as a DataFrame — every repository query
+        (S2/P3-P6/A1…) and the monitor pipeline run against this."""
+        rows = [tuple(asdict(j).values()) for j in self._jobs.values()]
+        return self.spark.createDataFrame(rows, ETL_JOBS_SCHEMA)
+
+    def add_progress_listener(self, cb: ProgressCallback) -> None:
+        self._listeners.append(cb)
+
+    # -- state machine (ST11) ---------------------------------------------
+
+    def _transition(self, job: ETLJob, new: JobStatus) -> None:
+        cur = JobStatus(job.status)
+        if new not in VALID_TRANSITIONS[cur]:
+            raise InvalidTransition(f"{job.job_id}: {cur.value} → {new.value}")
+        job.status = new.value
+        now = self.clock()
+        if new is JobStatus.RUNNING:
+            job.started_at = now
+        elif new in (JobStatus.COMPLETED, JobStatus.FAILED, JobStatus.CANCELLED):
+            job.completed_at = now
+
+    def cancel_job(self, job_id: str) -> None:
+        self._transition(self._jobs[job_id], JobStatus.CANCELLED)
+
+    def _progress(self, job: ETLJob, pct: int) -> None:
+        """ST7 — emit only on ≥threshold delta (or terminal 100)."""
+        last = self._last_progress.get(job.job_id, -100)
+        if pct - last < self.progress_threshold and pct != 100:
+            return
+        self._last_progress[job.job_id] = pct
+        job.progress_percent = pct
+        for cb in self._listeners:
+            cb(job.job_id, pct)
+
+    # -- execution (§3.2 steps 2-4) ---------------------------------------
+
+    def run_next(self) -> str | None:
+        """Dequeue-and-run (the worker loop, etl_job_manager.cpp:275-300;
+        sequential here — Spark's scheduler owns intra-job parallelism)."""
+        if not self._queue:
+            return None
+        job_id = self._queue.pop(0)
+        self.run_job(job_id)
+        return job_id
+
+    def run_job(self, job_id: str) -> ETLJob:
+        job = self._jobs[job_id]
+        config = self._configs[job_id]
+        self._transition(job, JobStatus.RUNNING)
+        t0 = self.clock()
+        try:
+            self._execute(job, config)
+            self._transition(job, JobStatus.COMPLETED)
+            self._progress(job, 100)
+        except Exception as exc:  # noqa: BLE001 — job errors land in the row
+            job.error_message = f"{type(exc).__name__}: {exc}"
+            self._transition(job, JobStatus.FAILED)
+            raise
+        finally:
+            elapsed = self.clock() - t0
+            job.execution_time_ms = int(elapsed.total_seconds() * 1000)
+            # A11 guards (job_monitoring_models.cpp:160-209)
+            sec = job.execution_time_ms / 1000.0
+            job.processing_rate = (
+                job.records_processed / sec if sec > 0 else 0.0
+            )
+        return job
+
+    def _execute(self, job: ETLJob, config: ETLJobConfig) -> None:
+        kind = JobType(config.job_type)
+        df = self._extract(config)
+        if kind is JobType.EXTRACT:
+            job.records_processed = job.records_successful = df.count()
+            self._progress(job, 100)
+            return
+        self._progress(job, MILESTONES["extracted"])
+
+        if kind in (JobType.TRANSFORM, JobType.FULL_ETL):
+            df, n_ok, n_err = self._transform(df, config)
+            job.records_processed = n_ok + n_err
+            job.records_successful = n_ok
+            job.records_failed = n_err
+            self._progress(job, MILESTONES["transformed"])
+            if kind is JobType.TRANSFORM:
+                self._progress(job, 100)
+                return
+
+        self._progress(job, MILESTONES["loading"])
+        written, n_files = self._load(df, config)
+        if kind is JobType.LOAD:
+            job.records_processed = job.records_successful = df.count()
+        job.total_bytes_written = written
+        job.total_batches = n_files
+
+    def _extract(self, config: ETLJobConfig) -> DataFrame:
+        src = config.source_config
+        reader = self.spark.read.format(src.get("format", "parquet"))
+        for k, v in src.get("options", {}).items():
+            reader = reader.option(k, v)
+        if "schema" in src:
+            reader = reader.schema(src["schema"])
+        return reader.load(src["path"])
+
+    def _transform(
+        self, df: DataFrame, config: ETLJobConfig
+    ) -> tuple[DataFrame, int, int]:
+        rules = rules_from_dicts(config.transformation_rules)
+        good, errors = required_field_errors(df, rules)
+        n_err = errors.count()
+        out = apply_rules(good, rules)
+        return out, out.count(), n_err
+
+    def _load(self, df: DataFrame, config: ETLJobConfig) -> tuple[int, int]:
+        """Staged-commit write: parquet into ``<path>.staging``, atomic
+        rename to ``path`` on success, staging deleted on failure — the
+        reference's transaction rollback (etl_job_manager.cpp:467-519)."""
+        tgt = config.target_config
+        path = tgt["path"]
+        staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
+        try:
+            writer = df.write.format(tgt.get("format", "parquet")).mode(
+                "overwrite"
+            )
+            if tgt.get("partition_by"):
+                writer = writer.partitionBy(*tgt["partition_by"])
+            writer.save(staging)
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.rename(staging, path)
+        except Exception:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        return _dir_bytes(path), _n_data_files(path)
+
+
+def _walk_files(path: str) -> Iterator[str]:
+    for root, _, files in os.walk(path):
+        for f in files:
+            yield os.path.join(root, f)
+
+
+def _dir_bytes(path: str) -> int:
+    return sum(os.path.getsize(p) for p in _walk_files(path))
+
+
+def _n_data_files(path: str) -> int:
+    return sum(1 for p in _walk_files(path) if p.endswith(".parquet"))

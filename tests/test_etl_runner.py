@@ -1,0 +1,153 @@
+"""ETL job runner tests (SURVEY §3.2): schedule → run → state machine →
+metrics → staged-commit load, over the sf0.001 fixtures."""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+import json
+
+import pytest
+
+from rclabsapi_spark.etl import (
+    ETLJobConfig,
+    ETLJobManager,
+    JobStatus,
+    JobType,
+)
+from rclabsapi_spark.etl.models import InvalidTransition
+from rclabsapi_spark.plans.monitor_jobs import monitor_jobs
+
+from .conftest import SF_SMOKE
+
+DOCS = f"{SF_SMOKE}/documents.parquet"
+
+
+def ticking_clock(start="2024-06-01 00:00:00", step_s=1):
+    """Deterministic clock: +step_s per call."""
+    t0 = dt.datetime.fromisoformat(start)
+    counter = itertools.count()
+    return lambda: t0 + dt.timedelta(seconds=step_s * next(counter))
+
+
+def full_etl_config(tmp_path, job_id="job_1_1234") -> ETLJobConfig:
+    return ETLJobConfig(
+        job_id=job_id,
+        job_type=JobType.FULL_ETL,
+        source_config={"format": "parquet", "path": DOCS},
+        target_config={"format": "parquet", "path": str(tmp_path / "out")},
+        transformation_rules=[
+            {
+                "sourceField": "lang",
+                "targetField": "lang_u",
+                "transformationType": "uppercase",
+            },
+            {
+                "sourceField": "n_chars",
+                "targetField": "n_chars_x2",
+                "transformationType": "multiply",
+                "parameters": {"factor": "2"},
+            },
+            {
+                "sourceField": "text",
+                "targetField": "text",
+                "transformationType": "identity",
+                "parameters": {"required": "true"},
+            },
+        ],
+    )
+
+
+def test_full_etl_end_to_end(spark, tmp_path):
+    mgr = ETLJobManager(spark, clock=ticking_clock())
+    events = []
+    mgr.add_progress_listener(lambda jid, pct: events.append(pct))
+
+    cfg = full_etl_config(tmp_path)
+    assert mgr.schedule_job(cfg) == cfg.job_id
+    job = mgr.get_job(cfg.job_id)
+    assert job.status == JobStatus.PENDING.value
+
+    assert mgr.run_next() == cfg.job_id
+    assert job.status == JobStatus.COMPLETED.value
+    assert job.started_at is not None and job.completed_at >= job.started_at
+    assert job.execution_time_ms > 0
+    assert job.processing_rate > 0
+    assert job.total_bytes_written > 0
+    assert job.total_batches >= 1
+    assert events == [10, 50, 80, 100]  # milestones, throttled (ST7)
+
+    n_in = spark.read.parquet(DOCS).count()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert job.records_processed == n_in
+    assert out.count() == n_in  # fixture has no empty text rows
+    row = out.limit(1).collect()[0]
+    assert row["lang_u"] == row["lang"].upper()
+    assert float(row["n_chars_x2"]) == 2.0 * row["n_chars"]
+
+
+def test_failed_job_records_error_and_cleans_staging(spark, tmp_path):
+    mgr = ETLJobManager(spark, clock=ticking_clock())
+    cfg = ETLJobConfig(
+        job_id="job_2_1234",
+        job_type=JobType.FULL_ETL,
+        source_config={"format": "parquet", "path": "/nonexistent.parquet"},
+        target_config={"path": str(tmp_path / "out")},
+    )
+    mgr.schedule_job(cfg)
+    with pytest.raises(Exception):
+        mgr.run_job(cfg.job_id)
+    job = mgr.get_job(cfg.job_id)
+    assert job.status == JobStatus.FAILED.value
+    assert "PATH_NOT_FOUND" in job.error_message or "Path" in job.error_message
+    assert not (tmp_path / "out").exists()
+    assert not list(tmp_path.glob("*.staging-*"))
+
+
+def test_state_machine_rejects_illegal_edges(spark, tmp_path):
+    mgr = ETLJobManager(spark, clock=ticking_clock())
+    cfg = full_etl_config(tmp_path, job_id="job_3_1234")
+    mgr.schedule_job(cfg)
+    mgr.run_job(cfg.job_id)
+    with pytest.raises(InvalidTransition):
+        mgr.run_job(cfg.job_id)  # COMPLETED → RUNNING is illegal
+    with pytest.raises(InvalidTransition):
+        mgr.cancel_job(cfg.job_id)  # COMPLETED → CANCELLED is illegal
+
+
+def test_cancel_pending(spark, tmp_path):
+    mgr = ETLJobManager(spark, clock=ticking_clock())
+    cfg = full_etl_config(tmp_path, job_id="job_4_1234")
+    mgr.schedule_job(cfg)
+    mgr.cancel_job(cfg.job_id)
+    assert mgr.get_job(cfg.job_id).status == JobStatus.CANCELLED.value
+    assert mgr.get_job(cfg.job_id).completed_at is not None
+
+
+def test_jobs_df_feeds_monitor_pipeline(spark, tmp_path):
+    """The runner's jobs table drives the §3.1 monitor pipeline directly —
+    the reference's GET /api/monitor/jobs over real runner output."""
+    mgr = ETLJobManager(spark, clock=ticking_clock())
+    for i in range(3):
+        cfg = full_etl_config(tmp_path / str(i), job_id=f"job_5_{1000 + i}")
+        mgr.schedule_job(cfg)
+        mgr.run_job(cfg.job_id)
+    df = mgr.jobs_df()
+    assert df.count() == 3
+    assert json.loads(df.limit(1).collect()[0]["source_config"])["path"] == DOCS
+
+    monitored = monitor_jobs(
+        df,
+        status="COMPLETED",
+        limit=10,
+        status_col="status",
+        type_col="job_type",
+        created_col="created_at",
+        key_col="job_id",
+        records_col="records_processed",
+        completed_col="completed_at",
+        now="2024-06-02 00:00:00",
+    )
+    rows = monitored.collect()
+    assert len(rows) == 3
+    assert all(r["execution_time_ms"] > 0 for r in rows)

@@ -1,0 +1,166 @@
+"""Structured Streaming end-to-end tests: the batch-replay queries in the
+registry prove the semantics; these prove the same operators run as REAL
+streams (readStream → transform → writeStream) with results identical to
+batch on the same input."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rclabsapi_spark.streaming.routing import route_events, subscriptions_df
+from rclabsapi_spark.streaming.sources import (
+    ship_foreach_batch,
+    stream_events_dir,
+    with_index_partition,
+    write_partitioned_sink,
+)
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    """events rewritten into a fresh dir with µs timestamps (the raw
+    fixture uses parquet TIMESTAMP(NANOS), which Spark's file source
+    rejects; the catalog loader normalizes it — see catalog.load_table)."""
+    from rclabsapi_spark.catalog import load_table
+
+    d = str(tmp_path / "events_in")
+    load_table(spark, SF_SMOKE, "events").write.mode("overwrite").parquet(d)
+    return d
+
+
+def _level(df):
+    return df.withColumn(
+        "level",
+        F.when(F.col("value") < 50, "INFO")
+        .when(F.col("value") < 150, "WARN")
+        .otherwise("ERROR"),
+    )
+
+
+def test_streaming_routing_matches_batch(spark, events_dir, tmp_path):
+    """ST1/P9 as a live stream: file source → broadcast-join routing →
+    memory sink, availableNow (drains all input then stops)."""
+    batch_ev = _level(spark.read.parquet(events_dir))
+    expected = (
+        route_events(batch_ev, subscriptions_df(spark))
+        .groupBy("connection_id")
+        .count()
+        .collect()
+    )
+    expected = {r["connection_id"]: r["count"] for r in expected}
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = _level(stream_events_dir(spark, events_dir, schema))
+    routed = route_events(stream, subscriptions_df(spark))
+    q = (
+        routed.groupBy("connection_id")
+        .count()
+        .writeStream.format("memory")
+        .queryName("routed_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["connection_id"]: r["count"]
+        for r in spark.sql("SELECT * FROM routed_counts").collect()
+    }
+    assert got == expected
+    assert expected["conn_all"] > 0  # match-all subscriber saw everything
+
+
+def test_streaming_windowed_counts_with_watermark(spark, events_dir, tmp_path):
+    """ST5 as a live stream: tumbling 1-minute windows + watermark; the
+    drained availableNow result equals the batch window aggregation."""
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .count()
+    )
+    expected = {
+        (r["w"]["start"], r["event_type"]): r["count"] for r in batch.collect()
+    }
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = stream_events_dir(spark, events_dir, schema)
+    agg = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .count()
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("windowed")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["w"]["start"], r["event_type"]): r["count"]
+        for r in spark.sql("SELECT * FROM windowed").collect()
+    }
+    assert got == expected
+
+
+def test_partitioned_sink_date_partitions(spark, events_dir, tmp_path):
+    """S5/S7: streaming parquet sink partitioned by the logs-%Y.%m.%d
+    index-date column; partitions prune on read."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = with_index_partition(
+        stream_events_dir(spark, events_dir, schema), "ts"
+    )
+    out = str(tmp_path / "out")
+    q = write_partitioned_sink(
+        stream, out, str(tmp_path / "ckpt"), available_now=True
+    )
+    q.awaitTermination(120)
+
+    written = spark.read.parquet(out)
+    assert written.count() == spark.read.parquet(events_dir).count()
+    # pruning: one partition directory per distinct day
+    days = written.select("index_date").distinct().count()
+
+    part_dirs = [d for d in os.listdir(out) if d.startswith("index_date=")]
+    assert len(part_dirs) == days
+
+
+def test_foreach_batch_ship_retries(spark, events_dir, tmp_path):
+    """S6/ST4: shipping sink retries transient failures, applies the
+    per-destination level filter, and succeeds within max_retries."""
+    schema = spark.read.parquet(events_dir).schema
+    stream = _level(stream_events_dir(spark, events_dir, schema))
+
+    attempts = []
+    shipped = []
+
+    def flaky_ship(batch, batch_id):
+        attempts.append(batch_id)
+        if len(attempts) < 3:  # fail twice, succeed on 3rd
+            raise IOError("transient destination error")
+        shipped.append(batch.count())
+
+    q = ship_foreach_batch(
+        stream,
+        str(tmp_path / "ckpt"),
+        flaky_ship,
+        max_retries=3,
+        retry_delay_s=0.01,
+        allowed_levels=["ERROR"],
+    )
+    q.awaitTermination(120)
+    assert len(attempts) == 3
+    n_errors = (
+        _level(spark.read.parquet(events_dir))
+        .filter(F.col("level") == "ERROR")
+        .count()
+    )
+    assert shipped == [n_errors]
