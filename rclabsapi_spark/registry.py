@@ -62,6 +62,7 @@ def get_registry() -> dict[str, QuerySpec]:
         events,
         llm,
         metrics_ext,
+        tpch_ext,
         transform,
     )
 
