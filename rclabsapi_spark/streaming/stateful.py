@@ -1,0 +1,115 @@
+"""Custom stateful streaming operator — ST7 progress throttling
+(job_monitor_service.hpp:167-168) as ``applyInPandasWithState``.
+
+The reference suppresses progress updates unless the delta vs the LAST
+EMITTED value is ≥ threshold (default 5%). A ``lag`` window gives
+"delta vs previous row" — a different (weaker) predicate, and in
+streaming, window functions over unbounded keys aren't available at all.
+The exact semantics need per-key state that survives micro-batches: the
+last value actually emitted.
+
+This is the designated Spark escape hatch for custom stateful operators:
+``applyInPandasWithState`` keeps one small state row per key in the state
+store (checkpointed, partitioned by key — scales horizontally with
+executors), receives each micro-batch's rows for the key as Arrow
+batches, and emits only the surviving rows. Python-in-the-loop is
+justified here: the operator is state-machine logic, not bulk compute,
+and rows-per-key-per-batch is tiny.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id long, ts timestamp, progress double, delta double"
+)
+STATE_SCHEMA = "last_emitted double"
+
+
+def _throttle_group(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    *,
+    threshold: float,
+    ts_col: str,
+    value_col: str,
+) -> Iterable[pd.DataFrame]:
+    (last_emitted,) = state.get if state.exists else (None,)
+    out_rows = []
+    for pdf in pdfs:
+        # Arrow batches arrive in source order within a batch, but the
+        # throttle is defined over event-time order — sort per batch.
+        pdf = pdf.sort_values(ts_col)
+        for _, row in pdf.iterrows():
+            val = float(row[value_col])
+            delta = None if last_emitted is None else abs(val - last_emitted)
+            if last_emitted is None or delta >= threshold:
+                out_rows.append(
+                    (key[0], row[ts_col], val, 0.0 if delta is None else delta)
+                )
+                last_emitted = val
+    state.update((last_emitted,))
+    if out_rows:
+        yield pd.DataFrame(
+            out_rows, columns=["user_id", "ts", "progress", "delta"]
+        )
+
+
+def throttle_progress(
+    events: DataFrame,
+    *,
+    threshold: float = 5.0,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """ST7 — per-key progress throttling. Works on a streaming DataFrame
+    (state store) and, for batch replay/testing, on a static one (single
+    "batch" == the whole input)."""
+
+    def fn(key, pdfs, state):
+        return _throttle_group(
+            key,
+            pdfs,
+            state,
+            threshold=threshold,
+            ts_col=ts_col,
+            value_col=value_col,
+        )
+
+    return (
+        events.select(
+            events[key_col].alias("user_id"),
+            events[ts_col].alias("ts"),
+            events[value_col].cast("double").alias("value"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def simulate_throttle(
+    rows: list[tuple[Any, Any, float]], threshold: float = 5.0
+) -> list[tuple[Any, Any, float]]:
+    """Driver-side reference model (the reference's sequential loop):
+    rows = (key, ts, value) sorted by ts per key. For tests."""
+    last: dict[Any, float] = {}
+    out = []
+    for key, ts, val in sorted(rows, key=lambda r: (r[0], r[1])):
+        prev = last.get(key)
+        if prev is None or abs(val - prev) >= threshold:
+            out.append((key, ts, val))
+            last[key] = val
+    return out

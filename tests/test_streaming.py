@@ -164,3 +164,38 @@ def test_foreach_batch_ship_retries(spark, events_dir, tmp_path):
         .count()
     )
     assert shipped == [n_errors]
+
+
+def test_stateful_throttle_matches_reference_model(spark, events_dir, tmp_path):
+    """ST7 via applyInPandasWithState: per-key state (last EMITTED value)
+    across the stream equals the reference's sequential loop."""
+    from rclabsapi_spark.streaming.stateful import (
+        simulate_throttle,
+        throttle_progress,
+    )
+
+    raw = spark.read.parquet(events_dir).select("user_id", "ts", "value")
+    expected = simulate_throttle(
+        [(r["user_id"], r["ts"], r["value"]) for r in raw.collect()],
+        threshold=5.0,
+    )
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = stream_events_dir(spark, events_dir, schema)
+    q = (
+        throttle_progress(stream, threshold=5.0)
+        .writeStream.format("memory")
+        .queryName("throttled")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [
+        (r["user_id"], r["ts"], r["progress"])
+        for r in spark.sql("SELECT * FROM throttled").collect()
+    ]
+    assert sorted(got) == sorted(expected)
+    # throttling must actually drop rows
+    assert 0 < len(got) < raw.count()
