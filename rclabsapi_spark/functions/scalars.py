@@ -69,10 +69,34 @@ def fmt_no_trailing_zeros(c: Column, decimals: int = 6) -> Column:
     "2.500000" → "2.5", "100.000000" → "100". Matches the reference's
     ostream-based trimming (data_transformer.cpp:9-24) at ``decimals``
     precision.
+
+    Implemented as a vectorized Arrow UDF rather than ``format_string``:
+    Java's ``%f`` pads the double's SHORTEST decimal repr with zeros,
+    while C/Python/DuckDB expand the exact binary value — they disagree
+    wherever ulp(x) > 10^-decimals (|x| ≳ 4×10⁹ at 6 decimals; e.g.
+    549755813888.96875 → Java "….9688", C "….96875"; found by the
+    hypothesis parity suite). The reference is C++ ostream, so C
+    semantics are the spec. This function is the serialization edge, not
+    a hot aggregate path — Arrow batching keeps it acceptable there.
     """
-    s = F.format_string(f"%.{decimals}f", c)
-    s = F.regexp_replace(s, r"(\.\d*?)0+$", "$1")
-    return F.regexp_replace(s, r"\.$", "")
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _fmt(xs):
+        def one(x):
+            if x is None:
+                return None
+            s = f"{x:.{decimals}f}"
+            if "." in s:
+                s = s.rstrip("0").rstrip(".")
+            return s
+
+        return xs.map(one)
+
+    # explicit annotations: this module uses PEP-563 (stringified) hints,
+    # which pandas_udf's signature inference can't evaluate.
+    _fmt.__annotations__ = {"xs": pd.Series, "return": pd.Series}
+    return pandas_udf(_fmt, "string")(c)
 
 
 def round_half_up(c: Column, decimals: int = 6) -> Column:

@@ -300,3 +300,79 @@ def simhash16(docs: DataFrame, *, text_col: str = "text", key_col: str = "doc_id
         bit = F.when(F.col(f"v{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return agg.select(key_col, fp.cast("long").alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    max_hamming: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs: fingerprints within ``max_hamming`` bits.
+
+    Blocking by the pigeonhole principle: split the 16-bit fingerprint
+    into ``max_hamming + 1`` bit-bands — any pair within the distance
+    shares at least one exact band, so banding finds ALL qualifying pairs
+    (100% recall) while only comparing within buckets. Exact Hamming
+    (``bit_count(a XOR b)``) verifies candidates. Same physical shape as
+    the MinHash path: one shuffle on the band key, in-bucket pair
+    generation, no self-join."""
+    n_bands = max_hamming + 1
+    bits = 16
+    # near-even band widths, e.g. 16/3 → 6,5,5
+    widths = [bits // n_bands + (1 if i < bits % n_bands else 0) for i in range(n_bands)]
+    fp = simhash16(docs, text_col=text_col, key_col=key_col)
+
+    band_cols = []
+    shift = 0
+    for b, w in enumerate(widths):
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.shiftright(F.col("simhash"), shift)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("band_key"),
+            )
+        )
+        shift += w
+    banded = fp.select(
+        key_col, "simhash", F.explode(F.array(*band_cols)).alias("band")
+    ).select(key_col, "simhash", "band.band_id", "band.band_key")
+
+    buckets = (
+        banded.groupBy("band_id", "band_key")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(key_col), F.col("simhash")))
+            ).alias("members")
+        )
+        .filter(F.size("members") >= 2)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("members") <= max_bucket_size)
+    m = F.col("members")
+    pair_structs = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + F.lit(2), F.size(m) - i - F.lit(1)),
+                lambda y: F.struct(
+                    x[key_col].alias("doc_a"),
+                    y[key_col].alias("doc_b"),
+                    x["simhash"].alias("fp_a"),
+                    y["simhash"].alias("fp_b"),
+                ),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.fp_a", "p.fp_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return pairs.select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

@@ -400,3 +400,28 @@ def q_mm_decode(spark, sf_dir):
     return map_binary_batches(
         docs, "doc_id long, width long, height long, n_bytes long"
     )
+
+
+_SIMHASH_PAIRS_ORACLE = (
+    "WITH fp AS ("
+    + _SIMHASH_ORACLE
+    + """
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+"""
+)
+
+
+@query("dedup_simhash_near_dup", _SIMHASH_PAIRS_ORACLE)
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (hamming ≤ 2) via pigeonhole bit-banding —
+    the oracle's O(n²) self-join is the semantic spec; the engine's banded
+    blocking finds the identical pair set with bucket-local compares."""
+    from rclabsapi_spark.llm.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=2
+    )
