@@ -86,3 +86,83 @@ def map_binary_batches(
             yield out
 
     return df.select(key_col, payload_col).mapInPandas(process, schema=out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    *,
+    frame_bytes: int = 64,
+    every_n: int = 2,
+    key_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame sampling over an opaque binary "video": chunk the payload
+    into fixed-size frames, keep every ``every_n``-th (the keyframe-sample
+    pattern). One input row fans out to multiple frame rows — mapInPandas
+    is the right shape (generator of output batches, no 1:1 constraint).
+
+    Real video decode (container demux, codec) is stubbed behind the same
+    harness: a production decoder replaces the byte-chunking with actual
+    frame extraction; schema, batching and partitioning are unchanged.
+    Frames are emitted as hex so the oracle compares them portably."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, idxs, frames = [], [], []
+            for key, payload in zip(pdf[key_col], pdf[payload_col]):
+                b = bytes(payload)
+                for i in range(0, (len(b) + frame_bytes - 1) // frame_bytes, every_n):
+                    keys.append(key)
+                    idxs.append(i)
+                    frames.append(
+                        b[i * frame_bytes : (i + 1) * frame_bytes].hex().upper()
+                    )
+            yield pd.DataFrame(
+                {key_col: keys, "frame_idx": idxs, "frame_hex": frames}
+            )
+
+    return df.select(key_col, payload_col).mapInPandas(
+        process, schema=f"{key_col} long, frame_idx int, frame_hex string"
+    )
+
+
+def resize_meta(
+    df: DataFrame,
+    *,
+    target_w: int = 32,
+    target_h: int = 32,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Resize harness: computes the output geometry + a deterministic
+    content digest of what a resizer would produce. The pixel resample
+    itself needs an imaging library (stubbed, see decode_image_stub); the
+    engine-side contract — one row in, one row out, declared schema,
+    payload never leaves the executor — is exercised for real."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for key, payload in zip(pdf[key_col], pdf["payload"]):
+                b = bytes(payload)
+                # deterministic fake: digest of the bytes a real resizer
+                # would consume (truncated "thumbnail"), hashed via its
+                # hex form — blob slicing isn't portable to every oracle
+                thumb_hex = b[: target_w * target_h].hex().upper()
+                rows.append(
+                    (
+                        key,
+                        target_w,
+                        target_h,
+                        hashlib.md5(thumb_hex.encode()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[key_col, "width", "height", "thumb_md5"]
+            )
+
+    return df.select(key_col, "payload").mapInPandas(
+        process,
+        schema=f"{key_col} long, width int, height int, thumb_md5 string",
+    )

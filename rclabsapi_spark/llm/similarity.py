@@ -182,3 +182,90 @@ def embedding_near_dup_pairs(
         F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
     )
     return out.filter(F.col("cosine_sim") >= threshold)
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    n_centroids: int = 8,
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid (highest cosine).
+
+    Centroids here are the first ``n_centroids`` vectors by key —
+    deterministic and oracle-reproducible; production would plug k-means
+    means in via the same broadcast table. One broadcast of K rows + one
+    scan: each vector computes K cosines and keeps the argmax — the
+    classic IVF build pass, embarrassingly parallel."""
+    v = _as_double(F.col(vec_col))
+    cents = embeddings.filter(F.col(key_col) < n_centroids).select(
+        F.col(key_col).alias("centroid_id"), v.alias("cvec")
+    )
+    scored = embeddings.select(F.col(key_col), v.alias("v")).join(
+        F.broadcast(cents)
+    )
+    sim = cosine(F.col("v"), F.col("cvec"))
+    # argmax via max_by over the per-vector group of K centroid scores —
+    # a single partial-aggregatable groupBy (no rank window). Scores are
+    # rounded to 9dp before the argmax so ties resolve identically in the
+    # oracle; -centroid_id breaks ties toward the lowest id.
+    return (
+        scored.withColumn("__sim", F.round(sim, 9))
+        .groupBy(key_col)
+        .agg(
+            F.expr("max_by(centroid_id, struct(__sim, -centroid_id))").alias(
+                "centroid_id"
+            ),
+            F.first("v").alias("v"),
+        )
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    *,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN: probe only the ``nprobe`` centroids nearest the query,
+    exact cosine within their lists. At scale the assignment table is
+    written partitioned/bucketed by centroid_id so a probe reads only
+    those partitions — scan cost divides by n_centroids/nprobe."""
+    assigned = ivf_assign(
+        embeddings,
+        vec_col=vec_col,
+        key_col=key_col,
+        n_centroids=n_centroids,
+    )
+    q = assigned.filter(F.col(key_col) == query_vec_id).select(
+        F.col("v").alias("qvec")
+    )
+    cents = embeddings.filter(F.col(key_col) < n_centroids).select(
+        F.col(key_col).alias("centroid_id"),
+        _as_double(F.col(vec_col)).alias("cvec"),
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select(
+            "centroid_id",
+            F.round(cosine(F.col("cvec"), F.col("qvec")), 9).alias("__sim"),
+        )
+        .orderBy(F.col("__sim").desc(), F.col("centroid_id"))
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    candidates = assigned.join(F.broadcast(probe), "centroid_id").filter(
+        F.col(key_col) != query_vec_id
+    )
+    scored = candidates.crossJoin(F.broadcast(q)).select(
+        F.col(key_col),
+        F.col("centroid_id"),
+        F.round(cosine(F.col("v"), F.col("qvec")), 6).alias("cosine_sim"),
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), F.col(key_col)).limit(k)

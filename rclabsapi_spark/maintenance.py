@@ -1,0 +1,93 @@
+"""Table lifecycle maintenance (SURVEY §4: rotation/compression analog).
+
+The reference rotates + compresses + age-archives log files
+(log_file_manager.hpp:78-203). For a parquet-table engine the analogs:
+
+- **Compaction** — streaming/micro-batch sinks accumulate small files;
+  reading 10⁶ tiny files costs more in scheduling than IO. Rewrite a
+  table (or partition) into ~target-sized files. At 100 TB this runs
+  per-partition (never a global rewrite): pass the partition's path.
+- **Partition expiry** — age-based retention for date-partitioned tables
+  (`index_date=yyyy.MM.dd` from streaming.sources.with_index_partition):
+  drop directories older than the cutoff. Deleting a partition directory
+  is O(1) metadata relative to the data — the point of date layout.
+
+Both use the same staged-commit pattern as the ETL load: never leave a
+half-written table visible.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+
+
+@dataclass(frozen=True)
+class CompactionStats:
+    files_before: int
+    files_after: int
+    bytes_total: int
+
+
+def _data_files(path: str) -> list[str]:
+    out = []
+    for root, _, files in os.walk(path):
+        out += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+    return out
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> CompactionStats:
+    """Rewrite ``path`` into ceil(total/target) files via staged commit.
+
+    Uses ``coalesce`` (no shuffle — compaction is IO-bound repacking, the
+    rows don't need redistribution)."""
+    before = _data_files(path)
+    total = sum(os.path.getsize(f) for f in before)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    staging = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+    try:
+        df.coalesce(n_out).write.mode("overwrite").parquet(staging)
+        old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old)
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    return CompactionStats(
+        files_before=len(before),
+        files_after=len(_data_files(path)),
+        bytes_total=total,
+    )
+
+
+def expire_partitions(
+    path: str,
+    *,
+    partition_col: str = "index_date",
+    keep_from: str,
+) -> list[str]:
+    """Drop partition directories with values < ``keep_from``
+    (lexicographic — yyyy.MM.dd order IS time order). Returns dropped
+    partition values."""
+    dropped = []
+    prefix = f"{partition_col}="
+    for name in sorted(os.listdir(path)):
+        if not name.startswith(prefix):
+            continue
+        value = name[len(prefix) :]
+        if value < keep_from:
+            shutil.rmtree(os.path.join(path, name))
+            dropped.append(value)
+    return dropped

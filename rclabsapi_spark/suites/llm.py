@@ -425,3 +425,108 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_near_dup_pairs(
         load_table(spark, sf_dir, "documents"), max_hamming=2
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (the scale path beyond sign-LSH: coarse quantize → probe lists)
+# ---------------------------------------------------------------------------
+
+_IVF_ASSIGN_SQL = f"""
+    SELECT e.vec_id, c.centroid_id
+    FROM embeddings e
+    CROSS JOIN (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+                FROM embeddings WHERE vec_id < 8) c
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY ROUND({_cos_sql("(e.embedding::DOUBLE[])", "(c.cvec)")}, 9) DESC,
+                 c.centroid_id) = 1
+"""
+
+
+@query(
+    "sim_ivf_assignments",
+    f"""
+    WITH assign AS ({_IVF_ASSIGN_SQL})
+    SELECT centroid_id, COUNT(*)::BIGINT AS cnt
+    FROM assign GROUP BY centroid_id
+    """,
+)
+def q_ivf_assign(spark, sf_dir):
+    """IVF build pass: nearest-centroid assignment histogram (the inverted
+    list sizes — the layout a bucketed/partitioned ANN index writes)."""
+    from rclabsapi_spark.llm.similarity import ivf_assign
+
+    a = ivf_assign(load_table(spark, sf_dir, "embeddings"), n_centroids=8)
+    return a.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+_IVF_TOPK_ORACLE = f"""
+WITH assign AS ({_IVF_ASSIGN_SQL}),
+q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+probe AS (
+    SELECT c.centroid_id
+    FROM (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cvec
+          FROM embeddings WHERE vec_id < 8) c, q
+    ORDER BY ROUND({_cos_sql("(c.cvec)", "(q.qvec)")}, 9) DESC, c.centroid_id
+    LIMIT 2
+),
+cand AS (
+    SELECT a.vec_id, a.centroid_id FROM assign a
+    JOIN probe p ON p.centroid_id = a.centroid_id
+    WHERE a.vec_id <> 0
+)
+SELECT cand.vec_id, cand.centroid_id,
+       ROUND({_cos_sql("(e.embedding::DOUBLE[])", "(q.qvec)")}, 6) AS cosine_sim
+FROM cand JOIN embeddings e ON e.vec_id = cand.vec_id, q
+ORDER BY cosine_sim DESC, cand.vec_id
+LIMIT 10
+"""
+
+
+@query("sim_ivf_topk", _IVF_TOPK_ORACLE)
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN top-10: probe the 2 nearest inverted lists only."""
+    from rclabsapi_spark.llm.similarity import ivf_topk
+
+    return ivf_topk(
+        load_table(spark, sf_dir, "embeddings"), 0, k=10, n_centroids=8, nprobe=2
+    )
+
+
+@query(
+    "mm_frame_sample",
+    """
+    WITH f AS (
+        SELECT doc_id, encode(text) AS payload,
+               CAST(CEIL(octet_length(encode(text)) / 64.0) AS INT) AS n_frames
+        FROM documents
+    )
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           upper(substring(hex(payload), i * 128 + 1, 128)) AS frame_hex
+    FROM f, UNNEST(range(0, n_frames, 2)) AS t(i)
+    """,
+)
+def q_mm_frames(spark, sf_dir):
+    """Frame sampling via mapInPandas fan-out (1 row → N frame rows);
+    64-byte frames, every 2nd kept."""
+    from rclabsapi_spark.llm.multimodal import attach_binary, frame_sample
+
+    docs = attach_binary(load_table(spark, sf_dir, "documents"))
+    return frame_sample(docs, frame_bytes=64, every_n=2)
+
+
+@query(
+    "mm_resize_meta",
+    """
+    SELECT doc_id, 32 AS width, 32 AS height,
+           md5(upper(substring(hex(encode(text)), 1, 2048))) AS thumb_md5
+    FROM documents
+    """,
+)
+def q_mm_resize(spark, sf_dir):
+    """Resize harness: geometry + content digest through mapInPandas (the
+    pixel resample is the stubbed library call)."""
+    from rclabsapi_spark.llm.multimodal import attach_binary, resize_meta
+
+    docs = attach_binary(load_table(spark, sf_dir, "documents"))
+    return resize_meta(docs, target_w=32, target_h=32)
