@@ -100,6 +100,60 @@ def rate_limit_check(
     )
 
 
+def rate_limit_check_dual(
+    events: DataFrame,
+    rules: list[tuple[str, int, int]] | None = None,
+    *,
+    ts_col: str = "ts",
+    client_col: str = "user_id",
+    endpoint_col: str = "event_type",
+) -> DataFrame:
+    """The reference's FULL isAllowed: a request must clear BOTH the
+    per-minute and the per-hour limit (rate_limiter.cpp:48-90 checks both
+    epoch windows; 206-214 derives them).
+
+    Physical shape: one shuffle for the minute counts, then the hour
+    counts RE-AGGREGATE the minute counts (sum of ≤60 rows per key) —
+    never a second scan of the events. The minute grain is the partial
+    aggregate of the hour grain, the same trick as multi-grain rollup
+    tables."""
+    from pyspark.sql.window import Window
+
+    rules3 = rules or [(p, m, m * 20) for p, m in RATE_RULES]
+    minute = events.groupBy(
+        F.col(client_col).alias("user_id"),
+        F.col(endpoint_col).alias("event_type"),
+        F.date_trunc("minute", F.col(ts_col)).alias("minute_start"),
+    ).agg(F.count(F.lit(1)).alias("minute_count"))
+    # hour grain as a window-sum over the minute counts: a groupBy+join
+    # here re-computes the whole minute subtree (two event scans); the
+    # window costs one extra exchange of the SMALL counts relation only.
+    w_hour = Window.partitionBy(
+        "user_id", "event_type", F.date_trunc("hour", F.col("minute_start"))
+    )
+    joined = minute.withColumn(
+        "hour_count", F.sum("minute_count").over(w_hour)
+    )
+
+    ep = F.col("event_type")
+    prefix, min_limit = compile_rule_match(ep, [(p, m) for p, m, _ in rules3])
+    _, hour_limit = compile_rule_match(ep, [(p, h) for p, _, h in rules3])
+    return joined.select(
+        "user_id",
+        "event_type",
+        "minute_start",
+        "minute_count",
+        F.col("hour_count").cast("long").alias("hour_count"),
+        prefix.alias("matched_prefix"),
+        min_limit.alias("per_minute_limit"),
+        hour_limit.alias("per_hour_limit"),
+        (
+            (F.col("minute_count") <= min_limit)
+            & (F.col("hour_count") <= hour_limit)
+        ).alias("allowed"),
+    )
+
+
 def rate_limit_stream(
     events: DataFrame,
     rules: list[tuple[str, int]] | None = None,

@@ -194,3 +194,54 @@ def q_st3(spark, sf_dir):
         "event_id", "user_id", "event_type", "value",
         F.row_number().over(w).alias("drain_order"),
     )
+
+
+_ST5_DUAL_ORACLE = f"""
+WITH minute AS (
+    SELECT user_id, event_type, date_trunc('minute', ts) AS minute_start,
+           COUNT(*)::BIGINT AS minute_count
+    FROM events GROUP BY 1, 2, 3
+),
+hour AS (
+    SELECT user_id, event_type, date_trunc('hour', minute_start) AS hour_start,
+           SUM(minute_count)::BIGINT AS hour_count
+    FROM minute GROUP BY 1, 2, 3
+),
+j AS (
+    SELECT m.*, h.hour_count FROM minute m
+    JOIN hour h ON h.user_id = m.user_id AND h.event_type = m.event_type
+               AND h.hour_start = date_trunc('hour', m.minute_start)
+),
+matched AS (
+    SELECT j.*,
+           CASE WHEN event_type LIKE 'purch%' THEN 'purch'
+                WHEN event_type LIKE 'error%' THEN 'error'
+                WHEN event_type LIKE 'p%' THEN 'p'
+                ELSE '' END AS matched_prefix,
+           CASE WHEN event_type LIKE 'purch%' THEN 2
+                WHEN event_type LIKE 'error%' THEN 1
+                WHEN event_type LIKE 'p%' THEN 3
+                ELSE 5 END AS per_minute_limit,
+           CASE WHEN event_type LIKE 'purch%' THEN 40
+                WHEN event_type LIKE 'error%' THEN 20
+                WHEN event_type LIKE 'p%' THEN 60
+                ELSE 100 END AS per_hour_limit
+    FROM j
+)
+SELECT user_id, event_type, minute_start, minute_count, hour_count,
+       matched_prefix, per_minute_limit, per_hour_limit,
+       (minute_count <= per_minute_limit AND hour_count <= per_hour_limit)
+           AS allowed
+FROM matched
+"""
+
+
+@query("st5_rate_limit_dual_windows", _ST5_DUAL_ORACLE)
+def q_st5_dual(spark, sf_dir):
+    """ST5 full isAllowed — BOTH epoch-minute and epoch-hour limits
+    (rate_limiter.cpp:48-90, 206-214). Hour counts re-aggregate the
+    minute counts (multi-grain rollup), no second event scan."""
+    from rclabsapi_spark.streaming.rate_limiter import rate_limit_check_dual
+
+    ev = load_table(spark, sf_dir, "events")
+    return rate_limit_check_dual(ev)
