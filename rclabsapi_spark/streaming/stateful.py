@@ -113,3 +113,62 @@ def simulate_throttle(
             out.append((key, ts, val))
             last[key] = val
     return out
+
+
+def _ewma_group(
+    key,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    *,
+    alpha: float,
+    ts_col: str,
+    value_col: str,
+) -> Iterable[pd.DataFrame]:
+    """A15 — EWMA (α-blend, performance_monitor.hpp:378-392) across
+    micro-batches: the running average is the single state value."""
+    (ewma,) = state.get if state.exists else (None,)
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(ts_col)
+        for _, row in pdf.iterrows():
+            val = float(row[value_col])
+            ewma = val if ewma is None else alpha * val + (1 - alpha) * ewma
+            out.append((key[0], row[ts_col], val, ewma))
+    state.update((ewma,))
+    if out:
+        yield pd.DataFrame(out, columns=["user_id", "ts", "value", "ewma"])
+
+
+def ewma_stream(
+    events: DataFrame,
+    *,
+    alpha: float = 0.1,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key streaming EWMA via applyInPandasWithState. The batch
+    equivalent (registry query ``w5_ewma``) uses a window expression; the
+    streaming form carries one double of state per key — O(keys) state,
+    horizontally partitioned."""
+
+    def fn(key, pdfs, state):
+        return _ewma_group(
+            key, pdfs, state, alpha=alpha, ts_col=ts_col, value_col=value_col
+        )
+
+    return (
+        events.select(
+            events[key_col].alias("user_id"),
+            events[ts_col].alias("ts"),
+            events[value_col].cast("double").alias("value"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="user_id long, ts timestamp, value double, ewma double",
+            stateStructType="ewma double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

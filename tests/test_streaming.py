@@ -199,3 +199,63 @@ def test_stateful_throttle_matches_reference_model(spark, events_dir, tmp_path):
     assert sorted(got) == sorted(expected)
     # throttling must actually drop rows
     assert 0 < len(got) < raw.count()
+
+
+def test_stateful_ewma_matches_sequential(spark, events_dir, tmp_path):
+    """A15 as a live stream: per-key EWMA state across micro-batches
+    equals the sequential α-blend."""
+    from rclabsapi_spark.streaming.stateful import ewma_stream
+
+    raw = spark.read.parquet(events_dir).select("user_id", "ts", "value")
+    expect = {}
+    state = {}
+    for r in sorted(raw.collect(), key=lambda r: (r["user_id"], r["ts"])):
+        prev = state.get(r["user_id"])
+        cur = r["value"] if prev is None else 0.1 * r["value"] + 0.9 * prev
+        state[r["user_id"]] = cur
+        expect[(r["user_id"], r["ts"])] = cur
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = stream_events_dir(spark, events_dir, schema)
+    q = (
+        ewma_stream(stream, alpha=0.1)
+        .writeStream.format("memory")
+        .queryName("ewma_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["ts"]): r["ewma"]
+        for r in spark.sql("SELECT * FROM ewma_out").collect()
+    }
+    assert got.keys() == expect.keys()
+    assert all(abs(got[k] - expect[k]) < 1e-9 for k in expect)
+
+
+def test_run_pending_concurrent_jobs(spark, tmp_path):
+    """max_concurrent_jobs semantics: a batch of queued jobs drains with
+    bounded concurrency; one failing job doesn't stop the rest."""
+    from rclabsapi_spark.etl import ETLJobConfig, ETLJobManager, JobType
+
+    from .test_etl_runner import full_etl_config, ticking_clock
+
+    mgr = ETLJobManager(spark, clock=ticking_clock())
+    ids = []
+    for i in range(4):
+        cfg = full_etl_config(tmp_path / str(i), job_id=f"job_c_{1000 + i}")
+        ids.append(mgr.schedule_job(cfg))
+    bad = ETLJobConfig(
+        job_id="job_c_bad",
+        job_type=JobType.EXTRACT,
+        source_config={"path": "/nonexistent.parquet"},
+    )
+    ids.append(mgr.schedule_job(bad))
+
+    results = mgr.run_pending(max_concurrent=3)
+    assert results["job_c_bad"] == "FAILED"
+    assert all(results[j] == "COMPLETED" for j in ids[:4])
+    for i in range(4):
+        assert spark.read.parquet(str(tmp_path / str(i) / "out")).count() == 500
