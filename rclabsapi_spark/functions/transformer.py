@@ -109,22 +109,34 @@ def apply_rules(df: DataFrame, rules: Sequence[TransformationRule]) -> DataFrame
     return df
 
 
-def required_field_errors(
+def required_field_flag(
     df: DataFrame, rules: Sequence[TransformationRule]
-) -> tuple[DataFrame, DataFrame]:
-    """P16 (data_transformer.cpp:81-98): split rows failing any
-    ``required=true`` rule (source null or empty) to an error-side output.
-    Returns (valid, errors)."""
+) -> Column:
+    """P16 predicate: TRUE where any ``required=true`` rule's source is
+    null/empty. As a Column it composes into a single-scan projection
+    (withColumn) — splitting into two filtered DataFrames reads the
+    source twice."""
     preds = [
         F.col(r.source_field).isNull() | (F.col(r.source_field) == "")
         for r in rules
         if r.required and r.source_field in df.columns
     ]
     if not preds:
-        return df, df.limit(0)
+        return F.lit(False)
     bad = preds[0]
     for p in preds[1:]:
         bad = bad | p
+    return bad
+
+
+def required_field_errors(
+    df: DataFrame, rules: Sequence[TransformationRule]
+) -> tuple[DataFrame, DataFrame]:
+    """P16 (data_transformer.cpp:81-98): split rows failing any
+    ``required=true`` rule (source null or empty) to an error-side output.
+    Returns (valid, errors). Two filtered branches ⇒ two scans when both
+    are consumed — use ``required_field_flag`` for single-pass tagging."""
+    bad = required_field_flag(df, rules)
     return df.filter(~bad), df.filter(bad)
 
 

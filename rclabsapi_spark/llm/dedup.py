@@ -231,11 +231,21 @@ def ngram_jaccard_pairs(
     shingles, self-join the postings, count common shingles per pair.
 
     ``max_shingle_df`` drops shingles appearing in more than N docs
-    (boilerplate guard — at web scale hot shingles explode the join)."""
-    posting = shingle_posting(
-        docs, text_col=text_col, key_col=key_col, n=n
-    ).dropDuplicates([key_col, "shingle"])
-    sizes = posting.groupBy(key_col).agg(F.count(F.lit(1)).alias("sh_size"))
+    (boilerplate guard — at web scale hot shingles explode the join).
+
+    Physical shape: the per-doc set size rides on every posting row via a
+    count window (same partitioning as the dedup shuffle — no extra
+    exchange), so the sizes arrive through the self-join for free instead
+    of two extra scans + two extra joins. documents is read exactly twice
+    (the self-join's two sides — the irreducible minimum for a self-join
+    without caching)."""
+    posting = (
+        shingle_posting(docs, text_col=text_col, key_col=key_col, n=n)
+        .dropDuplicates([key_col, "shingle"])
+        .withColumn(
+            "sh_size", F.count(F.lit(1)).over(Window.partitionBy(key_col))
+        )
+    )
     if max_shingle_df is not None:
         hot = (
             posting.groupBy("shingle")
@@ -256,23 +266,20 @@ def ngram_jaccard_pairs(
             F.col(f"a.{key_col}").alias("doc_a"),
             F.col(f"b.{key_col}").alias("doc_b"),
         )
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sa = sizes.select(F.col(key_col).alias("doc_a"), F.col("sh_size").alias("size_a"))
-    sb = sizes.select(F.col(key_col).alias("doc_b"), F.col("sh_size").alias("size_b"))
-    out = (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("common")
-                / (F.col("size_a") + F.col("size_b") - F.col("common")),
-                6,
-            ),
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.first(F.col("a.sh_size")).alias("size_a"),
+            F.first(F.col("b.sh_size")).alias("size_b"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
+    out = common.withColumn(
+        "jaccard",
+        F.round(
+            F.col("common")
+            / (F.col("size_a") + F.col("size_b") - F.col("common")),
+            6,
+        ),
+    ).filter(F.col("jaccard") >= threshold)
     return out.select("doc_a", "doc_b", "common", "jaccard")
 
 

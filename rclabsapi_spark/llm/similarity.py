@@ -243,8 +243,11 @@ def ivf_topk(
         key_col=key_col,
         n_centroids=n_centroids,
     )
-    q = assigned.filter(F.col(key_col) == query_vec_id).select(
-        F.col("v").alias("qvec")
+    # query vector straight from the source (pushed single-row scan) —
+    # probing it through `assigned` would re-run the whole assignment
+    # subtree just to fetch one row (caught by the plan audit).
+    q = embeddings.filter(F.col(key_col) == query_vec_id).select(
+        _as_double(F.col(vec_col)).alias("qvec")
     )
     cents = embeddings.filter(F.col(key_col) < n_centroids).select(
         F.col(key_col).alias("centroid_id"),

@@ -434,10 +434,16 @@ def q_a14(spark, sf_dir):
         F.avg(er).alias("error_rate"),
         F.avg("peak_cpu").alias("cpu"),
     )
-    baseline = per_group.agg(
-        F.avg("rate").alias("b_rate"),
-        F.avg("error_rate").alias("b_err"),
-        F.avg("cpu").alias("b_cpu"),
+    # baseline = global mean of the per-group rows. A second .agg() on
+    # per_group re-computes the whole subtree (two fact scans — caught by
+    # the plan audit); an unpartitioned window over the tiny grouped
+    # relation reads it once.
+    w_all = Window.partitionBy()
+    with_base = per_group.select(
+        "*",
+        F.avg("rate").over(w_all).alias("b_rate"),
+        F.avg("error_rate").over(w_all).alias("b_err"),
+        F.avg("cpu").over(w_all).alias("b_cpu"),
     )
     ok = (
         F.when(F.col("b_rate") > 0, F.col("rate") >= 0.8 * F.col("b_rate")).otherwise(
@@ -450,7 +456,7 @@ def q_a14(spark, sf_dir):
             F.lit(True)
         )
     )
-    return per_group.crossJoin(F.broadcast(baseline)).select(
+    return with_base.select(
         "l_returnflag",
         F.round("rate", 6).alias("rate"),
         F.round("error_rate", 6).alias("error_rate"),

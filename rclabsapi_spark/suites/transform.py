@@ -21,6 +21,7 @@ from rclabsapi_spark.functions.transformer import (
     TransformationRule,
     apply_rules,
     required_field_errors,
+    required_field_flag,
 )
 from rclabsapi_spark.registry import query
 
@@ -115,11 +116,10 @@ def q_p16(spark, sf_dir):
         "lang",
     )
     rules = [TransformationRule("required_field", "out", "trim", {"required": "true"})]
-    valid, errors = required_field_errors(docs, rules)
-    return (
-        valid.withColumn("is_error", F.lit(False))
-        .unionByName(errors.withColumn("is_error", F.lit(True)))
-        .select("doc_id", "lang", "is_error")
+    # single-scan tagging (required_field_flag); the valid/errors split
+    # (required_field_errors) would read the table once per side
+    return docs.select(
+        "doc_id", "lang", required_field_flag(docs, rules).alias("is_error")
     )
 
 
