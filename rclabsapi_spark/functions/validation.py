@@ -64,3 +64,28 @@ def is_valid_status(c: Column) -> Column:
 def clamp_limit(n: int, lo: int = 1, hi: int = 1000) -> int:
     """limit bound 1-1000 (input_validator.cpp:335-345)."""
     return max(lo, min(hi, n))
+
+
+def check_constraints(df, constraints: dict):
+    """CHECK-constraint audit (init.sql:25-26 enum CHECKs, §1.2): one
+    pass over the table producing per-constraint violation counts.
+
+    ``constraints`` maps name → boolean Column (TRUE = row passes). All
+    counts come from a single aggregate (sum of failure indicators) — at
+    100 TB this is one scan regardless of constraint count, vs one scan
+    per constraint for the naive loop."""
+    from pyspark.sql import functions as F
+
+    if not constraints:
+        raise ValueError("constraints must be a non-empty mapping")
+    aggs = [
+        F.sum(F.when(~pred, 1).otherwise(0)).cast("long").alias(name)
+        for name, pred in constraints.items()
+    ]
+    wide = df.agg(*aggs)
+    # unpivot to (constraint, violations) rows
+    names = list(constraints)
+    stack = ", ".join(f"'{n}', `{n}`" for n in names)
+    return wide.selectExpr(
+        f"stack({len(names)}, {stack}) as (constraint_name, violations)"
+    )

@@ -616,3 +616,42 @@ def q_emb_neardup(spark, sf_dir):
     return embedding_near_dup_pairs(
         load_table(spark, sf_dir, "embeddings"), num_bits=8, threshold=0.5
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality: CHECK-constraint audit (§1.2 — init.sql enum CHECKs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_constraint_violations",
+    """
+    WITH agg AS (
+        SELECT
+            CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS status_enum,
+            CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS totalprice_nonneg,
+            CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orderdate_notnull,
+            CAST(SUM(CASE WHEN o_orderpriority NOT LIKE '%-%' THEN 1 ELSE 0 END) AS BIGINT) AS priority_format
+        FROM orders
+    )
+    SELECT 'status_enum' AS constraint_name, status_enum AS violations FROM agg
+    UNION ALL SELECT 'totalprice_nonneg', totalprice_nonneg FROM agg
+    UNION ALL SELECT 'orderdate_notnull', orderdate_notnull FROM agg
+    UNION ALL SELECT 'priority_format', priority_format FROM agg
+    """,
+)
+def q_dq(spark, sf_dir):
+    """CHECK-constraint audit: all constraints counted in ONE scan + one
+    stack unpivot (vs a scan per constraint)."""
+    from rclabsapi_spark.functions.validation import check_constraints
+
+    o = load_table(spark, sf_dir, "orders")
+    return check_constraints(
+        o,
+        {
+            "status_enum": F.col("o_orderstatus").isin("O", "F", "P"),
+            "totalprice_nonneg": F.col("o_totalprice") >= 0,
+            "orderdate_notnull": F.col("o_orderdate").isNotNull(),
+            "priority_format": F.col("o_orderpriority").like("%-%"),
+        },
+    )

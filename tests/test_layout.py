@@ -1,0 +1,94 @@
+"""Bucketed layout: the pay-the-shuffle-once contract. A join between two
+tables bucketed on the join key must plan with NO Exchange."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rclabsapi_spark.catalog import load_table
+from rclabsapi_spark.layout import read_table, write_bucketed, write_sorted
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def bucketed_tables(spark, tmp_path):
+    # managed tables land in the session's spark-warehouse dir
+    # (warehouse.dir is a static conf); DROP TABLE below removes the files
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    write_bucketed(
+        orders, "orders_b", bucket_cols=["o_orderkey"], num_buckets=8
+    )
+    write_bucketed(
+        li,
+        "lineitem_b",
+        bucket_cols=["l_orderkey"],
+        num_buckets=8,
+        sort_cols=["l_orderkey"],
+    )
+    yield
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    orders = read_table(spark, "orders_b")
+    li = read_table(spark, "lineitem_b")
+    joined = orders.join(
+        li, orders.o_orderkey == li.l_orderkey
+    ).groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
+
+    plan = _plan(joined)
+    # disable broadcast to force the co-located path deterministically
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(
+            orders.join(li, orders.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+    # and it's still CORRECT: equals the plain-parquet join counts
+    plain = (
+        load_table(spark, SF_SMOKE, "orders")
+        .join(
+            load_table(spark, SF_SMOKE, "lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bres = sorted(tuple(r) for r in joined.collect())
+    pres = sorted(tuple(r) for r in plain.collect())
+    assert bres == pres
+
+
+def test_sorted_write_rowgroup_stats(spark, tmp_path):
+    """Sorted writes put min/max stats on the sort column; a tight range
+    predicate then reads fewer rows than a full scan would (observable via
+    the scan's pushed filters at minimum)."""
+    path = str(tmp_path / "li_sorted")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    write_sorted(li, path, sort_cols=["l_shipdate"])
+    out = spark.read.parquet(path).filter(
+        F.col("l_shipdate").between("1996-01-01", "1996-01-31")
+    )
+    plan = _plan(out)
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    n = out.count()
+    assert 0 < n < li.count()
