@@ -309,28 +309,74 @@ def simhash16(docs: DataFrame, *, text_col: str = "text", key_col: str = "doc_id
     return agg.select(key_col, fp.cast("long").alias("simhash"))
 
 
+#: hex chars whose digit value has bit k set (k = 0..3) — portable
+#: bit-of-hex-digit tests shared with the DuckDB oracle.
+_HEX_BIT = {
+    k: tuple(c for c in "0123456789abcdef" if (int(c, 16) >> k) & 1)
+    for k in range(4)
+}
+
+
+def simhash_bits(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bits: int = 60,
+) -> DataFrame:
+    """Generalized SimHash: bit j of each token's md5 = bit (j mod 4) of
+    hex digit (j div 4); tokens vote ±1 per bit; fingerprint bit =
+    (vote > 0). ``bits ≤ 60`` keeps the fingerprint positive in a signed
+    64-bit integer on every engine. Same one-groupBy shape as
+    ``simhash16`` — just a wider conditional-sum aggregate."""
+    assert bits <= 60, "fingerprint must fit a signed 64-bit int"
+    tok = docs.select(
+        F.col(key_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    votes = [
+        F.sum(
+            F.when(
+                F.substring("h", j // 4 + 1, 1).isin(*_HEX_BIT[j % 4]), 1
+            ).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy(key_col).agg(*votes)
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return agg.select(key_col, fp.cast("long").alias("simhash"))
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame,
     *,
     text_col: str = "text",
     key_col: str = "doc_id",
     max_hamming: int = 2,
+    bits: int = 60,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: fingerprints within ``max_hamming`` bits.
 
-    Blocking by the pigeonhole principle: split the 16-bit fingerprint
-    into ``max_hamming + 1`` bit-bands — any pair within the distance
-    shares at least one exact band, so banding finds ALL qualifying pairs
-    (100% recall) while only comparing within buckets. Exact Hamming
+    Blocking by the pigeonhole principle: split the fingerprint into
+    ``max_hamming + 1`` bit-bands — any pair within the distance shares
+    at least one exact band, so banding finds ALL qualifying pairs (100%
+    recall) while only comparing within buckets. Exact Hamming
     (``bit_count(a XOR b)``) verifies candidates. Same physical shape as
     the MinHash path: one shuffle on the band key, in-bucket pair
-    generation, no self-join."""
+    generation, no self-join.
+
+    ``bits`` matters for blocking quality: with 16-bit fingerprints the
+    bands are 5-6 bits (≤64 distinct values), so every band bucket holds
+    ~N/64 of the corpus and pair generation degenerates toward O(N²) —
+    measured 8s at 5k docs. At 60 bits the bands are 20 bits wide and
+    buckets stay tiny."""
     n_bands = max_hamming + 1
-    bits = 16
-    # near-even band widths, e.g. 16/3 → 6,5,5
+    # near-even band widths, e.g. 60/3 → 20,20,20
     widths = [bits // n_bands + (1 if i < bits % n_bands else 0) for i in range(n_bands)]
-    fp = simhash16(docs, text_col=text_col, key_col=key_col)
+    fp = simhash_bits(docs, text_col=text_col, key_col=key_col, bits=bits)
 
     band_cols = []
     shift = 0

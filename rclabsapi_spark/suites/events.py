@@ -104,7 +104,7 @@ WHERE (len(s.types) = 0 OR list_contains(s.types, e.event_type))
 """
 
 
-@query("p9_subscription_routing", _P9_ORACLE)
+@query("p9_subscription_routing", _P9_ORACLE, bench=True)
 def q_p9(spark, sf_dir):
     """P9/ST1 — ConnectionFilters.shouldReceiveMessage: empty set = match
     all; else membership, conjunctive across dimensions
@@ -236,7 +236,7 @@ FROM matched
 """
 
 
-@query("st5_rate_limit_dual_windows", _ST5_DUAL_ORACLE)
+@query("st5_rate_limit_dual_windows", _ST5_DUAL_ORACLE, bench=True)
 def q_st5_dual(spark, sf_dir):
     """ST5 full isAllowed — BOTH epoch-minute and epoch-hour limits
     (rate_limiter.cpp:48-90, 206-214). Hour counts re-aggregate the

@@ -133,7 +133,7 @@ WHERE ROUND(common / (sa.sz + sb.sz - common), 6) >= 0.2
 """
 
 
-@query("dedup_ngram_jaccard", _JACCARD_ORACLE)
+@query("dedup_ngram_jaccard", _JACCARD_ORACLE, bench=True)
 def q_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard pairs ≥ 0.2 via inverted shingle index."""
     return ngram_jaccard_pairs(
@@ -402,9 +402,42 @@ def q_mm_decode(spark, sf_dir):
     )
 
 
+# 60-bit simhash for the near-dup tier (wider fingerprint => 20-bit
+# pigeonhole bands => tiny blocking buckets; see llm.dedup.simhash_bits).
+_HEX_BIT_SQL = {
+    k: ", ".join(
+        f"'{c}'" for c in "0123456789abcdef" if (int(c, 16) >> k) & 1
+    )
+    for k in range(4)
+}
+
+_SIMHASH60_SQL = (
+    """
+WITH tok AS (
+    SELECT doc_id, md5(UNNEST(string_split(text, ' '))) AS h FROM documents
+),
+votes AS (
+    SELECT doc_id, """
+    + ", ".join(
+        "SUM(CASE WHEN substring(h, {p}, 1) IN ({cs})"
+        " THEN 1 ELSE -1 END) AS v{j}".format(
+            p=j // 4 + 1, cs=_HEX_BIT_SQL[j % 4], j=j
+        )
+        for j in range(60)
+    )
+    + """
+    FROM tok GROUP BY doc_id
+)
+SELECT doc_id, CAST("""
+    + " + ".join(f"CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END" for j in range(60))
+    + """ AS BIGINT) AS simhash
+FROM votes
+"""
+)
+
 _SIMHASH_PAIRS_ORACLE = (
     "WITH fp AS ("
-    + _SIMHASH_ORACLE
+    + _SIMHASH60_SQL
     + """
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -415,7 +448,7 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
 )
 
 
-@query("dedup_simhash_near_dup", _SIMHASH_PAIRS_ORACLE)
+@query("dedup_simhash_near_dup", _SIMHASH_PAIRS_ORACLE, bench=True)
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (hamming ≤ 2) via pigeonhole bit-banding —
     the oracle's O(n²) self-join is the semantic spec; the engine's banded
@@ -423,7 +456,7 @@ def q_simhash_pairs(spark, sf_dir):
     from rclabsapi_spark.llm.dedup import simhash_near_dup_pairs
 
     return simhash_near_dup_pairs(
-        load_table(spark, sf_dir, "documents"), max_hamming=2
+        load_table(spark, sf_dir, "documents"), max_hamming=2, bits=60
     )
 
 
@@ -483,7 +516,7 @@ LIMIT 10
 """
 
 
-@query("sim_ivf_topk", _IVF_TOPK_ORACLE)
+@query("sim_ivf_topk", _IVF_TOPK_ORACLE, bench=True)
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN top-10: probe the 2 nearest inverted lists only."""
     from rclabsapi_spark.llm.similarity import ivf_topk

@@ -69,7 +69,7 @@ LIMIT 200 OFFSET 10
 """
 
 
-@query("p11_log_query_pipeline", _P11_ORACLE)
+@query("p11_log_query_pipeline", _P11_ORACLE, bench=True)
 def q_p11(spark, sf_dir):
     """P11+P12+O3+O4 composed — time range, level ordinal range, component
     equality, substring search, sort desc, offset+limit."""
