@@ -655,3 +655,94 @@ def q_dq(spark, sf_dir):
             "priority_format": F.col("o_orderpriority").like("%-%"),
         },
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (extension: the canonical large-scale event-log op)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w_sessionization",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTES
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*)::BIGINT AS n_events,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization (30-min inactivity gap): lag flag →
+    running sum = session id → per-session aggregates. Two window passes
+    over the same (user, ts) partitioning → one shuffle reused."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_session"),
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(w_run).alias("session_id"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+        .cast("long")
+        .alias("duration_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram vocabulary (extension: training-data frequency analysis)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_ngram_vocab",
+    """
+    WITH toks AS (
+        SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+    )
+    SELECT tok, COUNT(*)::BIGINT AS freq
+    FROM toks
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY freq DESC, tok
+    LIMIT 100
+    """,
+)
+def q_vocab(spark, sf_dir):
+    """Corpus token vocabulary top-100 — explode → count → distributed
+    top-k (TakeOrdered; partial aggregation bounds the shuffle to the
+    distinct-token dictionary, not the token stream)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("tok"))
+        .limit(100)
+    )

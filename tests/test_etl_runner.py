@@ -151,3 +151,38 @@ def test_jobs_df_feeds_monitor_pipeline(spark, tmp_path):
     rows = monitored.collect()
     assert len(rows) == 3
     assert all(r["execution_time_ms"] > 0 for r in rows)
+
+
+def test_upsert_parquet_merge(spark, tmp_path):
+    """MERGE semantics: matching keys replaced, new keys appended, staged
+    commit (table never half-written)."""
+    from pyspark.sql import functions as F
+
+    from rclabsapi_spark.etl.upsert import upsert_parquet
+
+    path = str(tmp_path / "jobs")
+    base = spark.createDataFrame(
+        [("j1", "PENDING", 0), ("j2", "PENDING", 0)],
+        "job_id string, status string, records int",
+    )
+    base.write.parquet(path)
+
+    updates = spark.createDataFrame(
+        [("j2", "COMPLETED", 500), ("j3", "PENDING", 0)],
+        "job_id string, status string, records int",
+    )
+    upsert_parquet(spark, path, updates, key_cols=["job_id"])
+
+    got = {
+        r["job_id"]: (r["status"], r["records"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        "j1": ("PENDING", 0),
+        "j2": ("COMPLETED", 500),
+        "j3": ("PENDING", 0),
+    }
+    # fresh path: behaves as plain write
+    p2 = str(tmp_path / "new")
+    upsert_parquet(spark, p2, updates, key_cols=["job_id"])
+    assert spark.read.parquet(p2).count() == 2
