@@ -19,6 +19,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from rclabsapi_spark.cache import TTLCache
 from rclabsapi_spark.etl.runner import ETLJobManager
 from rclabsapi_spark.functions.validation import clamp_limit
 from rclabsapi_spark.plans.log_query import LogQueryParams, search_logs
@@ -50,10 +51,12 @@ class EngineAPI:
         *,
         manager: ETLJobManager | None = None,
         logs_df: DataFrame | None = None,
+        cache: TTLCache | None = None,
     ) -> None:
         self.spark = spark
         self.manager = manager or ETLJobManager(spark)
         self._logs = logs_df
+        self.cache = cache or TTLCache()
 
     # -- GET /api/monitor/jobs (§3.1) -------------------------------------
 
@@ -98,13 +101,20 @@ class EngineAPI:
     def create_job(self, config) -> str:
         if config.job_type.value not in VALID_JOB_TYPES:
             raise ValidationError(f"invalid job type {config.job_type}")
-        return self.manager.schedule_job(config)
+        job_id = self.manager.schedule_job(config)
+        self.cache.invalidate_tag("jobs")  # health/status payloads are stale
+        return job_id
 
     # -- GET /api/health (A1) ---------------------------------------------
 
     def health(self) -> str:
         """totalJobs + per-status counts in ONE pass
-        (request_handler.cpp:1526-1548 runs four scans)."""
+        (request_handler.cpp:1526-1548 runs four scans). Cached 30s
+        (cache_manager.hpp:73) under the "jobs" tag — job mutations
+        invalidate it."""
+        cached = self.cache.get("health")
+        if cached is not None:
+            return cached
         counts = {
             r["status"]: r["cnt"]
             for r in self.manager.jobs_df()
@@ -121,7 +131,9 @@ class EngineAPI:
         }
         import json
 
-        return json.dumps(payload)
+        out = json.dumps(payload)
+        self.cache.put("health", out, category="health", tags=("jobs",))
+        return out
 
     # -- POST /api/logs/search (P11) --------------------------------------
 

@@ -95,3 +95,30 @@ def test_create_and_run_via_api(api, tmp_path, spark):
     assert row["records_processed"] == spark.read.parquet(
         f"{SF_SMOKE}/region.parquet"
     ).count()
+
+
+def test_health_cache_ttl_and_invalidation(spark, tmp_path):
+    """S8 analog: health cached 30s; job mutations invalidate by tag;
+    expiry honors the injected clock."""
+    from rclabsapi_spark.cache import TTLCache
+    from rclabsapi_spark.etl import ETLJobManager
+
+    t = [0.0]
+    cache = TTLCache(clock=lambda: t[0])
+    mgr = ETLJobManager(spark, clock=ticking_clock())
+    api = EngineAPI(spark, manager=mgr, cache=cache)
+
+    h1 = api.health()
+    assert cache.misses == 1 and cache.hits == 0
+    assert api.health() == h1 and cache.hits == 1  # served from cache
+
+    # mutation invalidates the "jobs" tag
+    api.create_job(full_etl_config(tmp_path, job_id="job_9_5555"))
+    h2 = api.health()
+    assert cache.misses == 2
+    assert json.loads(h2)["totalJobs"] == 1
+
+    # TTL expiry (health = 30s)
+    t[0] = 31.0
+    api.health()
+    assert cache.misses == 3

@@ -1,0 +1,97 @@
+"""Physical-plan regression tests: the scan/shuffle/broadcast properties
+the engine is designed around must not silently regress. These assert on
+the OPTIMIZED PLAN shape, not timings — stable under hardware noise."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+from rclabsapi_spark.registry import get_registry
+
+from .conftest import SF_CORRECT
+
+_REG = get_registry()
+
+
+def _plan(spark, name: str) -> str:
+    df = _REG[name].fn(spark, SF_CORRECT)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+
+
+def _scans(plan: str) -> Counter:
+    return Counter(re.findall(r"file:[^\],\s]*?(\w+)\.parquet", plan))
+
+
+def test_monitor_pipeline_single_scan_one_exchange(spark):
+    plan = _plan(spark, "monitor_jobs_pipeline")
+    assert _scans(plan)["orders"] == 1
+    assert plan.count("Exchange") <= 1  # the TakeOrdered/limit only
+    assert "PushedFilters" in plan
+
+
+def test_tpch_q5_broadcasts_dims(spark):
+    plan = _plan(spark, "tpch_q5_region_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3  # region/nation/customer chain
+    for t in ("region", "nation", "customer", "orders", "lineitem"):
+        assert _scans(plan)[t] == 1, t
+
+
+def test_aggregates_are_single_scan(spark):
+    """The A-family rollups must stay one-scan/one-shuffle."""
+    for name in (
+        "a3_metric_rollup_by_group",
+        "a14_baseline_comparison",
+        "a12_batch_accounting",
+    ):
+        plan = _plan(spark, name)
+        assert sum(_scans(plan).values()) == 1, name
+        assert plan.count("Exchange") <= 2, name
+
+
+def test_p16_single_scan_flag(spark):
+    plan = _plan(spark, "p16_required_field_split")
+    assert _scans(plan)["documents"] == 1
+    assert plan.count("Exchange") == 0
+
+
+def test_rate_limit_dual_single_scan(spark):
+    plan = _plan(spark, "st5_rate_limit_dual_windows")
+    assert _scans(plan)["events"] == 1
+    assert "Join" not in plan  # rule match is compiled, hour grain windowed
+
+
+def test_scan_pruning_reads_needed_columns_only(spark):
+    """Column pruning: q1 reads 6 lineitem columns, not all 11.
+    (ReadSchema only appears in formatted explain mode.)"""
+    df = _REG["tpch_q1_pricing_summary"].fn(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    assert set(cols) == {
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+    }
+
+
+def test_self_join_queries_at_scan_minimum(spark):
+    """Self-join shapes may scan their table at most twice."""
+    for name, table in (
+        ("dedup_ngram_jaccard", "documents"),
+        ("setop_except", "events"),
+    ):
+        plan = _plan(spark, name)
+        assert _scans(plan)[table] <= 2, name
