@@ -259,3 +259,66 @@ def test_run_pending_concurrent_jobs(spark, tmp_path):
     assert all(results[j] == "COMPLETED" for j in ids[:4])
     for i in range(4):
         assert spark.read.parquet(str(tmp_path / str(i) / "out")).count() == 500
+
+
+def test_checkpoint_recovery_processes_only_new_files(spark, events_dir, tmp_path):
+    """Exactly-once over restarts: a second availableNow run with the SAME
+    checkpoint must process only files added since the first run."""
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(events_dir).schema
+
+    def drain():
+        stream = with_index_partition(
+            stream_events_dir(spark, events_dir, schema), "ts"
+        )
+        q = write_partitioned_sink(stream, out, ckpt, available_now=True)
+        q.awaitTermination(120)
+
+    drain()
+    n1 = spark.read.parquet(out).count()
+    n_src = spark.read.parquet(events_dir).count()
+    assert n1 == n_src
+
+    # restart with no new input: nothing re-processed
+    drain()
+    assert spark.read.parquet(out).count() == n1
+
+    # add a new file → only its rows are appended
+    extra = spark.read.parquet(events_dir).limit(7)
+    extra.coalesce(1).write.mode("append").parquet(events_dir)
+    drain()
+    assert spark.read.parquet(out).count() == n1 + 7
+
+
+def test_multi_subscriber_fanout_from_one_source(spark, events_dir, tmp_path):
+    """ST1's N-subscription shape: several filtered streaming queries off
+    ONE source, each with its own sink/checkpoint, all draining the same
+    input independently (the reference's per-connection WebSocket fan-out)."""
+    schema = spark.read.parquet(events_dir).schema
+    ev = spark.read.parquet(events_dir)
+    subs = {
+        "errors": F.col("event_type") == "error",
+        "user7": F.col("user_id") == 7,
+        "high_value": F.col("value") > 150,
+    }
+    queries = []
+    for name, pred in subs.items():
+        stream = _level(stream_events_dir(spark, events_dir, schema))
+        q = (
+            stream.filter(pred)
+            .writeStream.format("memory")
+            .queryName(f"sub_{name}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        queries.append(q)
+    for q in queries:
+        q.awaitTermination(120)
+    for name, pred in subs.items():
+        got = spark.sql(f"SELECT count(*) c FROM sub_{name}").collect()[0]["c"]
+        want = ev.filter(pred).count()
+        assert got == want, name
+        assert want > 0, name
