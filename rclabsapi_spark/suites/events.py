@@ -128,15 +128,13 @@ def q_p9(spark, sf_dir):
     """,
 )
 def q_st6(spark, sf_dir):
-    """ST6 — metric > threshold → alert rows with severity tiers."""
+    """ST6 — metric > threshold → alert rows with severity tiers (the
+    streaming.alerts operator; batch and stream share the code path)."""
+    from rclabsapi_spark.streaming.alerts import threshold_alerts
+
     ev = load_table(spark, sf_dir, "events")
-    return ev.filter(F.col("value") > 180).select(
-        "event_id",
-        "user_id",
-        "ts",
-        "value",
-        F.lit("RESOURCE_ALERT").alias("alert_type"),
-        F.when(F.col("value") > 195, "critical").otherwise("warning").alias("severity"),
+    return threshold_alerts(ev, warn_at=180.0, critical_at=195.0).select(
+        "event_id", "user_id", "ts", "value", "alert_type", "severity"
     )
 
 

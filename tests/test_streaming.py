@@ -322,3 +322,31 @@ def test_multi_subscriber_fanout_from_one_source(spark, events_dir, tmp_path):
         want = ev.filter(pred).count()
         assert got == want, name
         assert want > 0, name
+
+
+def test_streaming_threshold_alerts(spark, events_dir, tmp_path):
+    """ST6 on a live stream: the same threshold_alerts operator used by
+    the batch query emits the identical alert set."""
+    from rclabsapi_spark.streaming.alerts import threshold_alerts
+
+    batch = threshold_alerts(spark.read.parquet(events_dir))
+    expected = {
+        (r["event_id"], r["severity"]) for r in batch.collect()
+    }
+    schema = spark.read.parquet(events_dir).schema
+    q = (
+        threshold_alerts(stream_events_dir(spark, events_dir, schema))
+        .writeStream.format("memory")
+        .queryName("alerts_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["event_id"], r["severity"])
+        for r in spark.sql("SELECT * FROM alerts_out").collect()
+    }
+    assert got == expected
+    assert any(s == "critical" for _, s in got)
