@@ -171,21 +171,22 @@ def q_strings(spark, sf_dir):
 )
 def q_validation(spark, sf_dir):
     """P14/F9/F10 — validation predicates as distributed column checks
-    (input_validator.cpp:152-189, 577-587)."""
+    (input_validator.cpp:152-189, 577-587). Uses the shared predicate
+    library (functions/validation.py) — the job-id regex is widened to
+    allow '#' because fixture names are `Customer#N` (the reference
+    pattern has no '#')."""
+    from rclabsapi_spark.functions.validation import (
+        contains_sql_injection,
+        is_valid_password,
+    )
+
     c = load_table(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
         "c_name",
         F.col("c_name").rlike(r"^[A-Za-z0-9#_-]{1,64}$").alias("valid_job_id"),
-        (
-            F.length("c_name").between(8, 128)
-            & F.col("c_name").rlike("[A-Z]")
-            & F.col("c_name").rlike("[a-z]")
-            & F.col("c_name").rlike("[0-9]")
-        ).alias("valid_password_shape"),
-        F.lower(F.col("c_name"))
-        .rlike(r"('|--|;|\b(union|select|insert|update|delete|drop|exec)\b)")
-        .alias("sqli_suspect"),
+        is_valid_password(F.col("c_name")).alias("valid_password_shape"),
+        contains_sql_injection(F.col("c_name")).alias("sqli_suspect"),
     )
 
 
