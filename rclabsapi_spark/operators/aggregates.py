@@ -88,13 +88,19 @@ def metric_rollup(df: DataFrame, *, group_cols: tuple[str, ...] = ()) -> DataFra
 
 
 def efficiency_score(
-    rate: Column, error_rate: Column, mem_eff: Column, cpu_eff: Column
+    rate: Column,
+    error_rate: Column,
+    mem_eff: Column,
+    cpu_eff: Column,
+    records_processed: Column,
 ) -> Column:
-    """A13 — mean of up to 4 clamped terms, each included only if its input
-    is > 0 (job_monitoring_models.cpp:285-319)."""
+    """A13 — mean of up to 4 clamped terms (job_monitoring_models.cpp
+    :285-319). Rate/mem/cpu terms gate on their own value > 0; the error
+    term gates on ``recordsProcessed > 0`` — a job that processed records
+    with zero failures contributes a perfect 1.0 error term."""
     terms = [
         F.when(rate > 0, F.least(F.lit(1.0), rate / 1000.0)),
-        F.when(error_rate > 0, (F.lit(100.0) - error_rate) / 100.0),
+        F.when(records_processed > 0, (F.lit(100.0) - error_rate) / 100.0),
         F.when(mem_eff > 0, F.least(F.lit(1.0), mem_eff / 1000.0)),
         F.when(cpu_eff > 0, F.least(F.lit(1.0), cpu_eff / 100.0)),
     ]

@@ -55,6 +55,7 @@ def derived_indicators(
             F.col("error_rate"),
             F.col("memory_efficiency"),
             F.col("cpu_efficiency"),
+            rec,
         ),
     )
 

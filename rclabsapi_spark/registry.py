@@ -55,8 +55,40 @@ def query(name: str, oracle: str | None, bench: bool = False):
     return deco
 
 
+# Names with a green driver CORRECTNESS row whose semantics are unchanged
+# since that row was recorded. The driver verifies the first 50 registered
+# queries per round, so ``get_registry`` front-loads everything NOT in this
+# set — queries never driver-checked, new queries, and queries whose
+# semantics changed since their last green row. (dedup_minhash_lsh /
+# dedup_ngram_jaccard gained default hot-bucket caps in r2;
+# a11_derived_indicators / st5_rate_limit_dual_windows changed gate
+# semantics in r2 — all four re-queue for verification.)
+_DRIVER_VERIFIED: frozenset[str] = frozenset(
+    {
+        "monitor_jobs_pipeline", "s2_scan_ordered", "o2_topn", "o3_pagination",
+        "p3_key_lookup", "p4_filter_status", "p6_filter_inlist",
+        "p7_range_filter", "p8_valid_sessions", "p12_substring_search",
+        "p13_regex_search", "j1_events_users", "j2_fact_dim_broadcast",
+        "j3_left_join_rollup", "j4_anti_join", "j5_semi_join",
+        "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+        "tpch_q5_region_revenue", "a1_count_by_status", "a2_type_hour_counts",
+        "a3_metric_rollup_by_group", "a7_avg_positive", "a9_benchmarks_minmax",
+        "a16_percentiles", "a17_count_scalar",
+        "agg_rollup_hierarchy", "w1_running_peak", "w2_first_error_time",
+        "w3_recent_ring_buffer", "w5_ewma", "st7_progress_throttle",
+        "w_moving_avg", "setop_union_distinct", "setop_intersect",
+        "setop_except", "st5_rate_limit_windows", "p9_subscription_routing",
+        "st6_threshold_alerts", "st9_stream_filter", "st3_priority_batches",
+        "dedup_exact", "dedup_simhash", "sim_bruteforce_topk",
+        "sim_lsh_bucket_stats", "sim_lsh_bucketed_topk",
+    }
+)
+
+
 def get_registry() -> dict[str, QuerySpec]:
-    """Import all suites (idempotent) and return the full registry."""
+    """Import all suites (idempotent) and return the full registry,
+    ordered so driver-unverified queries come first (the driver checks
+    the first 50 registered queries each round, in order)."""
     from rclabsapi_spark.suites import (  # noqa: F401
         core,
         events,
@@ -66,4 +98,7 @@ def get_registry() -> dict[str, QuerySpec]:
         transform,
     )
 
-    return dict(_REGISTRY)
+    ordered = sorted(
+        _REGISTRY.values(), key=lambda s: s.name in _DRIVER_VERIFIED
+    )
+    return {s.name: s for s in ordered}

@@ -629,14 +629,14 @@ def q_a9(spark, sf_dir):
            COALESCE(FLOOR((
                CASE WHEN processing_rate > 0
                     THEN LEAST(1.0, processing_rate / 1000.0) ELSE 0.0 END
-             + CASE WHEN error_rate > 0 THEN (100.0 - error_rate) / 100.0
+             + CASE WHEN records_processed > 0 THEN (100.0 - error_rate) / 100.0
                     ELSE 0.0 END
              + CASE WHEN memory_efficiency > 0
                     THEN LEAST(1.0, memory_efficiency / 1000.0) ELSE 0.0 END
              + CASE WHEN cpu_efficiency > 0
                     THEN LEAST(1.0, cpu_efficiency / 100.0) ELSE 0.0 END
            ) / NULLIF(
-               (processing_rate > 0)::INT + (error_rate > 0)::INT
+               (processing_rate > 0)::INT + (records_processed > 0)::INT
              + (memory_efficiency > 0)::INT + (cpu_efficiency > 0)::INT, 0)
            * 1000000.0 + 0.5) / 1000000.0, 0.0) AS efficiency_score
     FROM ind

@@ -314,7 +314,7 @@ _A13_TERMS_SQL = """
     SELECT l_returnflag, records_processed,
            CASE WHEN rate > 0
                 THEN LEAST(1.0, rate / 1000.0) END AS t_rate,
-           CASE WHEN error_rate > 0
+           CASE WHEN records_processed > 0
                 THEN (100.0 - error_rate) / 100.0 END AS t_err,
            CASE WHEN mem_eff > 0
                 THEN LEAST(1.0, mem_eff / 1000.0) END AS t_mem,
@@ -383,7 +383,11 @@ def q_a13(spark, sf_dir):
         .alias("cpu_eff"),
     )
     score = efficiency_score(
-        F.col("rate"), F.col("error_rate"), F.col("mem_eff"), F.col("cpu_eff")
+        F.col("rate"),
+        F.col("error_rate"),
+        F.col("mem_eff"),
+        F.col("cpu_eff"),
+        F.col("records_processed"),
     )
     return ind.select("l_returnflag", score.alias("score")).groupBy(
         "l_returnflag"
@@ -609,6 +613,7 @@ _EMB_BUCKET_SQL = "concat(" + ", ".join(
       ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE ROUND({_COS_SQL}, 6) >= 0.5
     """,
+    bench=True,
 )
 def q_emb_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs: sign-LSH buckets, exact cosine
