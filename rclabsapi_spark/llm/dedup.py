@@ -3,10 +3,11 @@
 Four tiers, all pure DataFrame ops (no UDFs, no driver loops):
 
 - exact:          hash-groupBy on the normalized text
-- MinHash + LSH:  shingle → md5-minhash signature → banded self-join —
-                  candidate pairs come from bucket joins, never O(n²)
+- MinHash + LSH:  shingle → md5-minhash signature → banded buckets with
+                  in-bucket pair-gen (signatures only through the band
+                  shuffle; shingle sets join back for verification)
 - n-gram Jaccard: exact pairwise Jaccard over an inverted shingle index
-                  (explode → join on shingle → count) — verification tier
+                  (explode → bucket pair-gen → count) — verification tier
 - SimHash:        bit-vote fingerprint over token hashes
 
 Determinism/portability: all hashing is md5 (identical hex in every
@@ -15,11 +16,12 @@ seeded prefix is a valid random permutation for MinHash (take the
 lexicographic min of hex digests).
 
 Scale notes (100 TB): every step is embarrassingly parallel except the
-band-key self-join, which shuffles on (band, key) — exactly the LSH
-design goal (each bucket is tiny). The inverted-index Jaccard join is
-bounded by document frequency of shingles; a stop-shingle cap
-(``max_shingle_df``) drops degenerate hot shingles the way web-dedup
-pipelines drop boilerplate.
+band-key shuffle, which carries only (doc_id, band_key) — exactly the
+LSH design goal (each bucket is tiny, and the payload is ~32 B/row).
+Hot-bucket caps are ON by default: ``max_bucket_size=50`` (LSH) and
+``max_shingle_df=100`` (inverted index) bound the B²/2 in-bucket pair
+blowup the way web-dedup pipelines drop boilerplate; both caps are plain
+bucket-size filters mirrored in the DuckDB oracles.
 """
 
 from __future__ import annotations
@@ -100,7 +102,7 @@ def exact_dedup(
     )
 
 
-def minhash_docs(
+def minhash_signatures(
     docs: DataFrame,
     *,
     text_col: str = "text",
@@ -108,7 +110,9 @@ def minhash_docs(
     n: int = 3,
     num_hashes: int = 8,
 ) -> DataFrame:
-    """Per-doc MinHash signatures + distinct shingle set.
+    """Per-doc MinHash signatures — (key, mh_0..mh_{num_hashes-1}), no
+    shingle payload (signatures are what the band shuffle carries; the
+    shingle sets are joined back only for surviving candidates).
 
     One-permutation scheme: each shingle is md5'd ONCE and the 128-bit
     digest is sliced into ``num_hashes`` 16-bit lanes (4 hex chars each);
@@ -122,19 +126,35 @@ def minhash_docs(
     evaluated once — not re-inlined per signature lane the way per-lane
     array exprs are), then one partial-aggregatable groupBy(key): min per
     lane combines map-side, and the repartition already hash-distributes
-    by key so the groupBy adds no second shuffle."""
+    by key so the groupBy adds no second shuffle. min over the
+    duplicate-bearing posting equals min over the distinct set, so no
+    pre-dedup pass."""
     assert num_hashes <= 8, "md5 has 32 hex chars = 8 four-char lanes"
     posting = shingle_posting(
         docs, text_col=text_col, key_col=key_col, n=n
     ).withColumn("h", F.md5("shingle"))
-    # min over the duplicate-bearing posting equals min over the distinct
-    # set, so no pre-dedup pass; collect_set dedupes the verification sets.
     return posting.groupBy(key_col).agg(
-        F.collect_set("shingle").alias("shingle_set"),
         *[
             F.min(F.substring("h", 4 * i + 1, 4)).alias(f"mh_{i}")
             for i in range(num_hashes)
         ],
+    )
+
+
+def doc_shingle_sets(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(key, shingle_set) — the verification relation for exact Jaccard.
+    Same repartition-by-key posting shape as the signature pass, so the
+    groupBy collect_set adds no extra exchange."""
+    return (
+        shingle_posting(docs, text_col=text_col, key_col=key_col, n=n)
+        .groupBy(key_col)
+        .agg(F.collect_set("shingle").alias("shingle_set"))
     )
 
 
@@ -146,21 +166,29 @@ def lsh_candidate_pairs(
     n: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 50,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band of the signature become a
-    candidate pair, then exact Jaccard on the shingle sets verifies.
+    candidate pair; exact Jaccard on the shingle sets verifies.
 
-    Physical shape: explode to (band_id, band_key, doc, set) → ONE shuffle
-    on the band key → per-bucket pair generation via array combinatorics
-    (``collect_list`` + indexed ``transform``/``slice``). No self-join, so
-    the signature pipeline is computed once, not once per join side.
-    Bucket sizes are the knob (bands × rows-per-band), not data size;
-    ``max_bucket_size`` drops degenerate hot buckets (boilerplate dups) the
-    way web-scale dedup pipelines do — a bucket of B docs yields B²/2
-    pairs, so one 10⁶-doc bucket would dominate the job."""
+    Physical shape (verify-by-join-back): the band shuffle carries ONLY
+    (doc_id, band key) — ~32 B/row; at 10¹⁰ docs the alternative of riding
+    each doc's ~KB shingle set through every band bucket is ~TBs × bands
+    through the exchange. Pair generation is per-bucket array combinatorics
+    (``collect_list`` + indexed ``transform``/``slice``; no self-join), then
+    the surviving candidate docs — typically a tiny fraction of the corpus —
+    are semi-joined back against the shingle-set relation and each pair
+    fetches its two sets through one join + one 2-row-per-pair regroup.
+    The shingling runs twice (signatures, verification sets); that's
+    embarrassingly-parallel CPU, the cheap currency at scale, traded
+    against shuffle bytes, the expensive one.
+
+    ``max_bucket_size`` (default 50) drops degenerate hot buckets
+    (boilerplate near-dups) the way web-scale dedup pipelines do — a
+    bucket of B docs yields B²/2 pairs, so one 10⁶-doc bucket would
+    dominate the job. Pass ``None`` to disable."""
     rows = num_hashes // bands
-    mh = minhash_docs(
+    mh = minhash_signatures(
         docs, text_col=text_col, key_col=key_col, n=n, num_hashes=num_hashes
     )
     band_cols = [
@@ -173,45 +201,65 @@ def lsh_candidate_pairs(
         for b in range(bands)
     ]
     banded = mh.select(
-        key_col, "shingle_set", F.explode(F.array(*band_cols)).alias("band")
-    ).select(key_col, "shingle_set", "band.band_id", "band.band_key")
+        key_col, F.explode(F.array(*band_cols)).alias("band")
+    ).select(key_col, "band.band_id", "band.band_key")
 
     buckets = (
         banded.groupBy("band_id", "band_key")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col(key_col), F.col("shingle_set")))
-            ).alias("members")
-        )
+        .agg(F.array_sort(F.collect_list(F.col(key_col))).alias("members"))
         .filter(F.size("members") >= 2)
     )
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("members") <= max_bucket_size)
 
     m = F.col("members")
-    # members are sorted by key (first struct field) → doc_a < doc_b.
+    # members are sorted → doc_a < doc_b within each generated pair.
     pair_structs = F.flatten(
         F.transform(
             m,
             lambda x, i: F.transform(
                 F.slice(m, i + F.lit(2), F.size(m) - i - F.lit(1)),
-                lambda y: F.struct(
-                    x[key_col].alias("doc_a"),
-                    y[key_col].alias("doc_b"),
-                    x["shingle_set"].alias("set_a"),
-                    y["shingle_set"].alias("set_b"),
-                ),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
             ),
         )
     )
+    # candidate pairs are a tiny fraction of the corpus; cache them —
+    # they feed two consumers (the verification join and the candidate
+    # semi-join) and must not re-derive the banding pipeline per use
     pairs = (
         buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.set_a", "p.set_b")
+        .select("p.doc_a", "p.doc_b")
         .dropDuplicates(["doc_a", "doc_b"])
+        .cache()
     )
-    inter = F.size(F.array_intersect("set_a", "set_b"))
-    union = F.size("set_a") + F.size("set_b") - inter
-    return pairs.select(
+
+    # Verification join-back: sets only for docs that survived banding.
+    sides = pairs.select(
+        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias(key_col)
+    )
+    cand_docs = sides.select(key_col).distinct()
+    sets = doc_shingle_sets(
+        docs.join(cand_docs, key_col, "leftsemi"),
+        text_col=text_col,
+        key_col=key_col,
+        n=n,
+    )
+    # one join, then a 2-row regroup per pair; doc_a < doc_b, so after
+    # array_sort the first struct is doc_a's set, the second doc_b's.
+    per_pair = (
+        sides.join(sets, key_col)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(key_col), F.col("shingle_set")))
+            ).alias("ss")
+        )
+    )
+    set_a = F.col("ss")[0]["shingle_set"]
+    set_b = F.col("ss")[1]["shingle_set"]
+    inter = F.size(F.array_intersect(set_a, set_b))
+    union = F.size(set_a) + F.size(set_b) - inter
+    return per_pair.select(
         "doc_a",
         "doc_b",
         F.round(inter / union, 6).alias("jaccard"),
@@ -225,13 +273,16 @@ def ngram_jaccard_pairs(
     key_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.2,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 100,
 ) -> DataFrame:
     """Exact n-gram Jaccard via an inverted shingle index: explode distinct
     shingles, self-join the postings, count common shingles per pair.
 
-    ``max_shingle_df`` drops shingles appearing in more than N docs
-    (boilerplate guard — at web scale hot shingles explode the pair count).
+    ``max_shingle_df`` (default 100) drops shingles appearing in more than
+    N docs (boilerplate guard — at web scale a shingle shared by B docs
+    yields B²/2 pair increments, so hot shingles explode the pair count;
+    dropping them mirrors stop-word removal in web-dedup pipelines). Pass
+    ``None`` to disable.
 
     Physical shape: the per-doc set size rides on every posting row via a
     count window (same partitioning as the dedup shuffle — no extra

@@ -67,7 +67,7 @@ _SHINGLES_SQL = """
 """
 
 # One-permutation MinHash: md5 each shingle once, slice the 32-hex digest
-# into eight 4-char lanes, min per lane (mirrors llm.dedup.minhash_docs).
+# into eight 4-char lanes, min per lane (mirrors llm.dedup.minhash_signatures).
 _MINHASH_SQL = (
     "SELECT doc_id, shingle_set, "
     + ", ".join(
@@ -87,11 +87,18 @@ _BANDS_SQL = "\nUNION ALL\n".join(
 _MINHASH_ORACLE = f"""
 WITH sigs AS ({_MINHASH_SQL}),
 banded AS ({_BANDS_SQL}),
+bsz AS (
+    SELECT band_id, band_key, COUNT(*) AS bucket_size
+    FROM banded GROUP BY band_id, band_key
+),
 pairs AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM banded a JOIN banded b
       ON a.band_id = b.band_id AND a.band_key = b.band_key
      AND a.doc_id < b.doc_id
+    JOIN bsz s
+      ON s.band_id = a.band_id AND s.band_key = a.band_key
+    WHERE s.bucket_size <= 50
 )
 SELECT p.doc_a, p.doc_b,
        ROUND(len(list_intersect(sa.shingle_set, sb.shingle_set))
@@ -106,10 +113,14 @@ JOIN sigs sb ON sb.doc_id = p.doc_b
 
 @query("dedup_minhash_lsh", _MINHASH_ORACLE, bench=True)
 def q_minhash(spark, sf_dir):
-    """MinHash (8 seeded md5 permutations) + 4-band LSH self-join +
-    exact-Jaccard verification of candidates."""
+    """MinHash (8 md5 lanes) + 4-band LSH bucket pair-gen (signatures only
+    through the band shuffle, hot buckets > 50 dropped) + exact-Jaccard
+    verification via shingle-set join-back."""
     return lsh_candidate_pairs(
-        load_table(spark, sf_dir, "documents"), num_hashes=8, bands=4
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=8,
+        bands=4,
+        max_bucket_size=50,
     )
 
 
@@ -117,10 +128,13 @@ _JACCARD_ORACLE = f"""
 WITH sh AS ({_SHINGLES_SQL}),
 sh2 AS (SELECT doc_id, shingle_set FROM sh WHERE len(shingle_set) > 0),
 posting AS (SELECT doc_id, UNNEST(shingle_set) AS shingle FROM sh2),
+sdf AS (SELECT shingle, COUNT(*) AS df FROM posting GROUP BY shingle),
 common AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS common
     FROM posting a JOIN posting b
       ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    JOIN sdf d ON d.shingle = a.shingle
+    WHERE d.df <= 100
     GROUP BY a.doc_id, b.doc_id
 ),
 sizes AS (SELECT doc_id, len(shingle_set) AS sz FROM sh2)
@@ -135,9 +149,12 @@ WHERE ROUND(common / (sa.sz + sb.sz - common), 6) >= 0.2
 
 @query("dedup_ngram_jaccard", _JACCARD_ORACLE, bench=True)
 def q_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard pairs ≥ 0.2 via inverted shingle index."""
+    """Exact n-gram Jaccard pairs ≥ 0.2 via inverted shingle index;
+    shingles with document frequency > 100 dropped (boilerplate guard)."""
     return ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), threshold=0.2
+        load_table(spark, sf_dir, "documents"),
+        threshold=0.2,
+        max_shingle_df=100,
     )
 
 
@@ -538,6 +555,7 @@ def q_ivf_topk(spark, sf_dir):
            upper(substring(hex(payload), i * 128 + 1, 128)) AS frame_hex
     FROM f, UNNEST(range(0, n_frames, 2)) AS t(i)
     """,
+    bench=True,
 )
 def q_mm_frames(spark, sf_dir):
     """Frame sampling via mapInPandas fan-out (1 row → N frame rows);

@@ -95,3 +95,29 @@ def test_self_join_queries_at_scan_minimum(spark):
     ):
         plan = _plan(spark, name)
         assert _scans(plan)[table] <= 2, name
+
+
+def test_minhash_band_shuffle_carries_signatures_only(spark):
+    """The LSH band shuffle must not carry shingle sets: at most two
+    physical document scans (signature pass — inside the cached
+    candidate-pairs relation — plus the verification-set pass), and the
+    only collect_set is the post-banding verification relation (printed
+    twice in the plan string: partial + final agg)."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_REG["dedup_minhash_lsh"].fn(spark, SF_CORRECT))
+    assert scans["documents"] + counts["cached"] <= 3  # 1 live + cached reads
+    assert scans["documents"] <= 2
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert plan.count("collect_set") <= 2
+
+
+def test_ivf_topk_reads_one_cached_scan(spark):
+    """IVF build+probe share one cached (key, vector) scan — every
+    consumer (centroids, query row, assignment, probe, scoring) must
+    read the InMemory relation, with zero live parquet re-scans."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_REG["sim_ivf_topk"].fn(spark, SF_CORRECT))
+    assert scans.get("embeddings", 0) == 0  # all reads go through the cache
+    assert counts["cached"] >= 4
