@@ -184,33 +184,15 @@ def embedding_near_dup_pairs(
     return out.filter(F.col("cosine_sim") >= threshold)
 
 
-def ivf_assign(
-    embeddings: DataFrame,
-    *,
-    vec_col: str = "embedding",
-    key_col: str = "vec_id",
-    n_centroids: int = 8,
-) -> DataFrame:
-    """IVF coarse quantization: assign every vector to its nearest
-    centroid (highest cosine).
-
-    Centroids here are the first ``n_centroids`` vectors by key —
-    deterministic and oracle-reproducible; production would plug k-means
-    means in via the same broadcast table. One broadcast of K rows + one
-    scan: each vector computes K cosines and keeps the argmax — the
-    classic IVF build pass, embarrassingly parallel."""
-    v = _as_double(F.col(vec_col))
-    cents = embeddings.filter(F.col(key_col) < n_centroids).select(
-        F.col(key_col).alias("centroid_id"), v.alias("cvec")
-    )
-    scored = embeddings.select(F.col(key_col), v.alias("v")).join(
-        F.broadcast(cents)
-    )
+def _assign_base(base: DataFrame, cents: DataFrame, key_col: str) -> DataFrame:
+    """Nearest-centroid assignment over a (key, v) relation and a small
+    (centroid_id, cvec) relation (broadcast). argmax via max_by over the
+    per-vector group of K centroid scores — a single partial-aggregatable
+    groupBy (no rank window). Scores are rounded to 9dp before the argmax
+    so ties resolve identically in the oracle; -centroid_id breaks ties
+    toward the lowest id."""
+    scored = base.join(F.broadcast(cents))
     sim = cosine(F.col("v"), F.col("cvec"))
-    # argmax via max_by over the per-vector group of K centroid scores —
-    # a single partial-aggregatable groupBy (no rank window). Scores are
-    # rounded to 9dp before the argmax so ties resolve identically in the
-    # oracle; -centroid_id breaks ties toward the lowest id.
     return (
         scored.withColumn("__sim", F.round(sim, 9))
         .groupBy(key_col)
@@ -223,6 +205,95 @@ def ivf_assign(
     )
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    n_centroids: int = 8,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid (highest cosine).
+
+    Default centroids are the first ``n_centroids`` vectors by key —
+    deterministic and oracle-reproducible; pass ``centroids`` (e.g. from
+    ``kmeans_centroids``) to plug trained means in via the same broadcast
+    table. One broadcast of K rows + one scan: each vector computes K
+    cosines and keeps the argmax — the classic IVF build pass,
+    embarrassingly parallel."""
+    v = _as_double(F.col(vec_col))
+    base = embeddings.select(F.col(key_col), v.alias("v"))
+    cents = (
+        centroids
+        if centroids is not None
+        else embeddings.filter(F.col(key_col) < n_centroids).select(
+            F.col(key_col).alias("centroid_id"), v.alias("cvec")
+        )
+    )
+    return _assign_base(base, cents, key_col)
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Distributed k-means for IVF centroids, as DataFrame aggregations.
+
+    Init = first ``k`` vectors by key (deterministic). Each iteration:
+    broadcast the K centroids, argmax-cosine assign (one scan), then the
+    new centroid is the element-wise mean of its members — ``posexplode``
+    the vectors and ``groupBy(centroid_id, pos).avg`` (one shuffle of
+    (cluster, dim) partial sums, map-side combined), reassembled with a
+    sorted ``collect_list``. Per-iteration centroids are collected to the
+    driver (K × dim doubles — the MLlib pattern) so iteration i+1's plan
+    reads a literal centroid table instead of re-deriving iterations
+    1..i; the corpus relation is cached across iterations.
+
+    Empty clusters keep their previous centroid (classic k-means fallback)."""
+    v = _as_double(F.col(vec_col))
+    base = embeddings.select(F.col(key_col), v.alias("v")).cache()
+    spark = embeddings.sparkSession
+    cents = base.filter(F.col(key_col) < k).select(
+        F.col(key_col).cast("int").alias("centroid_id"), F.col("v").alias("cvec")
+    )
+    cent_rows = {r["centroid_id"]: list(r["cvec"]) for r in cents.collect()}
+    for _ in range(iters):
+        cents_df = spark.createDataFrame(
+            [(cid, vec) for cid, vec in sorted(cent_rows.items())],
+            "centroid_id int, cvec array<double>",
+        )
+        assigned = _assign_base(base, cents_df, key_col)
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode("v").alias("pos", "x")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ).alias("pm")
+            )
+            .select(
+                "centroid_id",
+                F.transform("pm", lambda s: s["m"]).alias("cvec"),
+            )
+        )
+        for r in means.collect():
+            cent_rows[r["centroid_id"]] = list(r["cvec"])
+    base.unpersist()
+    return spark.createDataFrame(
+        [(cid, vec) for cid, vec in sorted(cent_rows.items())],
+        "centroid_id int, cvec array<double>",
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec_id: int,
@@ -232,27 +303,31 @@ def ivf_topk(
     key_col: str = "vec_id",
     n_centroids: int = 8,
     nprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN: probe only the ``nprobe`` centroids nearest the query,
-    exact cosine within their lists. At scale the assignment table is
-    written partitioned/bucketed by centroid_id so a probe reads only
-    those partitions — scan cost divides by n_centroids/nprobe."""
-    assigned = ivf_assign(
-        embeddings,
-        vec_col=vec_col,
-        key_col=key_col,
-        n_centroids=n_centroids,
+    exact cosine within their lists. At scale the assignment table is a
+    persisted artifact written partitioned/bucketed by centroid_id so a
+    probe reads only those partitions — scan cost divides by
+    n_centroids/nprobe. Here the build and the probe share one query, so
+    the single (key, vector) scan is cached and every consumer — centroid
+    seed, query row, assignment, probe — reads the cached relation
+    (the plan shows one parquet scan + InMemoryTableScans, standing in
+    for the persisted index of the production layout)."""
+    base = embeddings.select(
+        F.col(key_col), _as_double(F.col(vec_col)).alias("v")
+    ).cache()
+    q = base.filter(F.col(key_col) == query_vec_id).select(
+        F.col("v").alias("qvec")
     )
-    # query vector straight from the source (pushed single-row scan) —
-    # probing it through `assigned` would re-run the whole assignment
-    # subtree just to fetch one row (caught by the plan audit).
-    q = embeddings.filter(F.col(key_col) == query_vec_id).select(
-        _as_double(F.col(vec_col)).alias("qvec")
+    cents = (
+        centroids
+        if centroids is not None
+        else base.filter(F.col(key_col) < n_centroids).select(
+            F.col(key_col).alias("centroid_id"), F.col("v").alias("cvec")
+        )
     )
-    cents = embeddings.filter(F.col(key_col) < n_centroids).select(
-        F.col(key_col).alias("centroid_id"),
-        _as_double(F.col(vec_col)).alias("cvec"),
-    )
+    assigned = _assign_base(base, cents, key_col)
     probe = (
         cents.crossJoin(F.broadcast(q))
         .select(
