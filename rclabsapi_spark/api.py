@@ -154,7 +154,9 @@ class EngineAPI:
         if time_range not in TIME_RANGES:
             raise ValidationError(f"invalid time_range {time_range!r}")
         now_ts = (
-            dt.datetime.fromisoformat(now) if now else dt.datetime.utcnow()
+            dt.datetime.fromisoformat(now)
+            if now
+            else dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
         )
         cutoff = now_ts - TIME_RANGES[time_range]
         jobs = self.manager.jobs_df().filter(F.col("created_at") >= F.lit(cutoff))

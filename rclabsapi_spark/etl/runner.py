@@ -29,6 +29,7 @@ import datetime as dt
 import json
 import os
 import shutil
+import threading
 import uuid
 from collections.abc import Callable, Iterator
 from dataclasses import asdict
@@ -78,13 +79,19 @@ class ETLJobManager:
         progress_threshold: int = 5,
     ) -> None:
         self.spark = spark
-        self.clock: Clock = clock or dt.datetime.utcnow
+        # naive-UTC clock (same shape the fixtures/tests pass in)
+        self.clock: Clock = clock or (
+            lambda: dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        )
         self.progress_threshold = progress_threshold
         self._jobs: dict[str, ETLJob] = {}
         self._configs: dict[str, ETLJobConfig] = {}
         self._queue: list[str] = []
         self._listeners: list[ProgressCallback] = []
         self._last_progress: dict[str, int] = {}
+        # guards job-row/state mutation — run_pending runs jobs on a
+        # thread pool, and listeners/dicts are shared across those threads
+        self._lock = threading.RLock()
 
     # -- registry / repository surface (S2, P3-P6 over the jobs table) ----
 
@@ -98,9 +105,10 @@ class ETLJobManager:
             target_config=json.dumps(dict(config.target_config)),
             created_at=self.clock(),
         )
-        self._jobs[config.job_id] = job
-        self._configs[config.job_id] = config
-        self._queue.append(config.job_id)
+        with self._lock:
+            self._jobs[config.job_id] = job
+            self._configs[config.job_id] = config
+            self._queue.append(config.job_id)
         return config.job_id
 
     def get_job(self, job_id: str) -> ETLJob:
@@ -118,38 +126,54 @@ class ETLJobManager:
     # -- state machine (ST11) ---------------------------------------------
 
     def _transition(self, job: ETLJob, new: JobStatus) -> None:
-        cur = JobStatus(job.status)
-        if new not in VALID_TRANSITIONS[cur]:
-            raise InvalidTransition(f"{job.job_id}: {cur.value} → {new.value}")
-        job.status = new.value
-        now = self.clock()
-        if new is JobStatus.RUNNING:
-            job.started_at = now
-        elif new in (JobStatus.COMPLETED, JobStatus.FAILED, JobStatus.CANCELLED):
-            job.completed_at = now
+        with self._lock:
+            cur = JobStatus(job.status)
+            if new not in VALID_TRANSITIONS[cur]:
+                raise InvalidTransition(
+                    f"{job.job_id}: {cur.value} → {new.value}"
+                )
+            job.status = new.value
+            now = self.clock()
+            if new is JobStatus.RUNNING:
+                job.started_at = now
+            elif new in (
+                JobStatus.COMPLETED,
+                JobStatus.FAILED,
+                JobStatus.CANCELLED,
+            ):
+                job.completed_at = now
 
     def cancel_job(self, job_id: str) -> None:
         self._transition(self._jobs[job_id], JobStatus.CANCELLED)
 
     def _progress(self, job: ETLJob, pct: int) -> None:
         """ST7 — emit only on ≥threshold delta (or terminal 100)."""
-        last = self._last_progress.get(job.job_id, -100)
-        if pct - last < self.progress_threshold and pct != 100:
-            return
-        self._last_progress[job.job_id] = pct
-        job.progress_percent = pct
-        for cb in self._listeners:
+        with self._lock:
+            last = self._last_progress.get(job.job_id, -100)
+            if pct - last < self.progress_threshold and pct != 100:
+                return
+            self._last_progress[job.job_id] = pct
+            job.progress_percent = pct
+            listeners = list(self._listeners)
+        for cb in listeners:
             cb(job.job_id, pct)
 
     # -- execution (§3.2 steps 2-4) ---------------------------------------
 
     def run_next(self) -> str | None:
         """Dequeue-and-run (the worker loop, etl_job_manager.cpp:275-300;
-        sequential here — Spark's scheduler owns intra-job parallelism)."""
-        if not self._queue:
-            return None
-        job_id = self._queue.pop(0)
-        self.run_job(job_id)
+        sequential here — Spark's scheduler owns intra-job parallelism).
+        Same error contract as ``run_pending``: a failed job lands in its
+        row (status FAILED + error_message) instead of raising; call
+        ``run_job`` directly for the raising variant."""
+        with self._lock:
+            if not self._queue:
+                return None
+            job_id = self._queue.pop(0)
+        try:
+            self.run_job(job_id)
+        except Exception:  # noqa: BLE001 — status captured on the row
+            pass
         return job_id
 
     def run_pending(self, max_concurrent: int = 5) -> dict[str, str]:
@@ -164,7 +188,8 @@ class ETLJobManager:
         the drain."""
         from concurrent.futures import ThreadPoolExecutor
 
-        batch, self._queue = self._queue, []
+        with self._lock:
+            batch, self._queue = self._queue, []
         results: dict[str, str] = {}
 
         def one(job_id: str) -> None:
@@ -228,13 +253,17 @@ class ETLJobManager:
         job.total_batches = n_files
 
     def _extract(self, config: ETLJobConfig) -> DataFrame:
+        """S1 — any Spark reader: path-based (parquet/csv/json…) or
+        connector-based (jdbc: url/dbtable/driver ride in ``options``,
+        no path — database_manager.hpp:33-35's Postgres scan maps here)."""
         src = config.source_config
         reader = self.spark.read.format(src.get("format", "parquet"))
         for k, v in src.get("options", {}).items():
             reader = reader.option(k, v)
         if "schema" in src:
             reader = reader.schema(src["schema"])
-        return reader.load(src["path"])
+        path = src.get("path")
+        return reader.load(path) if path is not None else reader.load()
 
     def _transform(
         self, df: DataFrame, config: ETLJobConfig
@@ -246,10 +275,28 @@ class ETLJobManager:
         return out, out.count(), n_err
 
     def _load(self, df: DataFrame, config: ETLJobConfig) -> tuple[int, int]:
-        """Staged-commit write: parquet into ``<path>.staging``, atomic
-        rename to ``path`` on success, staging deleted on failure — the
-        reference's transaction rollback (etl_job_manager.cpp:467-519)."""
+        """Staged-commit write: parquet into ``<path>.staging``, then swap —
+        the live table is renamed aside, staging renamed into place, and
+        the old data deleted only after the swap succeeds. A failure
+        before the swap leaves the live table untouched; a failure
+        mid-swap renames the old dir back. (The reference's transaction
+        rollback, etl_job_manager.cpp:467-519; same pattern as
+        ``upsert_parquet`` / ``maintenance.compact_parquet``.) The swap is
+        not concurrent-reader safe — a reader racing the two renames can
+        see a missing table for an instant."""
         tgt = config.target_config
+        if "path" not in tgt:
+            # connector sink (e.g. jdbc) — the connector owns atomicity
+            # (JDBC writes run in per-partition transactions; the
+            # reference's INSERT batching, etl_job_repository.cpp:99-120);
+            # bytes/files are unknowable for a remote table.
+            writer = df.write.format(tgt.get("format", "parquet")).mode(
+                tgt.get("mode", "append")
+            )
+            for k, v in tgt.get("options", {}).items():
+                writer = writer.option(k, v)
+            writer.save()
+            return 0, 0
         path = tgt["path"]
         staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
         try:
@@ -259,13 +306,29 @@ class ETLJobManager:
             if tgt.get("partition_by"):
                 writer = writer.partitionBy(*tgt["partition_by"])
             writer.save(staging)
-            if os.path.exists(path):
-                shutil.rmtree(path)
-            os.rename(staging, path)
+            _swap_into_place(staging, path)
         except Exception:
             shutil.rmtree(staging, ignore_errors=True)
             raise
         return _dir_bytes(path), _n_data_files(path)
+
+
+def _swap_into_place(staging: str, path: str) -> None:
+    """Rename ``staging`` over ``path``: move the existing dir aside,
+    rename staging in, delete the old dir last; restore the old dir if the
+    swap rename fails."""
+    old = None
+    if os.path.exists(path):
+        old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+        os.rename(path, old)
+    try:
+        os.rename(staging, path)
+    except Exception:
+        if old is not None:
+            os.rename(old, path)
+        raise
+    if old is not None:
+        shutil.rmtree(old)
 
 
 def _walk_files(path: str) -> Iterator[str]:

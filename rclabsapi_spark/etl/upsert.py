@@ -27,7 +27,11 @@ def upsert_parquet(
     key_cols: list[str],
 ) -> None:
     """MERGE ``updates`` into the table at ``path`` by key: matching keys
-    are replaced, new keys appended. Staged-commit write."""
+    are replaced, new keys appended. Staged-commit write: a failure
+    before the swap leaves the table untouched; a failure between the two
+    swap renames restores the old dir before re-raising. The swap is not
+    concurrent-reader safe — a reader racing the renames can briefly see
+    a missing table."""
     if os.path.exists(path):
         current = spark.read.parquet(path)
         keep = current.join(
@@ -39,13 +43,18 @@ def upsert_parquet(
     staging = f"{path}.merge-{uuid.uuid4().hex[:8]}"
     try:
         merged.write.mode("overwrite").parquet(staging)
+        old = None
         if os.path.exists(path):
             old = f"{path}.old-{uuid.uuid4().hex[:8]}"
             os.rename(path, old)
+        try:
             os.rename(staging, path)
+        except Exception:
+            if old is not None:
+                os.rename(old, path)
+            raise
+        if old is not None:
             shutil.rmtree(old)
-        else:
-            os.rename(staging, path)
     except Exception:
         shutil.rmtree(staging, ignore_errors=True)
         raise

@@ -186,3 +186,49 @@ def test_upsert_parquet_merge(spark, tmp_path):
     p2 = str(tmp_path / "new")
     upsert_parquet(spark, p2, updates, key_cols=["job_id"])
     assert spark.read.parquet(p2).count() == 2
+
+
+def test_swap_into_place_restores_on_failure(tmp_path, monkeypatch):
+    """A failure between the two swap renames must restore the live table
+    (and never delete both old and new data)."""
+    import os
+
+    from rclabsapi_spark.etl.runner import _swap_into_place
+
+    live = tmp_path / "table"
+    live.mkdir()
+    (live / "part-0.parquet").write_bytes(b"old")
+    staging = tmp_path / "table.staging-x"
+    staging.mkdir()
+    (staging / "part-0.parquet").write_bytes(b"new")
+
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        if src == str(staging):
+            raise OSError("simulated rename failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    import pytest as _pytest
+
+    with _pytest.raises(OSError, match="simulated"):
+        _swap_into_place(str(staging), str(live))
+    # live table restored with the OLD contents; staging left for caller cleanup
+    assert (live / "part-0.parquet").read_bytes() == b"old"
+    assert not list(tmp_path.glob("table.old-*"))
+
+
+def test_swap_into_place_success(tmp_path):
+    from rclabsapi_spark.etl.runner import _swap_into_place
+
+    live = tmp_path / "table"
+    live.mkdir()
+    (live / "part-0.parquet").write_bytes(b"old")
+    staging = tmp_path / "table.staging-x"
+    staging.mkdir()
+    (staging / "part-0.parquet").write_bytes(b"new")
+
+    _swap_into_place(str(staging), str(live))
+    assert (live / "part-0.parquet").read_bytes() == b"new"
+    assert not list(tmp_path.glob("table.old-*"))
