@@ -14,8 +14,11 @@ ships batches to external destinations with retries. Spark-first:
 
 from __future__ import annotations
 
+import json
 import time
-from collections.abc import Callable
+import urllib.request
+from collections.abc import Callable, Mapping
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -101,4 +104,104 @@ def ship_foreach_batch(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+@dataclass(frozen=True)
+class HttpDestination:
+    """S6 — one Elasticsearch-shaped shipping destination
+    (LogDestinationConfig, log_aggregator.hpp:33-64: endpoint, auth token,
+    headers, index pattern, allowed levels/components, batch size,
+    retries)."""
+
+    name: str
+    endpoint: str  # e.g. http://host:9200/_bulk
+    # Java DateTimeFormatter pattern; literal text in quotes — the
+    # reference's `logs-%Y.%m.%d` (log_aggregator.hpp:45)
+    index_pattern: str = "'logs-'yyyy.MM.dd"
+    headers: Mapping[str, str] = field(default_factory=dict)
+    auth_token: str | None = None
+    allowed_levels: tuple[str, ...] | None = None
+    allowed_components: tuple[str, ...] | None = None
+    batch_size: int = 100  # docs per bulk POST
+    max_retries: int = 3
+    retry_delay_s: float = 0.1
+
+
+def _http_post(url: str, body: str, headers: Mapping[str, str]) -> None:
+    req = urllib.request.Request(
+        url, data=body.encode("utf-8"), headers=dict(headers), method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=10) as resp:  # noqa: S310
+        if resp.status >= 300:
+            raise IOError(f"ship failed: HTTP {resp.status}")
+
+
+def ship_http_destination(
+    df: DataFrame,
+    checkpoint: str,
+    dest: HttpDestination,
+    *,
+    ts_col: str = "ts",
+    level_col: str = "level",
+    component_col: str = "component",
+):
+    """S6 concrete destination: ES bulk-API shipping over HTTP behind the
+    ``ship_foreach_batch`` retry/filter harness (log_aggregator.hpp:24-64,
+    230-256 — shipToElasticsearch/shipToHttpEndpoint).
+
+    Division of labor, Spark-first: the index name (S7 date pattern) and
+    the document JSON are computed JVM-side as Column expressions; the
+    executor-side Python does only chunking + socket I/O via
+    ``foreachPartition`` — each partition ships its own rows in
+    ``batch_size`` bulk POSTs, so shipping scales with the cluster
+    instead of funneling through the driver. A failed POST raises,
+    which fails the micro-batch and re-enters the harness's bounded
+    retry; checkpointing makes redelivery at-least-once, matching the
+    reference's retry contract."""
+    prepared = df
+    if dest.allowed_components:
+        prepared = prepared.filter(
+            F.col(component_col).isin(list(dest.allowed_components))
+        )
+    doc_cols = [c for c in prepared.columns]
+    prepared = prepared.select(
+        F.col(level_col),
+        F.date_format(F.col(ts_col), dest.index_pattern).alias("_index"),
+        F.to_json(F.struct(*doc_cols)).alias("_doc"),
+    )
+    headers = {"Content-Type": "application/x-ndjson", **dict(dest.headers)}
+    if dest.auth_token:
+        headers["Authorization"] = f"Bearer {dest.auth_token}"
+    endpoint, bs = dest.endpoint, dest.batch_size
+
+    def ship(batch: DataFrame, batch_id: int) -> None:
+        def send_partition(rows) -> None:
+            lines: list[str] = []
+            for row in rows:
+                lines.append(
+                    json.dumps(
+                        {"index": {"_index": row["_index"]}},
+                        separators=(",", ":"),
+                    )
+                )
+                lines.append(row["_doc"])
+                if len(lines) >= 2 * bs:
+                    _http_post(endpoint, "\n".join(lines) + "\n", headers)
+                    lines = []
+            if lines:
+                _http_post(endpoint, "\n".join(lines) + "\n", headers)
+
+        batch.foreachPartition(send_partition)
+
+    return ship_foreach_batch(
+        prepared,
+        checkpoint,
+        ship,
+        max_retries=dest.max_retries,
+        retry_delay_s=dest.retry_delay_s,
+        allowed_levels=(
+            list(dest.allowed_levels) if dest.allowed_levels else None
+        ),
+        level_col=level_col,
     )

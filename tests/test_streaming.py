@@ -350,3 +350,84 @@ def test_streaming_threshold_alerts(spark, events_dir, tmp_path):
     }
     assert got == expected
     assert any(s == "critical" for _, s in got)
+
+
+def test_http_destination_ships_bulk_payloads(spark, events_dir, tmp_path):
+    """S6 concrete destination: live foreachBatch → ES-bulk HTTP POSTs to
+    a local server, with per-destination level filter, batched payloads,
+    and a retried transient failure (first request 503s)."""
+    import http.server
+    import threading
+
+    from rclabsapi_spark.streaming.sources import (
+        HttpDestination,
+        ship_http_destination,
+    )
+
+    received = []
+    failures = {"remaining": 1}
+    lock = threading.Lock()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            with lock:
+                if failures["remaining"] > 0:
+                    failures["remaining"] -= 1
+                    self.send_response(503)
+                    self.end_headers()
+                    return
+                received.append(
+                    (self.path, self.headers.get("Authorization"), body)
+                )
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *args):
+            pass
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        schema = spark.read.parquet(events_dir).schema
+        stream = _level(stream_events_dir(spark, events_dir, schema))
+        dest = HttpDestination(
+            name="es-local",
+            endpoint=f"http://127.0.0.1:{port}/_bulk",
+            auth_token="sekret",
+            allowed_levels=("ERROR",),
+            batch_size=50,
+            max_retries=3,
+            retry_delay_s=0.01,
+        )
+        q = ship_http_destination(
+            stream, str(tmp_path / "ckpt_http"), dest, ts_col="ts"
+        )
+        q.awaitTermination(120)
+    finally:
+        server.shutdown()
+
+    n_errors = (
+        _level(spark.read.parquet(events_dir))
+        .filter(F.col("level") == "ERROR")
+        .count()
+    )
+    docs = []
+    for path, auth, body in received:
+        assert path == "/_bulk"
+        assert auth == "Bearer sekret"
+        lines = body.decode().strip().split("\n")
+        assert len(lines) % 2 == 0
+        # ≤ batch_size docs per POST
+        assert len(lines) // 2 <= 50
+        for action, doc in zip(lines[::2], lines[1::2]):
+            import json as _json
+
+            a = _json.loads(action)
+            assert a["index"]["_index"].startswith("logs-")
+            docs.append(_json.loads(doc))
+    # redelivery is at-least-once (the 503'd payload is re-shipped), so
+    # dedupe by event_id before comparing against the batch answer
+    assert len({d["event_id"] for d in docs}) == n_errors
+    assert all(d["level"] == "ERROR" for d in docs)
