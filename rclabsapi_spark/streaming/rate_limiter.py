@@ -116,7 +116,18 @@ def rate_limit_check_dual(
     counts RE-AGGREGATE the minute counts (sum of ≤60 rows per key) —
     never a second scan of the events. The minute grain is the partial
     aggregate of the hour grain, the same trick as multi-grain rollup
-    tables."""
+    tables.
+
+    Reference fidelity: the reference increments counters only for
+    ALLOWED requests (rate_limiter.cpp isAllowed increments after both
+    checks pass), so requests denied at the minute grain never consume
+    hour budget. This batch replay reproduces that by capping each
+    minute's contribution to the hour sum at ``per_minute_limit``
+    (``least(minute_count, limit)``) — exact for minute-grain denials.
+    The residual approximation: requests denied by the HOUR limit still
+    count toward later minutes' hour sums here, where the reference's
+    sequential counter would stop incrementing; replaying that feedback
+    loop exactly needs per-event sequential state, not a rollup."""
     from pyspark.sql.window import Window
 
     rules3 = rules or [(p, m, m * 20) for p, m in RATE_RULES]
@@ -125,19 +136,18 @@ def rate_limit_check_dual(
         F.col(endpoint_col).alias("event_type"),
         F.date_trunc("minute", F.col(ts_col)).alias("minute_start"),
     ).agg(F.count(F.lit(1)).alias("minute_count"))
+
+    ep = F.col("event_type")
+    prefix, min_limit = compile_rule_match(ep, [(p, m) for p, m, _ in rules3])
+    _, hour_limit = compile_rule_match(ep, [(p, h) for p, _, h in rules3])
     # hour grain as a window-sum over the minute counts: a groupBy+join
     # here re-computes the whole minute subtree (two event scans); the
     # window costs one extra exchange of the SMALL counts relation only.
     w_hour = Window.partitionBy(
         "user_id", "event_type", F.date_trunc("hour", F.col("minute_start"))
     )
-    joined = minute.withColumn(
-        "hour_count", F.sum("minute_count").over(w_hour)
-    )
-
-    ep = F.col("event_type")
-    prefix, min_limit = compile_rule_match(ep, [(p, m) for p, m, _ in rules3])
-    _, hour_limit = compile_rule_match(ep, [(p, h) for p, _, h in rules3])
+    capped = F.least(F.col("minute_count"), min_limit.cast("long"))
+    joined = minute.withColumn("hour_count", F.sum(capped).over(w_hour))
     return joined.select(
         "user_id",
         "event_type",

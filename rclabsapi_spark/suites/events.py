@@ -195,23 +195,13 @@ def q_st3(spark, sf_dir):
 
 
 _ST5_DUAL_ORACLE = f"""
-WITH minute AS (
+WITH minute0 AS (
     SELECT user_id, event_type, date_trunc('minute', ts) AS minute_start,
            COUNT(*)::BIGINT AS minute_count
     FROM events GROUP BY 1, 2, 3
 ),
-hour AS (
-    SELECT user_id, event_type, date_trunc('hour', minute_start) AS hour_start,
-           SUM(minute_count)::BIGINT AS hour_count
-    FROM minute GROUP BY 1, 2, 3
-),
-j AS (
-    SELECT m.*, h.hour_count FROM minute m
-    JOIN hour h ON h.user_id = m.user_id AND h.event_type = m.event_type
-               AND h.hour_start = date_trunc('hour', m.minute_start)
-),
-matched AS (
-    SELECT j.*,
+minute AS (
+    SELECT minute0.*,
            CASE WHEN event_type LIKE 'purch%' THEN 'purch'
                 WHEN event_type LIKE 'error%' THEN 'error'
                 WHEN event_type LIKE 'p%' THEN 'p'
@@ -224,13 +214,22 @@ matched AS (
                 WHEN event_type LIKE 'error%' THEN 20
                 WHEN event_type LIKE 'p%' THEN 60
                 ELSE 100 END AS per_hour_limit
-    FROM j
+    FROM minute0
+),
+hour AS (
+    -- minutes contribute at most per_minute_limit: minute-denied requests
+    -- never consume hour budget (reference increments on allow only)
+    SELECT user_id, event_type, date_trunc('hour', minute_start) AS hour_start,
+           SUM(LEAST(minute_count, per_minute_limit))::BIGINT AS hour_count
+    FROM minute GROUP BY 1, 2, 3
 )
-SELECT user_id, event_type, minute_start, minute_count, hour_count,
-       matched_prefix, per_minute_limit, per_hour_limit,
-       (minute_count <= per_minute_limit AND hour_count <= per_hour_limit)
-           AS allowed
-FROM matched
+SELECT m.user_id, m.event_type, m.minute_start, m.minute_count, h.hour_count,
+       m.matched_prefix, m.per_minute_limit, m.per_hour_limit,
+       (m.minute_count <= m.per_minute_limit
+        AND h.hour_count <= m.per_hour_limit) AS allowed
+FROM minute m
+JOIN hour h ON h.user_id = m.user_id AND h.event_type = m.event_type
+           AND h.hour_start = date_trunc('hour', m.minute_start)
 """
 
 
