@@ -349,6 +349,74 @@ def ngram_jaccard_pairs(
     return out.select("doc_a", "doc_b", "common", "jaccard")
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    *,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Cluster resolution: connected components over the candidate-pair
+    graph → (doc_id, cluster_id), where cluster_id is the MIN doc id in
+    the component — the canonical keeper. This is the step between
+    pair generation and dedup decisions: near-dup pairs are transitive
+    in practice (A≈B, B≈C ⇒ one boilerplate family), so keep-one-per-
+    cluster needs components, not pairs.
+
+    HashMin label propagation: every node repeatedly takes the min label
+    among itself and its neighbors; converges in O(component diameter)
+    rounds (near-dup clusters are shallow — most are stars around one
+    template). Each round is one join + one partial-aggregatable groupBy
+    over the EDGE relation only (never the corpus), and the driver reads
+    one scalar (changed-label count) per round for early stop — no data
+    through the driver. For adversarial long-chain graphs the classic
+    large-star/small-star alternation drops rounds to O(log n) with the
+    same join/groupBy shape.
+
+    Exact integer semantics — the DuckDB oracle's recursive-CTE
+    transitive closure reproduces cluster ids bit-for-bit."""
+    edges = pairs.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    edges = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+        .cache()
+    )
+    for _ in range(max_iters):
+        prop = edges.join(
+            labels, edges["src"] == labels["doc"]
+        ).select(F.col("dst").alias("doc"), F.col("label"))
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("doc")
+            .agg(F.min("label").alias("label"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 _HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 

@@ -1,0 +1,60 @@
+"""Deterministic content-addressed sampling for training-data mixes.
+
+Random sampling (``df.sample``) is nondeterministic across runs,
+partitionings, and engines. Training-data pipelines need the opposite:
+a row's membership must be a pure function of its KEY, so a resumed or
+re-run pipeline samples the identical subset, adding data never flips
+membership of old rows, and the DuckDB oracle reproduces the sample
+bit-for-bit.
+
+Mechanism: compare the first 4 hex digits of ``md5(salt || key)``
+against a threshold — a uniform 16-bit bucket per key, granularity
+1/65536. Hex strings are fixed-width lowercase, so the string compare
+IS the numeric compare in every engine. Pure Column expressions,
+trivially parallel, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, *, salt: str = "") -> Column:
+    """4-hex-digit (16-bit) deterministic bucket of a key."""
+    return F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 4)
+
+
+def pct_threshold(pct: float) -> str:
+    """Hex threshold below which a bucket is in-sample for ``pct``%."""
+    return format(int(65536 * pct / 100), "04x")
+
+
+def hash_sample(
+    df: DataFrame, *, key_col: str, pct: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~pct% of rows, membership a pure function of the key."""
+    return df.filter(
+        hash_bucket(F.col(key_col), salt=salt) < F.lit(pct_threshold(pct))
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    *,
+    key_col: str,
+    strat_col: str,
+    fractions: dict[str, float],
+    default_pct: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum sampling rates (the training-mix primitive: e.g.
+    keep 50% of en, 25% of de, 5% of everything else). The per-stratum
+    threshold compiles to a CASE chain — whole-stage codegen, no join
+    against a rates table, no shuffle."""
+    thr: Column = F.lit(pct_threshold(default_pct))
+    for value, pct in sorted(fractions.items(), reverse=True):
+        thr = F.when(
+            F.col(strat_col) == value, F.lit(pct_threshold(pct))
+        ).otherwise(thr)
+    return df.filter(hash_bucket(F.col(key_col), salt=salt) < thr)

@@ -172,3 +172,25 @@ def ewma_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_exact_dedup(
+    events: DataFrame,
+    *,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup — the dedup tier for live ingestion.
+
+    ``dropDuplicatesWithinWatermark`` keeps one state row per key in the
+    (checkpointed, key-partitioned) state store and EXPIRES it once the
+    watermark passes — bounded state on an unbounded stream, the same
+    keep-recent-windows cleanup the reference applies to its counters
+    (rate_limiter.cpp:132-187). Use the content fingerprint
+    (``llm.text.fingerprint`` md5) as the key to dedup by content rather
+    than by id; duplicates separated by more than the watermark are
+    re-admitted by design (state cannot be unbounded)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols or ["event_id"]
+    )

@@ -158,6 +158,88 @@ def q_jaccard(spark, sf_dir):
     )
 
 
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE thr AS (
+    SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE}) AS mh WHERE jaccard >= 0.5
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM thr
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM thr
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+)
+SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+FROM reach GROUP BY src
+"""
+
+
+@query("dedup_clusters", _CLUSTERS_ORACLE)
+def q_dedup_clusters(spark, sf_dir):
+    """Cluster resolution: connected components over verified near-dup
+    pairs (jaccard ≥ 0.5), cluster id = min doc id (the keeper). HashMin
+    label propagation — the oracle's recursive transitive closure is the
+    semantic spec; the engine converges in O(diameter) join+groupBy
+    rounds over the edge relation only."""
+    from rclabsapi_spark.llm.dedup import dedup_clusters
+
+    pairs = lsh_candidate_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=8,
+        bands=4,
+        max_bucket_size=50,
+    ).filter(F.col("jaccard") >= 0.5)
+    return dedup_clusters(pairs)
+
+
+@query(
+    "sample_hash",
+    "SELECT doc_id, lang, source FROM documents"
+    " WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'",
+)
+def q_sample_hash(spark, sf_dir):
+    """Deterministic 25% sample: membership is a pure function of the
+    key (md5 bucket < threshold) — reproducible across runs, engines,
+    and repartitionings, stable as the corpus grows."""
+    from rclabsapi_spark.llm.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    return hash_sample(docs, key_col="doc_id", pct=25)
+
+
+@query(
+    "sample_stratified",
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE WHEN lang = 'en' THEN '8000'
+               WHEN lang = 'de' THEN '4000'
+               ELSE '1999' END
+    """,
+)
+def q_sample_stratified(spark, sf_dir):
+    """Training-mix stratified sampling: 50% of en, 25% of de, 10% of
+    everything else — per-stratum thresholds compile to a CASE chain
+    (no rates-table join, no shuffle)."""
+    from rclabsapi_spark.llm.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    return stratified_hash_sample(
+        docs,
+        key_col="doc_id",
+        strat_col="lang",
+        fractions={"en": 50.0, "de": 25.0},
+        default_pct=10.0,
+    )
+
+
 _SIMHASH_ORACLE = (
     """
 WITH tok AS (

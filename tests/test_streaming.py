@@ -431,3 +431,39 @@ def test_http_destination_ships_bulk_payloads(spark, events_dir, tmp_path):
     # dedupe by event_id before comparing against the batch answer
     assert len({d["event_id"] for d in docs}) == n_errors
     assert all(d["level"] == "ERROR" for d in docs)
+
+
+def test_stream_exact_dedup_drops_replayed_events(spark, events_dir, tmp_path):
+    """Streaming dedup: replay the same file into the stream dir twice;
+    dropDuplicatesWithinWatermark must emit each event_id once."""
+    import shutil
+
+    from rclabsapi_spark.streaming.stateful import stream_exact_dedup
+
+    dup_dir = str(tmp_path / "dups_in")
+    shutil.copytree(events_dir, dup_dir)
+    # replay: copy every data file under a new name → exact duplicates
+    import os
+
+    for f in os.listdir(dup_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(dup_dir, f), os.path.join(dup_dir, f"re-{f}"))
+
+    n_unique = spark.read.parquet(events_dir).select("event_id").distinct().count()
+    n_total = spark.read.parquet(dup_dir).count()
+    assert n_total == 2 * n_unique
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = stream_events_dir(spark, dup_dir, schema)
+    deduped = stream_exact_dedup(stream, key_cols=["event_id"], ts_col="ts")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT count(DISTINCT event_id) AS u, count(*) AS n FROM dedup_out").collect()[0]
+    assert out["n"] == n_unique
+    assert out["u"] == n_unique
