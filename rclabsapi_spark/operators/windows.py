@@ -53,6 +53,7 @@ def ewma_per_key(
     tiebreak: str,
     value: str,
     alpha: float = 0.1,
+    max_history: int = 1000,
 ) -> DataFrame:
     """W5/A15 — exponential moving average, α=0.1
     (performance_monitor.hpp:378-392): y_i = α·x_i + (1−α)·y_{i−1}, seeded
@@ -60,14 +61,25 @@ def ewma_per_key(
 
     A sequential fold can't be a plain window expression; we collect each
     key's ordered series and fold it with ``aggregate`` — still fully
-    distributed across keys (the per-key series is the reference's own
-    in-memory ring buffer, bounded). Returns one row per key with the final
-    EWMA.
+    distributed across keys. The per-key series is the reference's own
+    in-memory ring buffer, and the reference caps it (W4: 1000 rows per
+    job, job_monitor_service.hpp:156-166); ``max_history`` makes that cap
+    explicit here so the collect_list state is bounded by contract, not
+    by assumption — only the most recent ``max_history`` observations
+    enter the fold (seeding from the oldest retained one). For truly
+    unbounded live streams use ``streaming.stateful.ewma_stream``, which
+    keeps one scalar per key instead of a series. Returns one row per
+    key with the final EWMA.
     """
     ordered = F.array_sort(
         F.collect_list(F.struct(F.col(ts).alias("t"), F.col(tiebreak).alias("k"), F.col(value).alias("v")))
     )
-    vals = F.transform(ordered, lambda s: s["v"])
+    recent = F.slice(
+        ordered,
+        F.greatest(F.size(ordered) - F.lit(max_history - 1), F.lit(1)),
+        max_history,
+    )
+    vals = F.transform(recent, lambda s: s["v"])
     ew = F.aggregate(
         F.slice(vals, 2, 1_000_000_000),
         F.element_at(vals, 1).cast("double"),

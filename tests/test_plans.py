@@ -112,6 +112,14 @@ def test_minhash_band_shuffle_carries_signatures_only(spark):
     assert plan.count("collect_set") <= 2
 
 
+def test_samplers_are_scan_only(spark):
+    """Hash sampling is a pure filter: one scan, zero exchanges."""
+    for name in ("sample_hash", "sample_stratified"):
+        plan = _plan(spark, name)
+        assert _scans(plan)["documents"] == 1, name
+        assert plan.count("Exchange") == 0, name
+
+
 def test_ivf_topk_reads_one_cached_scan(spark):
     """IVF build+probe share one cached (key, vector) scan — every
     consumer (centroids, query row, assignment, probe, scoring) must
