@@ -284,9 +284,12 @@ def ngram_jaccard_pairs(
     dropping them mirrors stop-word removal in web-dedup pipelines). Pass
     ``None`` to disable.
 
-    Physical shape: the per-doc set size rides on every posting row via a
-    count window (same partitioning as the dedup shuffle — no extra
-    exchange); then the inverted index is materialized as one
+    Physical shape: the distinct posting comes from one
+    groupBy(key).collect_set over the shingle stream — the groupBy
+    reuses the posting's key partitioning (no exchange), dedupes, and
+    yields the per-doc set size for free (``size(set)``), replacing the
+    previous dropDuplicates-(key,shingle)-shuffle + count-window pair
+    with zero extra exchanges. The inverted index is then one
     groupBy(shingle) with in-bucket pair generation via array
     combinatorics (the LSH pair-gen shape) instead of a posting
     self-join. The shingle pipeline is computed ONCE — a self-join's two
@@ -295,12 +298,11 @@ def ngram_jaccard_pairs(
     frequency). Pair counts per hot shingle are identical either way
     (a B-doc bucket yields B²/2 pairs, same as the join), so this is
     strictly fewer exchanges for the same output."""
-    posting = (
-        shingle_posting(docs, text_col=text_col, key_col=key_col, n=n)
-        .dropDuplicates([key_col, "shingle"])
-        .withColumn(
-            "sh_size", F.count(F.lit(1)).over(Window.partitionBy(key_col))
-        )
+    sets = doc_shingle_sets(docs, text_col=text_col, key_col=key_col, n=n)
+    posting = sets.select(
+        F.col(key_col),
+        F.size("shingle_set").alias("sh_size"),
+        F.explode("shingle_set").alias("shingle"),
     )
     buckets = (
         posting.groupBy("shingle")
@@ -429,14 +431,25 @@ def simhash16(docs: DataFrame, *, text_col: str = "text", key_col: str = "doc_id
 
     Physical shape: repartition by key first (a fixture parquet is one
     file = one task; the explode/md5/vote work must spread across the
-    cluster), and the groupBy(key) then reuses that partitioning with no
-    second exchange."""
-    tok = docs.repartition(F.col(key_col)).select(
-        F.col(key_col), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.md5("tok"))
+    cluster). Repeated tokens are pre-counted per (key, token) — both
+    groupBys reuse the key partitioning (clustering on a subset of the
+    group keys ⟹ no exchange), and the md5 + per-bit vote work then runs
+    once per DISTINCT token per doc (measured ~2.3× repetition on the
+    fixture corpus), with each vote weighted by the count."""
+    tok = (
+        docs.repartition(F.col(key_col))
+        .select(
+            F.col(key_col), F.explode(tokens(F.col(text_col))).alias("tok")
+        )
+        .groupBy(key_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", F.md5("tok"))
+    )
     votes = [
         F.sum(
-            F.when(F.substring("h", j + 1, 1).isin(*_HEX_HIGH), 1).otherwise(-1)
+            F.when(
+                F.substring("h", j + 1, 1).isin(*_HEX_HIGH), F.col("cnt")
+            ).otherwise(-F.col("cnt"))
         ).alias(f"v{j}")
         for j in range(16)
     ]
@@ -470,20 +483,32 @@ def simhash_bits(
     ``4*(14-j//4) + j%4`` of ``t``. The ±1 vote sum becomes a plain sum
     of extracted bits: ``vote_j > 0  ⟺  2*Σbit_j > count``. That turns
     60 per-row substring+IN probes into 60 shift-and-mask longs — pure
-    codegen integer math, ~5× less CPU per token measured at sf0.1."""
+    codegen integer math, ~5× less CPU per token measured at sf0.1.
+    Repeated tokens are pre-counted per (key, token) — the pre-count
+    groupBy reuses the key partitioning (no exchange) and the md5/decode
+    /shift work runs once per DISTINCT token per doc (~2.3× repetition
+    on the fixture corpus), each bit weighted by the count."""
     assert bits <= 60, "fingerprint must fit a signed 64-bit int"
-    tok = docs.repartition(F.col(key_col)).select(
-        F.col(key_col), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).withColumn(
-        "t", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    tok = (
+        docs.repartition(F.col(key_col))
+        .select(
+            F.col(key_col), F.explode(tokens(F.col(text_col))).alias("tok")
+        )
+        .groupBy(key_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tok_cnt"))
+        .withColumn(
+            "t", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+        )
     )
     ones = [
         F.sum(
-            F.shiftright("t", 4 * (14 - j // 4) + j % 4).bitwiseAND(F.lit(1))
+            F.shiftright("t", 4 * (14 - j // 4) + j % 4)
+            .bitwiseAND(F.lit(1))
+            * F.col("tok_cnt")
         ).alias(f"o{j}")
         for j in range(bits)
     ]
-    agg = tok.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"), *ones)
+    agg = tok.groupBy(key_col).agg(F.sum("tok_cnt").alias("cnt"), *ones)
     fp = None
     for j in range(bits):
         bit = F.when(

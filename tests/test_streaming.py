@@ -467,3 +467,41 @@ def test_stream_exact_dedup_drops_replayed_events(spark, events_dir, tmp_path):
     out = spark.sql("SELECT count(DISTINCT event_id) AS u, count(*) AS n FROM dedup_out").collect()[0]
     assert out["n"] == n_unique
     assert out["u"] == n_unique
+
+
+def test_streaming_sessionization_matches_batch(spark, events_dir, tmp_path):
+    """Native session windows: the live stream must finalize exactly the
+    sessions the batch formulation computes, and conserve every event of
+    the oracle-verified gaps-and-islands query."""
+    from rclabsapi_spark.streaming.sessions import session_agg, sessionize_stream
+
+    batch_ev = spark.read.parquet(events_dir)
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in session_agg(batch_ev).collect()
+    }
+    assert expected  # fixture has sessions
+
+    schema = batch_ev.schema
+    stream = stream_events_dir(spark, events_dir, schema)
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sessions"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    assert got == expected
+    # conservation vs the oracle-verified gaps-and-islands query
+    from rclabsapi_spark.registry import get_registry
+
+    total_batch = sum(t[3] for t in expected)
+    gi = get_registry()["w_sessionization"].fn(spark, SF_SMOKE)
+    assert total_batch == sum(r["n_events"] for r in gi.collect())
