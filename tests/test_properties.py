@@ -128,3 +128,68 @@ def test_unknown_rule_type_is_identity(spark):
     df = spark.createDataFrame([("MiXeD",)], "a string")
     out = apply_rules(df, [TransformationRule("a", "b", "no_such_type")])
     assert out.collect()[0]["b"] == "MiXeD"
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 20), st.integers(0, 20)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SETTINGS
+@given(edge_lists)
+def test_dedup_clusters_matches_union_find(spark, edges):
+    """HashMin label propagation must equal a sequential union-find:
+    every node's cluster id is the min node id of its component."""
+    from rclabsapi_spark.llm.dedup import dedup_clusters
+
+    # reference model: classic union-find
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()
+    }
+    assert got == expected
+
+
+@SETTINGS
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=60, unique=True))
+def test_hash_sample_is_stable_under_partitioning_and_growth(spark, keys):
+    """Membership is a pure function of the key: repartitioning must not
+    change the sample, and adding new rows must not flip old ones."""
+    from rclabsapi_spark.llm.sampling import hash_sample
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    s1 = {r["k"] for r in hash_sample(df, key_col="k", pct=30).collect()}
+    s2 = {
+        r["k"]
+        for r in hash_sample(df.repartition(7), key_col="k", pct=30).collect()
+    }
+    assert s1 == s2
+    grown = df.union(
+        spark.createDataFrame([(k + 10**10,) for k in keys], "k long")
+    )
+    s3 = {r["k"] for r in hash_sample(grown, key_col="k", pct=30).collect()}
+    assert s3 & set(keys) == s1
