@@ -1,0 +1,238 @@
+"""Corpus-cleaning operators for training-data pipelines: PII detection /
+redaction, benchmark decontamination, and repetition (boilerplate) metrics.
+
+All pure built-in Column expressions — regexp and array math stay inside
+whole-stage codegen; there is no Python in the loop, so every operator here
+scans linearly over the corpus and scales to arbitrary document counts.
+
+Semantics reference: these extend the reference engine's sanitize /
+validation tier (input_validator.cpp sanitizeString, string_utils.hpp) from
+field-level hygiene to corpus-level hygiene — the operations a 100 TB
+pre-training pipeline runs between raw scrape and tokenizer.
+
+Scale notes per operator:
+
+- ``pii_scrub``: per-row regexp chain, no shuffle at all; the plan is a
+  single Project over the scan.
+- ``decontaminate``: the benchmark/eval side is tiny (MBs) and is
+  broadcast; the training corpus never shuffles — one posting explode, a
+  broadcast hash join, and a partial-aggregated count per doc.
+- ``repetition_metrics``: one window + one groupBy, both partitioned by
+  doc_id (high cardinality, no skew); word-level stats are per-row array
+  math with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from rclabsapi_spark.llm.dedup import shingle_posting, tokens
+
+# PII patterns, deliberately RE2-compatible (no lookaround, no backrefs) so
+# the DuckDB oracles run the *same* pattern text. Order matters for
+# redaction: emails first (their local part can contain digits), then IPs
+# (dotted quads are not phone-shaped), then phones (3-3-4) before SSNs
+# (3-2-4) — the two digit shapes cannot match the same span.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+)
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-category PII hit counts (``n_email`` ...), all regexp_count —
+    one codegen'd pass per pattern, no Python."""
+    return {
+        f"n_{name}": F.regexp_count(text, F.lit(pat)).cast("long")
+        for name, pat in PII_PATTERNS
+    }
+
+
+def pii_redact(text: Column) -> Column:
+    """Replace every PII span with a typed placeholder (``<EMAIL>`` ...).
+    Replacement order follows PII_PATTERNS (see note there)."""
+    out = text
+    for name, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
+def pii_scrub(
+    docs: DataFrame, *, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """(key, n_email, n_ipv4, n_phone, n_ssn, clean_text): detection counts
+    plus the redacted text. Single narrow Project — no shuffle."""
+    text = F.col(text_col)
+    counts = pii_counts(text)
+    return docs.select(
+        F.col(key_col),
+        *[c.alias(name) for name, c in counts.items()],
+        pii_redact(text).alias("clean_text"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    n: int = 3,
+    min_overlap: int = 5,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing ≥ ``min_overlap``
+    distinct word ``n``-grams with the eval/benchmark corpus.
+
+    (key, total_ngrams, overlap_ngrams, contamination_ratio, contaminated).
+    Docs too short to produce an n-gram report 0/0/0.0/false.
+
+    Physical plan: the eval n-gram set is distinct'd and **broadcast** (eval
+    suites are MBs against a 100 TB corpus); the training side explodes to
+    a (doc, ngram) posting once, semi-counts against the broadcast set, and
+    aggregates per doc — the corpus itself never shuffles, and the
+    per-doc groupBy partial-aggregates map-side.
+    """
+    eval_grams = (
+        shingle_posting(eval_docs, text_col=text_col, key_col=key_col, n=n)
+        .select("shingle")
+        .distinct()
+    )
+    train_grams = shingle_posting(
+        train, text_col=text_col, key_col=key_col, n=n
+    ).distinct()
+    # hit flag via broadcast left join keeps one posting pass for both counts
+    hits = train_grams.join(
+        F.broadcast(eval_grams.withColumn("hit", F.lit(True))),
+        "shingle",
+        "left",
+    )
+    per_doc = hits.groupBy(key_col).agg(
+        F.count("*").alias("total_ngrams"),
+        F.count(F.when(F.col("hit"), True)).alias("overlap_ngrams"),
+    )
+    return (
+        train.select(key_col)
+        .join(per_doc, key_col, "left")
+        .select(
+            F.col(key_col),
+            F.coalesce("total_ngrams", F.lit(0)).alias("total_ngrams"),
+            F.coalesce("overlap_ngrams", F.lit(0)).alias("overlap_ngrams"),
+            F.round(
+                F.coalesce(
+                    F.col("overlap_ngrams") / F.col("total_ngrams"), F.lit(0.0)
+                ),
+                6,
+            ).alias("contamination_ratio"),
+            (F.coalesce("overlap_ngrams", F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+def repetition_metrics(
+    docs: DataFrame, *, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition features:
+
+    (key, n_words, distinct_word_ratio, top_bigram, top_bigram_count,
+    top_bigram_frac, dup_bigram_frac).
+
+    ``top_bigram`` ties break lexicographically (deterministic across
+    engines). Word-level ratios are per-row array math (no shuffle); the
+    bigram stats cost one doc-partitioned window + one groupBy.
+    """
+    text = F.col(text_col)
+    t = tokens(text)
+    word_stats = docs.select(
+        F.col(key_col),
+        F.size(t).alias("n_words"),
+        F.round(F.size(F.array_distinct(t)) / F.size(t), 6).alias(
+            "distinct_word_ratio"
+        ),
+    )
+    bigrams = shingle_posting(docs, text_col=text_col, key_col=key_col, n=2)
+    counts = bigrams.groupBy(key_col, "shingle").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("cnt").desc(), F.col("shingle")
+    )
+    per_doc = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .groupBy(key_col)
+        .agg(
+            F.sum("cnt").alias("total_bigrams"),
+            F.count("*").alias("distinct_bigrams"),
+            F.max(F.when(F.col("rn") == 1, F.col("shingle"))).alias(
+                "top_bigram"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("cnt"))).alias(
+                "top_bigram_count"
+            ),
+        )
+    )
+    return (
+        word_stats.join(per_doc, key_col, "left")
+        .select(
+            F.col(key_col),
+            "n_words",
+            "distinct_word_ratio",
+            F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
+            F.coalesce("top_bigram_count", F.lit(0)).alias(
+                "top_bigram_count"
+            ),
+            F.round(
+                F.coalesce(
+                    F.col("top_bigram_count") / F.col("total_bigrams"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.coalesce(
+                    1 - F.col("distinct_bigrams") / F.col("total_bigrams"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("dup_bigram_frac"),
+        )
+    )
+
+
+def corpus_filter(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    min_chars: int = 100,
+    max_chars: int = 500,
+    min_distinct_word_ratio: float = 0.45,
+    max_top_bigram_frac: float = 0.12,
+) -> DataFrame:
+    """C4/Gopher-style keep/drop decision per doc: length bounds plus
+    repetition caps. Returns ``docs`` columns + boolean ``keep`` +
+    ``drop_reason`` (first failing rule, '' when kept) — the shape a
+    cleaning pipeline audits before materializing the kept corpus."""
+    rep = repetition_metrics(docs, text_col=text_col, key_col=key_col)
+    joined = docs.join(rep.drop("n_words"), key_col)
+    n_chars = F.length(F.col(text_col))
+    reason = (
+        F.when(n_chars < min_chars, "too_short")
+        .when(n_chars > max_chars, "too_long")
+        .when(
+            F.col("distinct_word_ratio") < min_distinct_word_ratio,
+            "low_lexical_diversity",
+        )
+        .when(
+            F.col("top_bigram_frac") > max_top_bigram_frac,
+            "repeated_bigram",
+        )
+        .otherwise("")
+    )
+    return joined.withColumn("drop_reason", reason).withColumn(
+        "keep", F.col("drop_reason") == ""
+    )

@@ -1,0 +1,136 @@
+"""Unit semantics for the corpus-cleaning operators (llm/cleaning.py):
+PII redaction, benchmark decontamination, repetition metrics, and the
+composite keep/drop audit. The DuckDB hash-parity for the registered
+queries lives in test_oracle_parity.py; these pin the operator semantics
+on crafted rows where the expected answer is computable by hand."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rclabsapi_spark.llm.cleaning import (
+    corpus_filter,
+    decontaminate,
+    pii_scrub,
+    repetition_metrics,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = _docs(
+        spark,
+        [
+            (
+                1,
+                "mail a@b.io and c.d-e@f.co.uk ip 10.0.0.1 "
+                "call 555-123-4567 ssn 123-45-6789",
+            ),
+            (2, "no pii here at all"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_ipv4"], r1["n_phone"], r1["n_ssn"]) == (
+        2, 1, 1, 1,
+    )
+    assert r1["clean_text"] == (
+        "mail <EMAIL> and <EMAIL> ip <IPV4> call <PHONE> ssn <SSN>"
+    )
+    r2 = out[2]
+    assert r2["clean_text"] == "no pii here at all"
+    assert (r2["n_email"], r2["n_ipv4"], r2["n_phone"], r2["n_ssn"]) == (
+        0, 0, 0, 0,
+    )
+
+
+def test_pii_phone_and_ssn_shapes_do_not_cross_match(spark):
+    # 3-3-4 is a phone, 3-2-4 is an SSN; neither pattern may fire on the
+    # other's digit shape (redaction order must not matter for these).
+    df = _docs(spark, [(1, "p 555-867-5309 s 123-45-6789")])
+    r = pii_scrub(df).collect()[0]
+    assert (r["n_phone"], r["n_ssn"]) == (1, 1)
+    assert r["clean_text"] == "p <PHONE> s <SSN>"
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    evald = _docs(spark, [(100, "the quick brown fox jumps high")])
+    train = _docs(
+        spark,
+        [
+            # shares 3-grams "the quick brown", "quick brown fox",
+            # "brown fox jumps" with eval → 3 overlaps
+            (1, "saw the quick brown fox jumps far"),
+            (2, "completely different words entirely here"),
+            (3, "too short"),  # no 3-gram at all
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate(train, evald, n=3, min_overlap=3).collect()
+    }
+    assert out[1]["overlap_ngrams"] == 3
+    assert out[1]["contaminated"] is True
+    assert out[2]["overlap_ngrams"] == 0
+    assert out[2]["contaminated"] is False
+    assert out[3]["total_ngrams"] == 0
+    assert out[3]["contamination_ratio"] == 0.0
+
+
+def test_repetition_metrics_on_crafted_doc(spark):
+    # "a b a b a" → bigrams: "a b","b a","a b","b a" → top "a b" (tie on
+    # count 2 broken lexicographically), frac 2/4, dup frac 1 - 2/4.
+    df = _docs(spark, [(1, "a b a b a"), (2, "x")])
+    out = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    r = out[1]
+    assert r["n_words"] == 5
+    assert r["distinct_word_ratio"] == 0.4
+    assert r["top_bigram"] == "a b"
+    assert r["top_bigram_count"] == 2
+    assert r["top_bigram_frac"] == 0.5
+    assert r["dup_bigram_frac"] == 0.5
+    # single-word doc: no bigrams, zero-safe defaults
+    r2 = out[2]
+    assert (r2["top_bigram"], r2["top_bigram_count"]) == ("", 0)
+    assert (r2["top_bigram_frac"], r2["dup_bigram_frac"]) == (0.0, 0.0)
+
+
+def test_corpus_filter_reasons_first_match_wins(spark):
+    long_unique = " ".join(f"w{i}" for i in range(60))  # diverse, long
+    repeated = "spam ham " * 40  # high bigram repetition, in-bounds length
+    df = _docs(
+        spark,
+        [
+            (1, "tiny"),  # too_short
+            (2, long_unique + " " + long_unique),  # 459 chars → too_long
+            (3, repeated.strip()),
+            (4, long_unique),  # kept
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in corpus_filter(df, min_chars=20, max_chars=400).collect()
+    }
+    assert out[1]["drop_reason"] == "too_short"
+    assert out[2]["drop_reason"] == "too_long"
+    # "spam ham spam ham ..." repeats both bigrams; lexical diversity
+    # fails before the bigram rule (first matching rule wins)
+    assert out[3]["drop_reason"] == "low_lexical_diversity"
+    assert out[4]["drop_reason"] == ""
+    assert out[4]["keep"] is True
+
+
+def test_corpus_filter_repeated_bigram_reason(spark):
+    # diverse vocab but one dominating bigram: passes diversity, fails
+    # the top-bigram cap
+    # 30 words, "alpha beta" appears 5×: top_bigram_frac = 5/29 ≈ 0.172
+    text = "alpha beta " * 5 + " ".join(f"u{i}" for i in range(20))
+    df = _docs(spark, [(1, text.strip())])
+    r = corpus_filter(
+        df, min_chars=10, max_chars=5000, min_distinct_word_ratio=0.4
+    ).collect()[0]
+    assert r["drop_reason"] == "repeated_bigram"
+    assert r["keep"] is False
