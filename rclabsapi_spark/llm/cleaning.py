@@ -100,18 +100,26 @@ def decontaminate(
         .select("shingle")
         .distinct()
     )
-    train_grams = shingle_posting(
+    # hit flag via broadcast left join: one posting pass feeds both counts.
+    # The posting is already hash-partitioned by doc key (shingle_posting's
+    # repartition survives the broadcast join), so BOTH groupBys below are
+    # satisfied by the existing partitioning — per-doc dedup + counts add
+    # zero exchanges on the corpus side.
+    hits = shingle_posting(
         train, text_col=text_col, key_col=key_col, n=n
-    ).distinct()
-    # hit flag via broadcast left join keeps one posting pass for both counts
-    hits = train_grams.join(
+    ).join(
         F.broadcast(eval_grams.withColumn("hit", F.lit(True))),
         "shingle",
         "left",
     )
-    per_doc = hits.groupBy(key_col).agg(
-        F.count("*").alias("total_ngrams"),
-        F.count(F.when(F.col("hit"), True)).alias("overlap_ngrams"),
+    per_doc = (
+        hits.groupBy(key_col, "shingle")
+        .agg(F.max("hit").alias("hit"))
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("total_ngrams"),
+            F.count(F.when(F.col("hit"), True)).alias("overlap_ngrams"),
+        )
     )
     return (
         train.select(key_col)
@@ -133,27 +141,13 @@ def decontaminate(
     )
 
 
-def repetition_metrics(
-    docs: DataFrame, *, text_col: str = "text", key_col: str = "doc_id"
+def _bigram_stats(
+    docs: DataFrame, *, text_col: str, key_col: str
 ) -> DataFrame:
-    """Gopher-style within-document repetition features:
-
-    (key, n_words, distinct_word_ratio, top_bigram, top_bigram_count,
-    top_bigram_frac, dup_bigram_frac).
-
-    ``top_bigram`` ties break lexicographically (deterministic across
-    engines). Word-level ratios are per-row array math (no shuffle); the
-    bigram stats cost one doc-partitioned window + one groupBy.
-    """
-    text = F.col(text_col)
-    t = tokens(text)
-    word_stats = docs.select(
-        F.col(key_col),
-        F.size(t).alias("n_words"),
-        F.round(F.size(F.array_distinct(t)) / F.size(t), 6).alias(
-            "distinct_word_ratio"
-        ),
-    )
+    """Per-doc bigram aggregates: (key, total_bigrams, distinct_bigrams,
+    top_bigram, top_bigram_count). Ties on the top bigram break
+    lexicographically (deterministic across engines). One doc-partitioned
+    window + one groupBy."""
     bigrams = shingle_posting(docs, text_col=text_col, key_col=key_col, n=2)
     counts = bigrams.groupBy(key_col, "shingle").agg(
         F.count("*").alias("cnt")
@@ -161,7 +155,7 @@ def repetition_metrics(
     w = Window.partitionBy(key_col).orderBy(
         F.col("cnt").desc(), F.col("shingle")
     )
-    per_doc = (
+    return (
         counts.withColumn("rn", F.row_number().over(w))
         .groupBy(key_col)
         .agg(
@@ -175,6 +169,29 @@ def repetition_metrics(
             ),
         )
     )
+
+
+def repetition_metrics(
+    docs: DataFrame, *, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition features:
+
+    (key, n_words, distinct_word_ratio, top_bigram, top_bigram_count,
+    top_bigram_frac, dup_bigram_frac).
+
+    Word-level ratios are per-row array math (no shuffle); the bigram
+    stats cost one doc-partitioned window + one groupBy.
+    """
+    text = F.col(text_col)
+    t = tokens(text)
+    word_stats = docs.select(
+        F.col(key_col),
+        F.size(t).alias("n_words"),
+        F.round(F.size(F.array_distinct(t)) / F.size(t), 6).alias(
+            "distinct_word_ratio"
+        ),
+    )
+    per_doc = _bigram_stats(docs, text_col=text_col, key_col=key_col)
     return (
         word_stats.join(per_doc, key_col, "left")
         .select(
@@ -216,9 +233,46 @@ def corpus_filter(
     """C4/Gopher-style keep/drop decision per doc: length bounds plus
     repetition caps. Returns ``docs`` columns + boolean ``keep`` +
     ``drop_reason`` (first failing rule, '' when kept) — the shape a
-    cleaning pipeline audits before materializing the kept corpus."""
-    rep = repetition_metrics(docs, text_col=text_col, key_col=key_col)
-    joined = docs.join(rep.drop("n_words"), key_col)
+    cleaning pipeline audits before materializing the kept corpus.
+
+    Word-level stats are computed inline on the doc scan (not via
+    ``repetition_metrics``) so the plan reads ``docs`` twice (doc scan +
+    bigram posting), not three times."""
+    text = F.col(text_col)
+    t = tokens(text)
+    per_doc = _bigram_stats(docs, text_col=text_col, key_col=key_col)
+    joined = (
+        docs.withColumn(
+            "distinct_word_ratio",
+            F.round(F.size(F.array_distinct(t)) / F.size(t), 6),
+        )
+        .join(per_doc, key_col, "left")
+        .withColumn(
+            "top_bigram_frac",
+            F.round(
+                F.coalesce(
+                    F.col("top_bigram_count") / F.col("total_bigrams"),
+                    F.lit(0.0),
+                ),
+                6,
+            ),
+        )
+        .withColumn("top_bigram", F.coalesce("top_bigram", F.lit("")))
+        .withColumn(
+            "top_bigram_count", F.coalesce("top_bigram_count", F.lit(0))
+        )
+        .withColumn(
+            "dup_bigram_frac",
+            F.round(
+                F.coalesce(
+                    1 - F.col("distinct_bigrams") / F.col("total_bigrams"),
+                    F.lit(0.0),
+                ),
+                6,
+            ),
+        )
+        .drop("total_bigrams", "distinct_bigrams")
+    )
     n_chars = F.length(F.col(text_col))
     reason = (
         F.when(n_chars < min_chars, "too_short")
