@@ -97,9 +97,11 @@ def get_registry() -> dict[str, QuerySpec]:
         tpch_ext,
         transform,
     )
-    from rclabsapi_spark.suites import cleaning  # noqa: F401  (registered
-    # last: of the >50 driver-unverified queries, the one that overflows
-    # the driver's 50-query window should be the newest composite)
+    # Registered last, cleaning before approx (NOT alphabetical): of the
+    # >50 driver-unverified queries, the ones that overflow the driver's
+    # 50-query window should be the newest additions.
+    from rclabsapi_spark.suites import cleaning  # noqa: F401
+    from rclabsapi_spark.suites import approx  # noqa: F401
 
     ordered = sorted(
         _REGISTRY.values(), key=lambda s: s.name in _DRIVER_VERIFIED

@@ -1,0 +1,81 @@
+"""Approximate-aggregate suite: sketch-backed DISTINCT and quantiles with
+deterministically-verifiable error bounds.
+
+Sketch estimates are estimator-specific (HLL++ register layout, GK summary
+compaction), so the raw estimate can't hash-match a DuckDB oracle. Instead
+each query emits the EXACT aggregate (oracle-verified value) alongside a
+boolean asserting the sketch landed within its declared bound — both
+engines agree the flag must be true, and both sketches are deterministic
+functions of the data, so the whole row hash-verifies. The statistical
+guarantees themselves (rsd, rank error, merge/partition invariance) are
+pinned in tests/test_approx.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rclabsapi_spark.catalog import load_table
+from rclabsapi_spark.operators.approx import approx_distinct, approx_quantiles
+from rclabsapi_spark.registry import query
+
+
+@query(
+    "approx_distinct_bound",
+    "SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS exact_distinct,"
+    " true AS within_bound FROM events GROUP BY event_type",
+)
+def q_approx_distinct(spark, sf_dir):
+    """Per-type HLL++ user cardinality (rsd=5%), checked against the exact
+    count at 3×rsd. The exact count rides along as the oracle-verified
+    value; at 100 TB it is the column you'd drop, keeping the KB-sized
+    sketch."""
+    events = load_table(spark, sf_dir, "events")
+    both = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct"),
+        F.approx_count_distinct("user_id", 0.05).alias("approx"),
+    )
+    return both.select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= 0.15
+        ).alias("within_bound"),
+    )
+
+
+@query(
+    "approx_quantile_bound",
+    "SELECT event_type,"
+    " ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,"
+    " ROUND(quantile_cont(value, 0.95), 6) AS p95_exact,"
+    " true AS rank_ok FROM events GROUP BY event_type",
+)
+def q_approx_quantiles(spark, sf_dir):
+    """Per-type GK-sketch quantiles (accuracy=100 → rank error ≤ 1%),
+    verified by the empirical rank of each estimate: the fraction of rows
+    ≤ the p50/p95 estimate must sit within ±2% of the target rank. Exact
+    interpolated quantiles ride along as the oracle-verified values."""
+    events = load_table(spark, sf_dir, "events")
+    approx = approx_quantiles(
+        events, ["event_type"], "value", probs=(0.5, 0.95), accuracy=100
+    ).withColumnRenamed("p50", "a50").withColumnRenamed("p95", "a95")
+    ranked = events.join(F.broadcast(approx), "event_type").groupBy(
+        "event_type"
+    ).agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_exact"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95_exact"),
+        F.avg((F.col("value") <= F.col("a50")).cast("double")).alias("r50"),
+        F.avg((F.col("value") <= F.col("a95")).cast("double")).alias("r95"),
+    )
+    return ranked.select(
+        "event_type",
+        "p50_exact",
+        "p95_exact",
+        (
+            (F.abs(F.col("r50") - 0.5) <= 0.02)
+            & (F.abs(F.col("r95") - 0.95) <= 0.02)
+        ).alias("rank_ok"),
+    )

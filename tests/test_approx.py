@@ -1,0 +1,95 @@
+"""Statistical guarantees for the sketch-backed aggregates
+(operators/approx.py): relative-error bounds vs the exact answer, and
+partitioning-invariance of the HLL merge (the property that makes the
+sketch safe to partial-aggregate map-side at 100 TB)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rclabsapi_spark.catalog import load_table
+from rclabsapi_spark.operators.approx import approx_distinct, approx_quantiles
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_approx_distinct_within_3_rsd(spark):
+    events = load_table(spark, SF_DIR, "events")
+    approx = {
+        r["event_type"]: r["approx_distinct_user_id"]
+        for r in approx_distinct(
+            events, ["event_type"], "user_id", rsd=0.05
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k, e in exact.items():
+        assert abs(approx[k] - e) / e <= 0.15, (k, approx[k], e)
+
+
+def test_approx_distinct_invariant_under_partitioning(spark):
+    """HLL merge is associative+commutative: the estimate must not depend
+    on how rows are split across partitions — the property that makes
+    map-side partial sketches correct."""
+    events = load_table(spark, SF_DIR, "events")
+    outs = []
+    for shape in (events, events.repartition(3), events.repartition(64)):
+        outs.append(
+            {
+                r["event_type"]: r["approx_distinct_user_id"]
+                for r in approx_distinct(
+                    shape, ["event_type"], "user_id"
+                ).collect()
+            }
+        )
+    assert outs[0] == outs[1] == outs[2]
+
+
+@pytest.mark.parametrize("accuracy,eps", [(100, 0.02), (10_000, 0.002)])
+def test_approx_quantile_rank_error(spark, accuracy, eps):
+    """percentile_approx rank guarantee: the empirical CDF at the returned
+    element is within ~1/accuracy of the target rank."""
+    events = load_table(spark, SF_DIR, "events")
+    approx = approx_quantiles(
+        events,
+        ["event_type"],
+        "value",
+        probs=(0.5, 0.95),
+        accuracy=accuracy,
+    ).withColumnRenamed("p50", "a50").withColumnRenamed("p95", "a95")
+    ranks = (
+        events.join(F.broadcast(approx), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.avg((F.col("value") <= F.col("a50")).cast("double")).alias(
+                "r50"
+            ),
+            F.avg((F.col("value") <= F.col("a95")).cast("double")).alias(
+                "r95"
+            ),
+        )
+    )
+    for r in ranks.collect():
+        assert abs(r["r50"] - 0.5) <= eps + 1e-3, r
+        assert abs(r["r95"] - 0.95) <= eps + 1e-3, r
+
+
+def test_registered_bound_queries_all_true(spark):
+    """The registry's within_bound / rank_ok flags must be uniformly true
+    at every fixture SF the driver might use (the oracle asserts literal
+    true, so a false anywhere is a parity break, not just a loose bound)."""
+    from rclabsapi_spark.registry import get_registry
+
+    reg = get_registry()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sf_dir = f"/root/testdata/{sf}"
+        d = reg["approx_distinct_bound"].fn(spark, sf_dir)
+        assert all(r["within_bound"] for r in d.collect()), sf
+        q = reg["approx_quantile_bound"].fn(spark, sf_dir)
+        assert all(r["rank_ok"] for r in q.collect()), sf
