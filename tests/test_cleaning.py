@@ -134,3 +134,46 @@ def test_corpus_filter_repeated_bigram_reason(spark):
     ).collect()[0]
     assert r["drop_reason"] == "repeated_bigram"
     assert r["keep"] is False
+
+
+def test_pii_scrub_streams_identically_to_batch(spark, tmp_path):
+    """The cleaning tier is a stateless Project, so it composes directly
+    into readStream → transform → writeStream: scrubbing a document
+    stream must produce exactly the batch answer on the same input."""
+    from rclabsapi_spark.catalog import load_table
+
+    d = str(tmp_path / "docs_in")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.org ssn 123-45-6789"),
+        ).alias("text"),
+    )
+    docs.write.mode("overwrite").parquet(d)
+    batch = {
+        r["doc_id"]: (r["n_email"], r["n_ssn"], r["clean_text"])
+        for r in pii_scrub(spark.read.parquet(d)).collect()
+    }
+    assert all(v[0] >= 1 and v[1] >= 1 for v in batch.values())
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(d).schema
+    ).parquet(d)
+    q = (
+        pii_scrub(stream)
+        .writeStream.format("memory")
+        .queryName("pii_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["n_email"], r["n_ssn"], r["clean_text"])
+        for r in spark.sql("SELECT * FROM pii_stream").collect()
+    }
+    assert got == batch
