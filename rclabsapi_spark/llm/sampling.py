@@ -58,3 +58,53 @@ def stratified_hash_sample(
             F.col(strat_col) == value, F.lit(pct_threshold(pct))
         ).otherwise(thr)
     return df.filter(hash_bucket(F.col(key_col), salt=salt) < thr)
+
+
+def mixture_sample(
+    df: DataFrame,
+    *,
+    key_col: str,
+    strat_col: str,
+    weights: dict[str, float],
+    default_weight: float = 0.0,
+    target_total: float,
+    salt: str = "",
+) -> DataFrame:
+    """Domain-mixture sampling: hit a TARGET mixture, not fixed rates.
+
+    Given target mixture ``weights`` per stratum and a desired corpus
+    size ``target_total`` (rows), the per-stratum keep rate is
+    ``min(1, target_total * weight / n_stratum)`` — downsampling
+    over-represented domains toward the target and keeping everything
+    from under-represented ones (rate capped at 1; no upsampling).
+    Membership stays a pure function of the key (same md5-bucket
+    mechanism as ``hash_sample``), so the realized mix is reproducible
+    across runs, partitionings, and engines.
+
+    Physical plan: one small per-stratum count aggregate, broadcast back
+    onto the corpus scan, then a codegen'd filter — the corpus itself
+    never shuffles. The per-row threshold string is
+    ``format('%04x', floor(65536 * rate))``; rate ≥ 1 keeps the row
+    outright (the 16-bit bucket can't express 65536).
+    """
+    wexpr: Column = F.lit(default_weight)
+    for value, w in sorted(weights.items(), reverse=True):
+        wexpr = F.when(F.col(strat_col) == value, F.lit(w)).otherwise(wexpr)
+    rates = (
+        df.groupBy(strat_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            strat_col,
+            F.least(
+                F.lit(1.0), F.lit(float(target_total)) * wexpr / F.col("_n")
+            ).alias("_rate"),
+        )
+    )
+    joined = df.join(F.broadcast(rates), strat_col)
+    thr = F.format_string(
+        "%04x", F.floor(F.lit(65536.0) * F.col("_rate")).cast("long")
+    )
+    keep = (F.col("_rate") >= 1.0) | (
+        hash_bucket(F.col(key_col), salt=salt) < thr
+    )
+    return joined.filter(keep).drop("_rate")

@@ -1,0 +1,116 @@
+"""End-to-end training-data pipeline composites: the queries a corpus
+owner actually runs — "apply the dedup decisions and show me what
+survives", "sample to my target domain mixture".
+
+These compose operators that are each individually oracle-verified
+(exact dedup, LSH pair-gen, cluster resolution, hash sampling) into the
+full decision pipeline, and hash-verify the COMPOSED result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rclabsapi_spark.catalog import load_table
+from rclabsapi_spark.llm.dedup import (
+    dedup_clusters,
+    exact_dedup,
+    lsh_candidate_pairs,
+)
+from rclabsapi_spark.llm.sampling import mixture_sample
+from rclabsapi_spark.registry import query
+from rclabsapi_spark.suites.llm import _CLUSTERS_ORACLE
+
+# ---------------------------------------------------------------------------
+# Dedup applied end-to-end: exact keepers ∩ near-dup cluster keepers
+# ---------------------------------------------------------------------------
+
+_DEDUP_APPLY_ORACLE = f"""
+WITH exact_keep AS (
+    SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+cl AS ({_CLUSTERS_ORACLE}),
+near_losers AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+SELECT source, COUNT(*)::BIGINT AS n_kept
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM exact_keep)
+  AND doc_id NOT IN (SELECT doc_id FROM near_losers)
+GROUP BY source
+"""
+
+
+@query("pipeline_dedup_apply", _DEDUP_APPLY_ORACLE, bench=True)
+def q_dedup_apply(spark, sf_dir):
+    """The dedup DECISION applied: drop exact-dup non-keepers (min doc_id
+    per text hash) and near-dup cluster non-keepers (cluster_id ≠ doc_id
+    from connected components over verified LSH pairs), then count the
+    surviving corpus per source.
+
+    Plan shape: keepers arrive via one semi join, losers via one anti
+    join — the corpus is scanned once for the verdict; the pair/cluster
+    machinery runs over the (much smaller) edge relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact_keep = exact_dedup(docs).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    pairs = lsh_candidate_pairs(
+        docs, num_hashes=8, bands=4, max_bucket_size=50
+    ).filter(F.col("jaccard") >= 0.5)
+    near_losers = dedup_clusters(pairs).filter(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select("doc_id")
+    kept = docs.join(exact_keep, "doc_id", "semi").join(
+        near_losers, "doc_id", "anti"
+    )
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+# ---------------------------------------------------------------------------
+# Target-mixture sampling
+# ---------------------------------------------------------------------------
+
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.25}
+_MIX_DEFAULT = 0.0125
+_MIX_TARGET = 200.0
+
+_MIX_WEIGHT_SQL = (
+    "CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25"
+    " ELSE 0.0125 END"
+)
+
+_MIXTURE_ORACLE = f"""
+WITH rates AS (
+    SELECT source,
+           least(1.0, {_MIX_TARGET} * {_MIX_WEIGHT_SQL} / COUNT(*))
+               AS _rate
+    FROM documents GROUP BY source
+),
+kept AS (
+    SELECT d.source, d.doc_id
+    FROM documents d JOIN rates r USING (source)
+    WHERE r._rate >= 1.0
+       OR substring(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+          < printf('%04x', CAST(floor(65536.0 * r._rate) AS BIGINT))
+)
+SELECT source, COUNT(*)::BIGINT AS n_kept FROM kept GROUP BY source
+"""
+
+
+@query("pipeline_mixture_sample", _MIXTURE_ORACLE)
+def q_mixture(spark, sf_dir):
+    """Domain-mixture sampling toward a target mix (src0 50%, src1 25%,
+    long tail 1.25% each) at a 200-row target size: per-source keep rate
+    min(1, target·w/n), membership a pure function of doc_id. The
+    realized per-source counts hash-verify the whole mechanism —
+    rate computation, threshold encoding, and bucket membership."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        docs,
+        key_col="doc_id",
+        strat_col="source",
+        weights=_MIX_WEIGHTS,
+        default_weight=_MIX_DEFAULT,
+        target_total=_MIX_TARGET,
+        salt="mix",
+    )
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
