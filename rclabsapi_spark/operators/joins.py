@@ -87,3 +87,112 @@ def join_salted(
     )
     out = lsalted.join(rsalted, on=[key, "__salt"], how=how)
     return out.drop("__salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    by: str | Sequence[str],
+    right_cols: Sequence[str],
+) -> DataFrame:
+    """As-of (backward) join: for each left row, attach the payload of the
+    LATEST right row with ``right.on <= left.on`` within the same ``by``
+    group — the time-series primitive Spark's equi-join can't express
+    (DuckDB/kdb call it ASOF JOIN; ``l LEFT JOIN r ON r.ts <= l.ts`` +
+    keep-latest).
+
+    Implementation is the union-window trick, not an inequality join:
+    tag right rows 0 and left rows 1, union on (by, on, tag), and take
+    ``last(payload, ignorenulls=True)`` over a (by)-partitioned window
+    ordered by (on, tag) — a right row at the exact left timestamp sorts
+    first, so ties match (<=, not <). ONE shuffle on ``by`` total; the
+    inequality-join alternative is a broadcast-nested-loop (O(n·m)) that
+    dies at scale.
+
+    Right rows must be unique per (by, on) — pre-aggregate if not (ASOF
+    tie-break at equal timestamps is otherwise engine-defined). Left
+    columns pass through; ``right_cols`` must not collide with them.
+    """
+    by_keys = [by] if isinstance(by, str) else list(by)
+    lhs = left.select(
+        *by_keys,
+        F.col(on),
+        F.lit(1).alias("__tag"),
+        F.struct(*left.columns).alias("__lrow"),
+        *[F.lit(None).alias(f"__r_{c}") for c in right_cols],
+    )
+    rhs = right.select(
+        *by_keys,
+        F.col(on),
+        F.lit(0).alias("__tag"),
+        F.lit(None).cast(lhs.schema["__lrow"].dataType).alias("__lrow"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*by_keys)
+        .orderBy(F.col(on).asc(), F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = lhs.unionByName(rhs).select(
+        "__tag",
+        "__lrow",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in right_cols
+        ],
+    )
+    return filled.filter(F.col("__tag") == 1).select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__m_{c}").alias(c) for c in right_cols],
+    )
+
+
+def range_join_points_to_intervals(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join (``start <= point < end``), the range join
+    Spark would otherwise plan as a broadcast-nested-loop.
+
+    Blocking: explode each interval onto the ``bucket_seconds``-wide time
+    buckets it covers, bucket each point inline, equi-join on the bucket
+    (hash join, prunable, AQE-splittable), then apply the exact residual
+    predicate. Work scales with points + Σ interval_span/bucket — pick
+    ``bucket_seconds`` near the median interval span so each interval
+    lands in O(1) buckets. The interval side (usually small: promo
+    windows, maintenance windows, sessions) replicates per bucket and
+    broadcasts; the point side never shuffles.
+    """
+    p_bucket = (F.unix_timestamp(F.col(point_col)) / bucket_seconds).cast(
+        "long"
+    )
+    s = F.unix_timestamp(F.col(start_col))
+    e = F.unix_timestamp(F.col(end_col))
+    expanded = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (s / bucket_seconds).cast("long"),
+                # end-exclusive: an interval ending exactly on a bucket
+                # boundary does not cover that bucket
+                ((e - 1) / bucket_seconds).cast("long"),
+            )
+        ),
+    )
+    joined = points.withColumn("__bucket", p_bucket).join(
+        F.broadcast(expanded), "__bucket", how
+    )
+    return joined.filter(
+        (F.col(point_col) >= F.col(start_col))
+        & (F.col(point_col) < F.col(end_col))
+    ).drop("__bucket")

@@ -103,6 +103,7 @@ def get_registry() -> dict[str, QuerySpec]:
     from rclabsapi_spark.suites import cleaning  # noqa: F401
     from rclabsapi_spark.suites import approx  # noqa: F401
     from rclabsapi_spark.suites import pipeline  # noqa: F401
+    from rclabsapi_spark.suites import timeseries  # noqa: F401
 
     ordered = sorted(
         _REGISTRY.values(), key=lambda s: s.name in _DRIVER_VERIFIED

@@ -1,0 +1,106 @@
+"""Time-series join suite: as-of join and point-in-interval range join —
+the two join shapes Spark's equi-join can't express directly, each
+implemented as a scale-safe composition (union-window / bucket-blocking)
+and verified against DuckDB's native ASOF JOIN / inequality join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rclabsapi_spark.catalog import load_table
+from rclabsapi_spark.operators.joins import (
+    asof_join,
+    range_join_points_to_intervals,
+)
+from rclabsapi_spark.registry import query
+
+_ASOF_ORACLE = """
+WITH p AS (
+    SELECT user_id, ts, MAX(value) AS last_purchase_value
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+c AS (
+    SELECT event_id, user_id, ts, value FROM events
+    WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id, c.ts, c.value, p.last_purchase_value
+FROM c ASOF LEFT JOIN p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+"""
+
+
+@query("j_asof_clicks_purchases", _ASOF_ORACLE)
+def q_asof(spark, sf_dir):
+    """As-of join: each click gets the user's latest purchase value at or
+    before the click. Union-window implementation (one shuffle on
+    user_id) vs DuckDB's native ASOF JOIN as the oracle. Right side
+    pre-aggregated per (user, ts) so the equal-timestamp tie-break is
+    engine-independent."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase_value"))
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="ts",
+        by="user_id",
+        right_cols=["last_purchase_value"],
+    )
+
+
+_RANGE_ORACLE = """
+WITH iv AS (
+    SELECT w AS window_id,
+           TIMESTAMP '2024-01-01 00:00:00' + w * 2 * INTERVAL 1 DAY
+               AS w_start,
+           TIMESTAMP '2024-01-01 00:00:00'
+               + (w * 2 + 1 + w % 3) * INTERVAL 1 DAY AS w_end
+    FROM range(10) AS t(w)
+)
+SELECT iv.window_id,
+       COUNT(e.event_id)::BIGINT AS n_events,
+       ROUND(SUM(e.value), 6) AS sum_value
+FROM events e JOIN iv
+  ON e.ts >= iv.w_start AND e.ts < iv.w_end
+GROUP BY iv.window_id
+"""
+
+
+@query("j_range_promo_windows", _RANGE_ORACLE)
+def q_range(spark, sf_dir):
+    """Range join: events against 10 overlapping promo windows (1-3 days,
+    2-day stride) via day-bucket blocking + exact residual — an
+    inequality join that stays a hash join. The oracle runs the plain
+    inequality join (fine at fixture scale; the point of the bucketed
+    plan is that Spark would otherwise pick broadcast-nested-loop)."""
+    iv = spark.range(10).select(
+        F.col("id").alias("window_id"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, cast(id * 2 as int))"
+        ).alias("w_start"),
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, cast(id * 2 + 1 + id % 3 as int))"
+        ).alias("w_end"),
+    )
+    events = load_table(spark, sf_dir, "events")
+    joined = range_join_points_to_intervals(
+        events,
+        iv,
+        point_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bucket_seconds=86_400,
+    )
+    return joined.groupBy("window_id").agg(
+        F.count("event_id").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
