@@ -114,3 +114,55 @@ def q_mixture(spark, sf_dir):
         salt="mix",
     )
     return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+# ---------------------------------------------------------------------------
+# Token budget accounting
+# ---------------------------------------------------------------------------
+
+_TOKEN_BUDGET_ORACLE = """
+WITH t AS (
+    SELECT source, COUNT(*)::BIGINT AS n_docs,
+           SUM(len(regexp_extract_all(
+               text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')))::BIGINT
+               AS total_tokens
+    FROM documents GROUP BY source
+)
+SELECT source, n_docs, total_tokens,
+       (SUM(total_tokens) OVER (
+            ORDER BY total_tokens DESC, source))::BIGINT AS cum_tokens,
+       ROUND(total_tokens / (SUM(total_tokens) OVER ()), 6) AS token_share
+FROM t
+"""
+
+
+@query("pipeline_token_budget", _TOKEN_BUDGET_ORACLE)
+def q_token_budget(spark, sf_dir):
+    """Token-budget accounting: per-source token totals with cumulative
+    consumption in descending-contribution order and corpus share — the
+    'which domains eat my budget' view that sizes mixture weights. One
+    corpus aggregation; the windows run over the tiny per-source
+    relation."""
+    from pyspark.sql import Window
+
+    from rclabsapi_spark.llm.text import bpe_ish_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(bpe_ish_count(F.col("text"))).alias("total_tokens"),
+    )
+    w_cum = (
+        Window.orderBy(F.col("total_tokens").desc(), F.col("source"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy()
+    return per_src.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.sum("total_tokens").over(w_cum).alias("cum_tokens"),
+        F.round(
+            F.col("total_tokens") / F.sum("total_tokens").over(w_all), 6
+        ).alias("token_share"),
+    )
