@@ -516,20 +516,27 @@ def q_w4(spark, sf_dir):
 @query(
     "f20_roles_roundtrip",
     """
+    WITH r AS (
+        SELECT c_custkey,
+               string_split(c_mktsegment || ','
+                   || CASE WHEN c_acctbal >= 0 THEN 'active' ELSE 'debtor' END,
+                   ',') AS roles
+        FROM customer
+    )
     SELECT c_custkey,
-           string_split(c_mktsegment || ','
-               || CASE WHEN c_acctbal >= 0 THEN 'active' ELSE 'debtor' END, ',')
-               AS roles,
-           c_mktsegment || ','
-               || CASE WHEN c_acctbal >= 0 THEN 'active' ELSE 'debtor' END
-               AS roles_str,
-           2::BIGINT AS n_roles
-    FROM customer
+           array_to_string(roles, ',') AS roles_str,
+           len(roles)::BIGINT AS n_roles,
+           roles[1] AS first_role
+    FROM r
     """,
 )
 def q_f20(spark, sf_dir):
-    """F20 — rolesToString/stringToRoles round-trip as native ArrayType:
-    split ↔ array_join are exact inverses for comma-free role names."""
+    """F20 — rolesToString/stringToRoles round-trip (user_repository.cpp:32-33)
+    as native ArrayType: split ↔ array_join are exact inverses for comma-free
+    role names. The array itself stays internal — driver output columns are
+    scalars (the driver's canonicalizer sorts pandas columns, and list cells
+    are unsortable/unhashable there); ``roles_str``/``n_roles``/``first_role``
+    pin the roundtrip, cardinality, and element order of the array."""
     c = load_table(spark, sf_dir, "customer")
     roles_str = F.concat_ws(
         ",",
@@ -539,9 +546,9 @@ def q_f20(spark, sf_dir):
     roles = F.split(roles_str, ",")
     return c.select(
         "c_custkey",
-        roles.alias("roles"),
         F.array_join(roles, ",").alias("roles_str"),
         F.size(roles).cast("long").alias("n_roles"),
+        roles.getItem(0).alias("first_role"),
     )
 
 
