@@ -1,0 +1,173 @@
+"""Training-run preparation operators: sequence packing, unigram-LM
+scoring, tokenizer-vocab coverage, cross-source leakage audit.
+
+These are the steps between "cleaned corpus" and "tensors": pack documents
+into fixed-token context windows, score documents against a corpus-trained
+unigram language model, measure how much of the corpus a candidate
+tokenizer vocabulary covers, and audit identical content leaking across
+source domains (a train/eval-split hazard).
+
+All pure DataFrame/Catalyst expressions — no Python in the row path. Each
+operator's scale posture is documented on the function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from rclabsapi_spark.llm.text import token_count
+
+
+def pack_bins(
+    docs: DataFrame,
+    *,
+    budget: int,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Greedy contiguous sequence packing: within each shard, documents in
+    deterministic ``key_col`` order fill fixed ``budget``-token bins; a
+    document whose tokens straddle a boundary belongs to the bin where it
+    started (first-fit along the shard order, the streaming-packer
+    semantics).
+
+    Returns (key, shard, n_tokens, bin_id).
+
+    Scale: one window per shard partition — the shuffle is a single
+    hash-partition on ``shard_col``, and shards are processed
+    independently, so 10⁵ shards spread over the cluster with no global
+    sort. The running sum is the only state; no iteration, no driver."""
+    tok = token_count(F.col(text_col))
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_tok = docs.select(
+        F.col(key_col), F.col(shard_col), tok.alias("n_tokens")
+    )
+    cum = F.sum("n_tokens").over(w)
+    bin_id = F.floor((cum - F.col("n_tokens")) / float(budget)).cast("long")
+    return with_tok.withColumn("bin_id", bin_id)
+
+
+def corpus_words(
+    docs: DataFrame, *, text_col: str = "text", extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Explode whitespace tokens, dropping empties — the word relation the
+    unigram LM and vocab-coverage operators share. At scale this is the
+    expensive relation (tokens ≫ docs); both consumers aggregate it with
+    map-side partial combine before any join."""
+    cols = [F.col(c) for c in extra_cols]
+    return docs.select(
+        *cols, F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.col("word") != "")
+
+
+def unigram_logprobs(words: DataFrame) -> DataFrame:
+    """Train a unigram LM from the word relation: (word, cnt, total).
+    The vocab aggregate partial-combines map-side; the corpus total
+    re-aggregates the already-reduced vocab relation (cheap)."""
+    vocab = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    return vocab.join(F.broadcast(total))
+
+
+def unigram_score(
+    docs: DataFrame, *, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document average unigram log-probability — the cheap
+    perplexity-proxy quality score (docs of common words score high,
+    gibberish scores low).
+
+    Returns (key, n_words, avg_logprob).
+
+    Scale: the model is the vocab relation; it broadcasts when small
+    (natural-language vocabularies are ≤10⁷ rows ≈ a few hundred MB) —
+    beyond that drop the hint and let the word⋈vocab join shuffle on the
+    word key, which partial-combined word counts already co-partition."""
+    words = corpus_words(docs, text_col=text_col, extra_cols=(key_col,))
+    model = unigram_logprobs(words)
+    scored = words.join(F.broadcast(model), "word")
+    logprob = F.log(F.col("cnt") / F.col("total"))
+    return scored.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.round(F.avg(logprob), 6).alias("avg_logprob"),
+    )
+
+
+def vocab_topk(words: DataFrame, *, k: int) -> DataFrame:
+    """Top-k words by frequency (ties break on the word itself, so the
+    boundary of the vocabulary is deterministic across engines)."""
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(k)
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    *,
+    k: int,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage per group: what fraction of running
+    words a top-k vocabulary covers (1 − OOV rate) — the audit run before
+    freezing a tokenizer.
+
+    Scale: the vocab is k rows → broadcast; the word relation aggregates
+    per group with partial combine. One wide scan, one tiny broadcast."""
+    words = corpus_words(docs, text_col=text_col, extra_cols=(group_col,))
+    vocab = vocab_topk(words, k=k).select("word", F.lit(1).alias("in_vocab"))
+    tagged = words.join(F.broadcast(vocab), "word", "left")
+    return tagged.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.coalesce(F.col("in_vocab"), F.lit(0))).alias("n_in_vocab"),
+        F.round(
+            F.sum(F.coalesce(F.col("in_vocab"), F.lit(0))) / F.count(F.lit(1)),
+            6,
+        ).alias("coverage"),
+    )
+
+
+def _norm_fingerprint(text_col: str) -> Column:
+    # same normalization as llm.text.fingerprint — lowercase, collapse
+    # whitespace — so the two operators agree on "identical content".
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return F.md5(norm)
+
+
+def cross_source_leakage(
+    docs: DataFrame, *, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Per-source leakage audit: how many of a source's documents have
+    normalized content that also appears under ANOTHER source — the
+    train/eval-split hazard exact dedup alone doesn't surface (it keeps
+    one copy but doesn't tell you which domains collide).
+
+    Returns (source, n_docs, n_leaked, leak_ratio).
+
+    Scale: fingerprints (32 B) shuffle, never bodies. Two reductions on
+    the fingerprint key — the per-fingerprint source count reuses the
+    same hash partitioning as the join back (one exchange under AQE)."""
+    fps = docs.select(
+        F.col(source_col).alias("source"),
+        _norm_fingerprint(text_col).alias("fp"),
+    )
+    fp_src = fps.groupBy("fp").agg(
+        F.count_distinct("source").alias("n_src")
+    )
+    tagged = fps.join(fp_src, "fp")
+    leaked = F.when(F.col("n_src") > 1, 1).otherwise(0)
+    return tagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(leaked).alias("n_leaked"),
+        F.round(F.sum(leaked) / F.count(F.lit(1)), 6).alias("leak_ratio"),
+    )

@@ -124,6 +124,7 @@ def get_registry() -> dict[str, QuerySpec]:
     from rclabsapi_spark.suites import pipeline  # noqa: F401
     from rclabsapi_spark.suites import timeseries  # noqa: F401
     from rclabsapi_spark.suites import tpch_full  # noqa: F401
+    from rclabsapi_spark.suites import training  # noqa: F401
 
     ordered = sorted(
         _REGISTRY.values(), key=lambda s: s.name in _DRIVER_VERIFIED

@@ -1,0 +1,226 @@
+"""Training-preparation queries: sequence packing, unigram-LM scoring,
+vocab coverage, cross-source leakage, corpus length histogram, embedding
+norm audit — the steps between a cleaned corpus and a training run.
+
+Determinism notes: packing bins are integer arithmetic over BIGINT token
+counts (exact in doubles ≪ 2⁵³); unigram/vocab ties break on the word
+itself; the embedding norm fold is sequential in both engines (Spark
+``aggregate`` and DuckDB ``list_reduce`` are left folds over the same
+array order) so norms are bit-identical before the final rounded
+aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rclabsapi_spark.catalog import load_table
+from rclabsapi_spark.llm.training import (
+    cross_source_leakage,
+    pack_bins,
+    unigram_score,
+    vocab_coverage,
+)
+from rclabsapi_spark.registry import query
+
+_PACK_BUDGET = 2000
+
+_PACK_ORACLE = f"""
+WITH t AS (
+    SELECT source, doc_id,
+           len(string_split(text, ' '))::BIGINT AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT source, doc_id, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM t
+)
+SELECT source,
+       CAST(FLOOR((cum - n_tokens) / {_PACK_BUDGET}.0) AS BIGINT) AS bin_id,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(n_tokens)::BIGINT AS bin_tokens,
+       ROUND(SUM(n_tokens) / {_PACK_BUDGET}.0, 6) AS fill_ratio
+FROM c GROUP BY source, bin_id
+"""
+
+
+@query("train_pack_sequences", _PACK_ORACLE)
+def q_pack(spark, sf_dir):
+    """Greedy contiguous packing of each source's documents into
+    2000-token context-window bins (first-fit along doc_id order;
+    straddling docs stay in the bin where they started), reported as
+    per-bin fill stats. One shuffle on the shard key; the window runs
+    per-shard with no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = pack_bins(docs, budget=_PACK_BUDGET)
+    return assigned.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.round(F.sum("n_tokens") / float(_PACK_BUDGET), 6).alias(
+            "fill_ratio"
+        ),
+    )
+
+
+_UNIGRAM_ORACLE = """
+WITH w AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+words AS (SELECT doc_id, word FROM w WHERE word <> ''),
+vocab AS (
+    SELECT word, COUNT(*)::DOUBLE AS cnt FROM words GROUP BY word
+),
+tot AS (SELECT SUM(cnt) AS total FROM vocab)
+SELECT d.doc_id, COUNT(*)::BIGINT AS n_words,
+       ROUND(AVG(ln(v.cnt / t.total)), 6) AS avg_logprob
+FROM words d JOIN vocab v USING (word) CROSS JOIN tot t
+GROUP BY d.doc_id
+"""
+
+
+@query("train_unigram_lm_score", _UNIGRAM_ORACLE)
+def q_unigram(spark, sf_dir):
+    """Unigram-LM document scoring (perplexity proxy): train word
+    log-probabilities from the corpus itself, score each doc by mean
+    log-prob of its words. The model broadcasts (vocab ≪ corpus); the
+    word relation partial-combines before every aggregate."""
+    return unigram_score(load_table(spark, sf_dir, "documents"))
+
+
+_VOCAB_K = 50
+
+_VOCAB_ORACLE = f"""
+WITH w AS (
+    SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+),
+words AS (SELECT source, word FROM w WHERE word <> ''),
+vocab AS (
+    SELECT word FROM (
+        SELECT word, COUNT(*) AS cnt FROM words GROUP BY word
+        ORDER BY cnt DESC, word LIMIT {_VOCAB_K}
+    )
+)
+SELECT source, COUNT(*)::BIGINT AS n_words,
+       SUM(CASE WHEN word IN (SELECT word FROM vocab)
+                THEN 1 ELSE 0 END)::BIGINT AS n_in_vocab,
+       ROUND(SUM(CASE WHEN word IN (SELECT word FROM vocab)
+                      THEN 1 ELSE 0 END) / (COUNT(*) * 1.0), 6) AS coverage
+FROM words GROUP BY source
+"""
+
+
+@query("train_vocab_coverage", _VOCAB_ORACLE)
+def q_vocab_coverage(spark, sf_dir):
+    """Tokenizer-vocab coverage per source: fraction of running words a
+    top-50 frequency vocabulary covers (1 − OOV rate). The candidate
+    vocab is k rows → broadcast; ties at the boundary break on the word
+    so the vocabulary is deterministic."""
+    return vocab_coverage(
+        load_table(spark, sf_dir, "documents"), k=_VOCAB_K
+    )
+
+
+_LEAK_ORACLE = """
+WITH fps AS (
+    SELECT source,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+),
+fp_src AS (
+    SELECT fp, COUNT(DISTINCT source) AS n_src FROM fps GROUP BY fp
+)
+SELECT f.source, COUNT(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN s.n_src > 1 THEN 1 ELSE 0 END)::BIGINT AS n_leaked,
+       ROUND(SUM(CASE WHEN s.n_src > 1 THEN 1 ELSE 0 END)
+             / (COUNT(*) * 1.0), 6) AS leak_ratio
+FROM fps f JOIN fp_src s USING (fp)
+GROUP BY f.source
+"""
+
+
+@query("train_cross_source_leakage", _LEAK_ORACLE)
+def q_leakage(spark, sf_dir):
+    """Cross-source content leakage: per source, how many documents'
+    normalized content also appears under another source (train/eval
+    split hazard). Fingerprints shuffle, bodies never do."""
+    return cross_source_leakage(load_table(spark, sf_dir, "documents"))
+
+
+_LENGTH_HIST_ORACLE = """
+WITH t AS (
+    SELECT lang, len(string_split(text, ' '))::BIGINT AS n_tokens
+    FROM documents
+)
+SELECT lang,
+       CAST(POWER(2, FLOOR(LOG2(n_tokens))) AS BIGINT) AS bucket_lo,
+       COUNT(*)::BIGINT AS n_docs,
+       ROUND(AVG(n_tokens), 2) AS avg_tokens
+FROM t WHERE n_tokens >= 1
+GROUP BY lang, bucket_lo
+"""
+
+
+@query("train_length_histogram", _LENGTH_HIST_ORACLE)
+def q_length_hist(spark, sf_dir):
+    """Token-length histogram in power-of-two buckets × language — the
+    sizing view for context-window and packing-budget choices. Single
+    scan, tiny group-by."""
+    from rclabsapi_spark.llm.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = token_count(F.col("text"))
+    bucket = F.pow(F.lit(2.0), F.floor(F.log2(n_tok))).cast("long")
+    return (
+        docs.select(
+            "lang", n_tok.alias("n_tokens"), bucket.alias("bucket_lo")
+        )
+        .filter(F.col("n_tokens") >= 1)
+        .groupBy("lang", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+        )
+    )
+
+
+_SQ_SQL = (
+    "list_reduce(list_transform(range(1, len({e}) + 1),"
+    " i -> {e}[i] * {e}[i]), (acc, x) -> acc + x)"
+)
+
+_EMB_NORM_ORACLE = f"""
+WITH n AS (
+    SELECT label,
+           sqrt({_SQ_SQL.format(e="(embedding::DOUBLE[])")}) AS norm
+    FROM embeddings
+)
+SELECT label, COUNT(*)::BIGINT AS n_vecs,
+       ROUND(AVG(norm), 6) AS avg_norm,
+       ROUND(MIN(norm), 6) AS min_norm,
+       ROUND(MAX(norm), 6) AS max_norm
+FROM n GROUP BY label
+"""
+
+
+@query("train_emb_norm_stats", _EMB_NORM_ORACLE)
+def q_emb_norms(spark, sf_dir):
+    """Embedding L2-norm audit per label — the pre-ANN sanity check
+    (unnormalized vectors break cosine-vs-dot assumptions). The squared
+    fold is sequential in both engines → norms are bit-identical;
+    MIN/MAX are exact, AVG rounds the final aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    sq = F.aggregate(
+        F.zip_with(v, v, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norms = emb.select("label", F.sqrt(sq).alias("norm"))
+    return norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("norm"), 6).alias("avg_norm"),
+        F.round(F.min("norm"), 6).alias("min_norm"),
+        F.round(F.max("norm"), 6).alias("max_norm"),
+    )
