@@ -393,6 +393,11 @@ def dedup_clusters(
         .withColumn("label", F.col("doc"))
         .cache()
     )
+    # Convergence check: labels only ever decrease (min-propagation), so
+    # the label sum strictly decreases iff any node changed — one scalar
+    # aggregate per round instead of a new-vs-old join + count (halves
+    # the per-round job count; exact BIGINT arithmetic).
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iters):
         prop = edges.join(
             labels, edges["src"] == labels["doc"]
@@ -403,16 +408,12 @@ def dedup_clusters(
             .agg(F.min("label").alias("label"))
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
     return labels.select(
         F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
