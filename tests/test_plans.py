@@ -129,3 +129,52 @@ def test_ivf_topk_reads_one_cached_scan(spark):
     scans, counts = audit(_REG["sim_ivf_topk"].fn(spark, SF_CORRECT))
     assert scans.get("embeddings", 0) == 0  # all reads go through the cache
     assert counts["cached"] >= 4
+
+
+def test_tpch_q21_single_orderkey_exchange_family(spark):
+    """Q21's three lineitem branches (base, EXISTS, NOT EXISTS) all key on
+    l_orderkey; supplier/nation must broadcast onto the reduced rows."""
+    plan = _plan(spark, "tpch_q21_waiting_suppliers")
+    assert _scans(plan)["lineitem"] == 3
+    assert plan.count("BroadcastHashJoin") >= 2  # supplier + nation
+    # semi/anti pair on the same key
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_tpch_q17_broadcasts_threshold_relation(spark):
+    """Q17's per-part AVG threshold must come back as a broadcast, not a
+    shuffled join against the fact."""
+    plan = _plan(spark, "tpch_q17_small_qty_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2  # part dim + threshold rel
+    assert _scans(plan)["lineitem"] == 2  # threshold pass + probe pass
+
+
+def test_tpch_q2_window_not_per_part_rescan(spark):
+    """Q2's correlated MIN decorrelates to a window over p_partkey — the
+    supply relation is scanned once, not once per part."""
+    plan = _plan(spark, "tpch_q2_min_bal_supplier")
+    assert _scans(plan)["lineitem"] == 1
+    assert "Window" in plan
+
+
+def test_tpch_q13_two_reductions_only(spark):
+    """Q13: histogram = exactly the two aggregations (per-customer count,
+    then count-distribution), plus the join shuffle."""
+    plan = _plan(spark, "tpch_q13_customer_distribution")
+    assert sum(_scans(plan).values()) == 2
+    assert plan.count("HashAggregate") <= 5  # 2 logical aggs × partial/final + partial on join key
+
+
+def test_train_pack_single_shard_shuffle(spark):
+    """Sequence packing: one exchange on the shard key feeds both the
+    window and the bin group-by (same partitioning)."""
+    plan = _plan(spark, "train_pack_sequences")
+    assert _scans(plan)["documents"] == 1
+    assert "Window" in plan
+
+
+def test_train_unigram_vocab_broadcasts(spark):
+    """Unigram scoring: the trained model joins back by broadcast; the
+    word relation is never shuffled by word for the scoring join."""
+    plan = _plan(spark, "train_unigram_lm_score")
+    assert plan.count("BroadcastHashJoin") >= 1
