@@ -46,11 +46,17 @@ def main() -> None:
     for spec in bench_specs.values():
         run(spec)
 
+    # Min of two timed runs per query: a transient load spike on a shared
+    # machine (GC, another tenant) inflates one sample, not both — the min
+    # is the steady-state cost of the plan, which is what we're measuring.
     timings: dict[str, float] = {}
-    for name, spec in bench_specs.items():
-        t0 = time.perf_counter()
-        run(spec)
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(2):
+        for name, spec in bench_specs.items():
+            t0 = time.perf_counter()
+            run(spec)
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
 
     # Rows-per-second context for the reference's ops/sec baselines: total
     # input rows consumed by the headline set over its total wall-clock.

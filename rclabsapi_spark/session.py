@@ -29,6 +29,10 @@ _DEFAULT_CONF = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
+    # Read parquet TIMESTAMPs as session-tz TIMESTAMP (LTZ), not NTZ:
+    # watermarks, unix_millis, and cast-to-long all require TIMESTAMP, and
+    # with the session pinned to UTC the two types are value-identical.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",

@@ -704,7 +704,10 @@ def q_sessionize(spark, sf_dir):
     over the same (user, ts) partitioning → one shuffle reused."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # .cast("timestamp") first: events.ts infers as TIMESTAMP_NTZ, which
+    # cannot cast straight to long; NTZ→LTZ is lossless in a UTC session.
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    gap = ts_s - F.lag(ts_s).over(w)
     flagged = ev.select(
         "user_id",
         "ts",
@@ -719,7 +722,10 @@ def q_sessionize(spark, sf_dir):
     )
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+        (
+            F.max(F.col("ts").cast("timestamp").cast("long"))
+            - F.min(F.col("ts").cast("timestamp").cast("long"))
+        )
         .cast("long")
         .alias("duration_s"),
     )

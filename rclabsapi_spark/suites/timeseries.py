@@ -13,6 +13,7 @@ from rclabsapi_spark.operators.joins import (
     asof_join,
     range_join_points_to_intervals,
 )
+from rclabsapi_spark.operators.timeseries import gap_fill
 from rclabsapi_spark.registry import query
 
 _ASOF_ORACLE = """
@@ -103,4 +104,65 @@ def q_range(spark, sf_dir):
     return joined.groupBy("window_id").agg(
         F.count("event_id").alias("n_events"),
         F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+_GAP_FILL_ORACLE = """
+WITH obs AS (
+    SELECT user_id, date_trunc('hour', ts) AS bucket,
+           ROUND(AVG(value), 6) AS v
+    FROM events GROUP BY 1, 2
+),
+b AS (
+    SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+    FROM obs GROUP BY 1
+),
+spine AS (
+    SELECT user_id,
+           UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+    FROM b
+),
+j AS (
+    SELECT s.user_id, s.bucket, o.v
+    FROM spine s LEFT JOIN obs o USING (user_id, bucket)
+),
+w AS (
+    SELECT user_id, bucket, v,
+           epoch(bucket)::BIGINT AS t,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS UNBOUNDED PRECEDING) AS v_ffill,
+           LAST_VALUE(CASE WHEN v IS NOT NULL
+                           THEN epoch(bucket)::BIGINT END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY bucket
+                     ROWS UNBOUNDED PRECEDING) AS prev_t,
+           FIRST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+           FIRST_VALUE(CASE WHEN v IS NOT NULL
+                            THEN epoch(bucket)::BIGINT END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY bucket
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_t
+    FROM j
+)
+SELECT user_id, bucket, v, v_ffill,
+       CASE WHEN v IS NOT NULL THEN v
+            WHEN v_ffill IS NOT NULL AND next_v IS NOT NULL
+            THEN ROUND(v_ffill + (next_v - v_ffill) * (t - prev_t)
+                       / (next_t - prev_t), 6)
+            ELSE NULL END AS v_interp
+FROM w
+"""
+
+
+@query("ts_gap_fill_interpolate", _GAP_FILL_ORACLE)
+def q_gap_fill(spark, sf_dir):
+    """Gap-fill the per-user event-value series to hourly grain: spine via
+    sequence/explode from per-key bounds (size = keys × span/grain,
+    independent of input rows), forward-fill and linear interpolation as
+    two window passes over one user_id partitioning."""
+    events = load_table(spark, sf_dir, "events")
+    return gap_fill(
+        events, key_col="user_id", ts_col="ts", value_col="value", grain="hour"
     )

@@ -232,8 +232,11 @@ def q_f17(spark, sf_dir):
     (request_handler.cpp:955-1000)."""
     ev = load_table(spark, sf_dir, "events")
     now = F.lit("2024-02-01 00:00:00").cast("timestamp")
-    age = (F.unix_millis(now) - F.unix_millis(F.col("ts"))).alias("age_ms")
-    sec = (F.unix_millis(now) - F.unix_millis(F.col("ts"))) / 1000.0
+    # events.ts infers as TIMESTAMP_NTZ; unix_millis requires TIMESTAMP, so
+    # cast first (lossless — the session timezone is pinned to UTC).
+    ts_ltz = F.col("ts").cast("timestamp")
+    age = (F.unix_millis(now) - F.unix_millis(ts_ltz)).alias("age_ms")
+    sec = (F.unix_millis(now) - F.unix_millis(ts_ltz)) / 1000.0
     return ev.select(
         "event_id",
         age,
