@@ -13,7 +13,8 @@ from rclabsapi_spark.operators.joins import (
     asof_join,
     range_join_points_to_intervals,
 )
-from rclabsapi_spark.operators.timeseries import gap_fill
+from rclabsapi_spark.functions.scalars import sql_round_half_up
+from rclabsapi_spark.operators.timeseries import gap_fill, scd2_intervals
 from rclabsapi_spark.registry import query
 
 _ASOF_ORACLE = """
@@ -107,10 +108,14 @@ def q_range(spark, sf_dir):
     )
 
 
-_GAP_FILL_ORACLE = """
+# Rounding goes through sql_round_half_up (not ROUND): Spark's F.round and
+# DuckDB's ROUND disagree at representable half-ties (r4: 1 row of 105,171,
+# 65.404688 vs 65.404687); floor(x*1e6+0.5)/1e6 is pure IEEE arithmetic and
+# bit-identical across engines given the same input double.
+_GAP_FILL_ORACLE = f"""
 WITH obs AS (
     SELECT user_id, date_trunc('hour', ts) AS bucket,
-           ROUND(AVG(value), 6) AS v
+           {sql_round_half_up('AVG(value)', 6)} AS v
     FROM events GROUP BY 1, 2
 ),
 b AS (
@@ -149,14 +154,61 @@ w AS (
 SELECT user_id, bucket, v, v_ffill,
        CASE WHEN v IS NOT NULL THEN v
             WHEN v_ffill IS NOT NULL AND next_v IS NOT NULL
-            THEN ROUND(v_ffill + (next_v - v_ffill) * (t - prev_t)
-                       / (next_t - prev_t), 6)
+            THEN {sql_round_half_up(
+                'v_ffill + (next_v - v_ffill) * (t - prev_t)'
+                ' / (next_t - prev_t)', 6)}
             ELSE NULL END AS v_interp
 FROM w
 """
 
 
-@query("ts_gap_fill_interpolate", _GAP_FILL_ORACLE)
+_SCD2_ORACLE = """
+WITH per_instant AS (
+    SELECT user_id AS key, ts, MAX_BY(event_type, event_id) AS attr
+    FROM events GROUP BY 1, 2
+),
+marked AS (
+    SELECT key, ts, attr,
+           LAG(attr) OVER w AS prev_attr,
+           ROW_NUMBER() OVER w AS rn
+    FROM per_instant
+    WINDOW w AS (PARTITION BY key ORDER BY ts)
+),
+changed AS (
+    SELECT key, ts, attr FROM marked
+    WHERE rn = 1 OR attr IS DISTINCT FROM prev_attr
+)
+SELECT key AS user_id,
+       attr AS event_type,
+       ts AS valid_from,
+       LEAD(ts) OVER w2 AS valid_to,
+       (CASE WHEN LEAD(ts) OVER w2 IS NULL THEN 1 ELSE 0 END)::INT
+           AS is_current
+FROM changed
+WINDOW w2 AS (PARTITION BY key ORDER BY ts)
+"""
+
+
+@query("ts_scd2_intervals", _SCD2_ORACLE, bench=True)
+def q_scd2(spark, sf_dir):
+    """SCD2 validity intervals over the per-user event_type change stream
+    (reference: ST11 job status transitions, etl_job_manager.cpp:671-699
+    — here applied to the events fixture, the same shape at volume).
+    One shuffle on user_id: the per-instant dedup, change-compression
+    lag, and validity lead all reuse that partitioning; the history
+    rebuild is idempotent (no previous-snapshot join). Null-safe change
+    detection via IS DISTINCT FROM / eqNullSafe on both engines."""
+    events = load_table(spark, sf_dir, "events")
+    return scd2_intervals(
+        events,
+        key_col="user_id",
+        ts_col="ts",
+        attr_col="event_type",
+        tiebreak_col="event_id",
+    )
+
+
+@query("ts_gap_fill_interpolate", _GAP_FILL_ORACLE, bench=True)
 def q_gap_fill(spark, sf_dir):
     """Gap-fill the per-user event-value series to hourly grain: spine via
     sequence/explode from per-key bounds (size = keys × span/grain,

@@ -178,3 +178,23 @@ def test_train_unigram_vocab_broadcasts(spark):
     word relation is never shuffled by word for the scoring join."""
     plan = _plan(spark, "train_unigram_lm_score")
     assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_scd2_single_entity_key_exchange(spark):
+    """SCD2: the per-instant dedup, change lag, and validity lead all
+    reuse ONE hashpartitioning on the entity key — no second shuffle."""
+    plan = _plan(spark, "ts_scd2_intervals")
+    assert _scans(plan)["events"] == 1
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(key" in plan
+
+
+def test_gap_fill_single_scan_single_exchange(spark):
+    """Gap-fill: run-emission design — one scan, one key exchange shared
+    by the bucket aggregate and the lead window, one Window operator
+    (the spine-join formulation scanned and shuffled twice and its
+    unbounded-following lookup was O(rows²) per key)."""
+    plan = _plan(spark, "ts_gap_fill_interpolate")
+    assert _scans(plan)["events"] == 1
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 1
