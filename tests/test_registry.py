@@ -1,0 +1,59 @@
+"""Registry ordering: the driver verifies the first 50 registered queries
+per round, so ordering IS the correctness-evidence policy — unverified or
+edited (digest-mismatched) queries must front-load, and verified queries
+must rotate oldest-green-first so no row's evidence goes stale."""
+
+from __future__ import annotations
+
+import json
+
+from rclabsapi_spark import registry
+from rclabsapi_spark.registry import _VERIFIED_PATH, get_registry, spec_digest
+
+
+def _valid(reg, verified, name):
+    rec = verified.get(name)
+    return rec is not None and rec["digest"] == spec_digest(reg[name])
+
+
+def test_unverified_queries_front_load():
+    """Never-verified AND edited-since-green (digest mismatch) queries
+    both precede every query with a valid green record."""
+    verified = json.loads(_VERIFIED_PATH.read_text())
+    reg = get_registry()
+    names = list(reg)
+    n_invalid = sum(1 for n in names if not _valid(reg, verified, n))
+    assert names[:n_invalid] == [
+        n for n in names if not _valid(reg, verified, n)
+    ]
+
+
+def test_verified_rotate_oldest_round_first():
+    verified = json.loads(_VERIFIED_PATH.read_text())
+    reg = get_registry()
+    rounds = [
+        verified[n]["round"]
+        for n in reg
+        if _valid(reg, verified, n)
+    ]
+    assert rounds == sorted(rounds)
+
+
+def test_edited_query_auto_invalidates(monkeypatch):
+    """Editing a verified query's source or oracle changes its digest,
+    which must reorder it into the driver's front window — the failure
+    mode of the old hand-maintained name set (edit + forget = stale
+    green row masks a regression forever)."""
+    real = json.loads(_VERIFIED_PATH.read_text())
+    baseline = list(get_registry())
+    victim = baseline[-1]  # most-recently-verified, ordered last
+    assert real[victim]["digest"] == spec_digest(get_registry()[victim])
+
+    tampered = dict(real)
+    tampered[victim] = {**real[victim], "digest": "0" * 64}
+    monkeypatch.setattr(registry, "_load_verified", lambda: tampered)
+    names = list(get_registry())
+    reg = get_registry()
+    n_invalid = sum(1 for n in baseline if not _valid(reg, real, n))
+    assert victim in names[: n_invalid + 1]
+    assert names.index(victim) < 50
