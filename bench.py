@@ -49,14 +49,15 @@ def main() -> None:
     # Min of two timed runs per query: a transient load spike on a shared
     # machine (GC, another tenant) inflates one sample, not both — the min
     # is the steady-state cost of the plan, which is what we're measuring.
-    timings: dict[str, float] = {}
+    # The raw per-run samples are also emitted so rounds stay comparable
+    # run-vs-run as well as min-vs-min (r1-r3 were single-run).
+    samples: dict[str, list[float]] = {n: [] for n in bench_specs}
     for _ in range(2):
         for name, spec in bench_specs.items():
             t0 = time.perf_counter()
             run(spec)
-            dt = round(time.perf_counter() - t0, 3)
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+            samples[name].append(round(time.perf_counter() - t0, 3))
+    timings = {name: min(ts) for name, ts in samples.items()}
 
     # Rows-per-second context for the reference's ops/sec baselines: total
     # input rows consumed by the headline set over its total wall-clock.
@@ -76,6 +77,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
                 "sf": sf,
                 "rows_per_sec": int(rows_scanned / total) if total > 0 else None,
                 "n_queries": len(timings),

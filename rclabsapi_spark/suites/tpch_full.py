@@ -145,6 +145,7 @@ def q_tpch_q4(spark, sf_dir):
     FROM v GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year
     """,
+    bench=True,
 )
 def q_tpch_q7(spark, sf_dir):
     """Q7 shape: two-nation trade volume. The only fact-fact join is
@@ -205,6 +206,7 @@ def q_tpch_q7(spark, sf_dir):
                           ELSE 0.0 END) / SUM(volume), 6) AS mkt_share
     FROM v GROUP BY o_year ORDER BY o_year
     """,
+    bench=True,
 )
 def q_tpch_q8(spark, sf_dir):
     """Q8 shape: national market share inside a region. Part filter prunes
@@ -257,6 +259,7 @@ def q_tpch_q8(spark, sf_dir):
     GROUP BY nation, o_year
     ORDER BY nation, o_year DESC
     """,
+    bench=True,
 )
 def q_tpch_q9(spark, sf_dir):
     """Q9 shape (adapted: cost term = 0.5·p_retailprice·l_quantity — there
@@ -586,6 +589,7 @@ def q_tpch_q19(spark, sf_dir):
     )
     ORDER BY s_name
     """,
+    bench=True,
 )
 def q_tpch_q20(spark, sf_dir):
     """Q20 shape (adapted: 'has excess availqty' becomes 'shipped > 50

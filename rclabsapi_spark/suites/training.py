@@ -46,7 +46,7 @@ FROM c GROUP BY source, bin_id
 """
 
 
-@query("train_pack_sequences", _PACK_ORACLE)
+@query("train_pack_sequences", _PACK_ORACLE, bench=True)
 def q_pack(spark, sf_dir):
     """Greedy contiguous packing of each source's documents into
     2000-token context-window bins (first-fit along doc_id order;
@@ -80,7 +80,7 @@ GROUP BY d.doc_id
 """
 
 
-@query("train_unigram_lm_score", _UNIGRAM_ORACLE)
+@query("train_unigram_lm_score", _UNIGRAM_ORACLE, bench=True)
 def q_unigram(spark, sf_dir):
     """Unigram-LM document scoring (perplexity proxy): train word
     log-probabilities from the corpus itself, score each doc by mean
