@@ -13,6 +13,8 @@ operator's scale posture is documented on the function.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -26,6 +28,7 @@ def pack_bins(
     text_col: str = "text",
     key_col: str = "doc_id",
     shard_col: str = "source",
+    max_docs_per_task: int | None = None,
 ) -> DataFrame:
     """Greedy contiguous sequence packing: within each shard, documents in
     deterministic ``key_col`` order fill fixed ``budget``-token bins; a
@@ -38,19 +41,79 @@ def pack_bins(
     Scale: one window per shard partition — the shuffle is a single
     hash-partition on ``shard_col``, and shards are processed
     independently, so 10⁵ shards spread over the cluster with no global
-    sort. The running sum is the only state; no iteration, no driver."""
+    sort. The running sum is the only state; no iteration, no driver.
+
+    That holds while shard cardinality ≫ cores and shard sizes are
+    bounded. A single giant shard serializes into ONE window task —
+    ``max_docs_per_task`` is the escape hatch: range-partition the shard
+    order into runs of roughly that many docs, run the prefix-sum window
+    per run, and stitch with each run's token offset (a tiny per-shard
+    aggregate over #runs rows). ``bin_id`` is a pure function of the
+    shard-global token prefix sum, and a prefix sum decomposes exactly as
+    run-offset + within-run prefix, so the salted output is bit-identical
+    to the serial pass — not an approximation."""
     tok = token_count(F.col(text_col))
-    w = (
-        Window.partitionBy(shard_col)
-        .orderBy(key_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     with_tok = docs.select(
         F.col(key_col), F.col(shard_col), tok.alias("n_tokens")
     )
-    cum = F.sum("n_tokens").over(w)
-    bin_id = F.floor((cum - F.col("n_tokens")) / float(budget)).cast("long")
-    return with_tok.withColumn("bin_id", bin_id)
+
+    if max_docs_per_task is None:
+        w = (
+            Window.partitionBy(shard_col)
+            .orderBy(key_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = F.sum("n_tokens").over(w)
+        bin_id = F.floor(
+            (cum - F.col("n_tokens")) / float(budget)
+        ).cast("long")
+        return with_tok.withColumn("bin_id", bin_id)
+
+    # Salted path. Range-partition on (shard, key): partition ids are then
+    # monotone in shard order, so spark_partition_id() is a valid run id
+    # (which run a doc lands in varies with the range sampler; the final
+    # bin_id does not — the prefix-sum decomposition is split-invariant).
+    n_runs = max(
+        32, math.ceil(with_tok.count() / max_docs_per_task)
+    )
+    ranged = with_tok.repartitionByRange(
+        n_runs, F.col(shard_col), F.col(key_col)
+    ).withColumn("run_id", F.spark_partition_id())
+
+    w_run = (
+        Window.partitionBy(shard_col, "run_id")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_run = F.sum("n_tokens").over(w_run)
+
+    run_totals = ranged.groupBy(shard_col, "run_id").agg(
+        F.sum("n_tokens").alias("run_tokens")
+    )
+    w_off = (
+        Window.partitionBy(shard_col)
+        .orderBy("run_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = run_totals.select(
+        shard_col,
+        "run_id",
+        F.coalesce(F.sum("run_tokens").over(w_off), F.lit(0)).alias(
+            "run_offset"
+        ),
+    )
+
+    start = F.col("run_offset") + F.col("cum_run") - F.col("n_tokens")
+    return (
+        ranged.withColumn("cum_run", cum_run)
+        .join(F.broadcast(offsets), [shard_col, "run_id"])
+        .select(
+            key_col,
+            shard_col,
+            "n_tokens",
+            F.floor(start / float(budget)).cast("long").alias("bin_id"),
+        )
+    )
 
 
 def corpus_words(

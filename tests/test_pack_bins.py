@@ -1,0 +1,68 @@
+"""pack_bins salted-path equivalence (llm/training.py): a single giant
+shard serializes the prefix-sum window into one task; the
+``max_docs_per_task`` escape hatch range-splits it into runs and stitches
+with per-run token offsets. bin_id is a function of the shard-global
+prefix sum, which decomposes exactly over runs — so the salted output
+must be BIT-IDENTICAL to the serial pass, and the salted plan must show
+the range split (>1 run actually populated)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rclabsapi_spark.llm.training import pack_bins
+
+
+def _docs(spark):
+    # one pathological shard: 500 docs, varying token counts, all in
+    # shard "s0"; plus a small second shard to prove shard isolation.
+    rows = [
+        (i, "s0", "tok " * (1 + (i * 7) % 23)) for i in range(500)
+    ] + [(1000 + i, "s1", "tok " * (1 + i % 5)) for i in range(20)]
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_salted_equals_serial_and_splits(spark):
+    docs = _docs(spark)
+    serial = {
+        (r["doc_id"]): (r["source"], r["n_tokens"], r["bin_id"])
+        for r in pack_bins(docs, budget=64).collect()
+    }
+    salted_df = pack_bins(docs, budget=64, max_docs_per_task=50)
+    salted = {
+        (r["doc_id"]): (r["source"], r["n_tokens"], r["bin_id"])
+        for r in salted_df.collect()
+    }
+    assert salted == serial
+    # same output schema either way
+    assert salted_df.columns == ["doc_id", "source", "n_tokens", "bin_id"]
+
+    # the giant shard genuinely split: the range stage puts s0's docs in
+    # >1 partition (→ >1 window task), visible as >1 populated run.
+    ranged = (
+        docs.select("doc_id", "source")
+        .repartitionByRange(32, F.col("source"), F.col("doc_id"))
+        .withColumn("run_id", F.spark_partition_id())
+    )
+    n_runs_s0 = (
+        ranged.filter(F.col("source") == "s0").select("run_id").distinct().count()
+    )
+    assert n_runs_s0 > 1
+
+
+def test_salted_bin_boundary_straddle(spark):
+    """Docs whose tokens straddle a run boundary keep the serial bin
+    assignment (the stitch offset, not a per-run restart, decides)."""
+    # 10 docs × 11 tokens each, budget 25, runs of 3 docs (33 tokens) —
+    # every run boundary falls mid-bin. Serial starts are 0,11,22,…,99 →
+    # bin = start // 25. A per-run *restart* (the naive salt) would give
+    # doc 3 (run 1, local start 0) bin 0 — the offset stitch gives 1.
+    rows = [(i, "s", "t " * 10) for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc_id"]: r["bin_id"]
+        for r in pack_bins(
+            docs, budget=25, max_docs_per_task=3
+        ).collect()
+    }
+    assert out == {i: (i * 11) // 25 for i in range(10)}
