@@ -704,8 +704,10 @@ def q_sessionize(spark, sf_dir):
     over the same (user, ts) partitioning → one shuffle reused."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # .cast("timestamp") first: events.ts infers as TIMESTAMP_NTZ, which
-    # cannot cast straight to long; NTZ→LTZ is lossless in a UTC session.
+    # Defensive no-op under the pinned session config (session.py sets
+    # inferTimestampNTZ.enabled=false, so ts already reads as LTZ); kept
+    # because NTZ — which the default inference would yield — cannot cast
+    # straight to long, and the guard is free.
     ts_s = F.col("ts").cast("timestamp").cast("long")
     gap = ts_s - F.lag(ts_s).over(w)
     flagged = ev.select(

@@ -232,8 +232,10 @@ def q_f17(spark, sf_dir):
     (request_handler.cpp:955-1000)."""
     ev = load_table(spark, sf_dir, "events")
     now = F.lit("2024-02-01 00:00:00").cast("timestamp")
-    # events.ts infers as TIMESTAMP_NTZ; unix_millis requires TIMESTAMP, so
-    # cast first (lossless — the session timezone is pinned to UTC).
+    # Defensive no-op under the pinned session config (session.py sets
+    # inferTimestampNTZ.enabled=false, so ts already reads as LTZ); kept
+    # because unix_millis rejects the NTZ type the default inference
+    # would yield, and the guard is free in a UTC session.
     ts_ltz = F.col("ts").cast("timestamp")
     age = (F.unix_millis(now) - F.unix_millis(ts_ltz)).alias("age_ms")
     sec = (F.unix_millis(now) - F.unix_millis(ts_ltz)) / 1000.0
