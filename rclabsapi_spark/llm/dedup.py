@@ -387,11 +387,17 @@ def dedup_clusters(
         .distinct()
         .cache()
     )
+    # localCheckpoint (not cache): each round's plan references labels
+    # twice (join + union), so lineage grows ~3× per round and by the
+    # round cap the ANALYZER, not execution, dominates — checkpointing
+    # keeps every round planning against a leaf relation. (edges is
+    # referenced every round too but its lineage stays flat; cache is
+    # right there.)
     labels = (
         edges.select(F.col("src").alias("doc"))
         .distinct()
         .withColumn("label", F.col("doc"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     # Convergence check: labels only ever decrease (min-propagation), so
     # the label sum strictly decreases iff any node changed — one scalar
@@ -406,10 +412,9 @@ def dedup_clusters(
             labels.unionByName(prop)
             .groupBy("doc")
             .agg(F.min("label").alias("label"))
-            .cache()
+            .localCheckpoint(eager=True)
         )
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
             break
@@ -418,6 +423,115 @@ def dedup_clusters(
     return labels.select(
         F.col("doc").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def dedup_clusters_star(
+    pairs: DataFrame,
+    *,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iters: int = 30,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components by large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the adversarial-graph escape hatch for :func:`dedup_clusters`.
+
+    HashMin propagates labels one hop per round: O(component diameter)
+    rounds. Near-dup clusters are shallow stars, so that's usually 2-3 —
+    but a pathological chain (A≈B≈C≈… boilerplate drift) needs
+    diameter rounds and HashMin's ``max_iters`` cap turns that into
+    silently wrong labels. Star alternation contracts paths by pointer
+    doubling instead: each round rewires every node to its current
+    local minimum, halving (at least) the remaining depth ⇒ O(log n)
+    rounds with the SAME per-round shape (one join + one
+    partial-aggregatable groupBy over the edge relation only).
+
+    Same contract as :func:`dedup_clusters`: returns
+    (doc_id, cluster_id = min doc id in the component), exact integer
+    semantics, identical output. Raises if ``max_iters`` rounds don't
+    reach the fixpoint (at 30 ≈ log₂-safe for 2³⁰-node chains, that
+    means a bug, not a big graph). ``stats``, if given, records
+    ``{"rounds": n}`` for convergence tests.
+    """
+    # Directed convention between phases (paper): large-star consumes
+    # symmetric edges and emits (big → its neighborhood min); small-star
+    # consumes big→small edges and rewires each star's members to the
+    # star's min. Fixpoint = small-star output stable = star graphs
+    # child→root.
+    edges = pairs.select(
+        F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+    ).filter(F.col("u") != F.col("v"))
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        m = m.select("u", F.least("u", "mv").alias("m"))
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # input edges all have u > v; m = min of u's small neighborhood
+        m = e.groupBy("u").agg(F.min("v").alias("m"))
+        rewired = (
+            e.join(m, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        rooted = m.select("u", F.col("m").alias("v"))
+        return rewired.union(rooted).distinct()
+
+    # big→small orientation for the first small-star round.
+    # localCheckpoint (not cache) each round: one round references its
+    # input ~12× (unions + self-aggregations on both stars), so the
+    # LOGICAL plan grows ~12× per round — cache truncates execution but
+    # not plan analysis, and by round ~8 the analyzer itself is the
+    # bottleneck (minutes on a 256-node chain). Checkpointing cuts the
+    # lineage so every round plans against a leaf relation.
+    stars = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct().localCheckpoint(eager=True)
+
+    # Convergence: the round transform T = small∘large is deterministic,
+    # so set-equality of consecutive outputs is an EXACT fixpoint test
+    # (s = T(s) ⇒ stable forever): count match + empty one-sided
+    # exceptAll. One extra edge-relation job per round, and rounds are
+    # O(log n) — cheaper than risking a false early stop.
+    prev_cnt = stars.count()
+    rounds = 0
+    for rounds in range(1, max_iters + 1):
+        new_stars = small_star(large_star(stars)).localCheckpoint(
+            eager=True
+        )
+        cur_cnt = new_stars.count()
+        converged = (
+            cur_cnt == prev_cnt
+            and new_stars.exceptAll(stars).limit(1).count() == 0
+        )
+        stars = new_stars
+        if converged:
+            break
+        prev_cnt = cur_cnt
+    else:
+        raise RuntimeError(
+            f"star alternation did not converge in {max_iters} rounds"
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+
+    # stars is child→root; roots label themselves
+    roots = stars.select(F.col("v").alias("u")).distinct().withColumn(
+        "v", F.col("u")
+    )
+    labels = stars.unionByName(roots).groupBy("u").agg(
+        F.min("v").alias("cluster_id")
+    )
+    out = labels.select(F.col("u").alias("doc_id"), "cluster_id")
+    return out
 
 
 _HEX_HIGH = ("8", "9", "a", "b", "c", "d", "e", "f")

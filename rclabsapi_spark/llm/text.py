@@ -10,15 +10,44 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# n-gram-heuristic language ID: marker-token hit counts per language.
-# Deliberately tiny marker sets — the operator shape (score per language →
-# deterministic argmax) is what matters; swap in real profiles for prod.
+# Function-word-profile language ID: marker-token hit counts per language,
+# deterministic argmax. Profiles are the ~30 highest-frequency function
+# words per language (public frequency-list knowledge — the signal real
+# stopword-profile identifiers key on); amounts to a unigram
+# Naive-Bayes-lite with uniform weights. The DuckDB oracle is GENERATED
+# from this dict (suites/llm.py), so there is one source of truth.
+# Swap in trained n-gram profiles for higher accuracy; the operator shape
+# (per-language codegen'd score -> argmax) is unchanged by profile size.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
-    "en": ("the", "and", "of", "to", "is"),
-    "de": ("der", "die", "und", "ist", "das"),
-    "es": ("el", "la", "de", "que", "es"),
-    "fr": ("le", "la", "et", "les", "des"),
-    "zh": ("的", "是", "了", "在", "我"),
+    "en": (
+        "the", "of", "and", "to", "in", "is", "that", "for", "it", "as",
+        "was", "with", "be", "by", "on", "not", "this", "are", "or",
+        "his", "from", "at", "which", "but", "have", "an", "they",
+        "you", "were", "their",
+    ),
+    "de": (
+        "der", "die", "und", "den", "von", "zu", "das", "mit", "sich",
+        "des", "auf", "ist", "im", "dem", "nicht", "ein", "eine",
+        "als", "auch", "werden", "aus", "hat", "dass", "sie", "nach",
+        "wird", "bei", "einer", "um", "sind",
+    ),
+    "es": (
+        "de", "la", "que", "el", "en", "los", "del", "se", "las",
+        "por", "un", "para", "con", "una", "su", "al", "lo", "como",
+        "más", "pero", "sus", "le", "ya", "este", "porque", "esta",
+        "entre", "cuando", "sin", "sobre",
+    ),
+    "fr": (
+        "de", "la", "le", "et", "les", "des", "en", "un", "du", "une",
+        "que", "est", "pour", "qui", "dans", "par", "plus", "pas",
+        "au", "sur", "ne", "se", "ce", "il", "sont", "aux", "avec",
+        "son", "cette", "mais",
+    ),
+    "zh": (
+        "的", "是", "了", "在", "我", "有", "和", "就", "不", "人",
+        "都", "一", "个", "上", "也", "很", "到", "说", "要", "去",
+        "你", "会", "着", "没有", "看", "好", "这", "那", "他", "们",
+    ),
 }
 
 STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")

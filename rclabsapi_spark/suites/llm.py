@@ -195,6 +195,26 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
+@query("dedup_clusters_star", _CLUSTERS_ORACLE)
+def q_dedup_clusters_star(spark, sf_dir):
+    """Same cluster resolution as `dedup_clusters`, computed by
+    large-star/small-star alternation (Kiveris et al.) — O(log n)
+    rounds instead of O(diameter), the safe choice when the candidate
+    graph's shape is unknown (HashMin's round cap silently mislabels
+    long chains; the star variant raises instead,
+    tests/test_cc_star.py). Identical oracle: the output contract is
+    the same (doc_id, min-id cluster)."""
+    from rclabsapi_spark.llm.dedup import dedup_clusters_star
+
+    pairs = lsh_candidate_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=8,
+        bands=4,
+        max_bucket_size=50,
+    ).filter(F.col("jaccard") >= 0.5)
+    return dedup_clusters_star(pairs)
+
+
 @query(
     "sample_hash",
     "SELECT doc_id, lang, source FROM documents"
@@ -407,41 +427,48 @@ def q_quality(spark, sf_dir):
     return quality_features(load_table(spark, sf_dir, "documents"))
 
 
-_LANG_SCORE_SQL = {
-    lang: (
-        "len(list_filter(string_split(text, ' '), x -> x IN ({})))::INT".format(
-            ", ".join(f"'{m}'" for m in markers)
-        )
-    )
-    for lang, markers in {
-        "en": ("the", "and", "of", "to", "is"),
-        "de": ("der", "die", "und", "ist", "das"),
-        "es": ("el", "la", "de", "que", "es"),
-        "fr": ("le", "la", "et", "les", "des"),
-        "zh": ("的", "是", "了", "在", "我"),
-    }.items()
-}
+# Oracle GENERATED from llm.text.LANG_MARKERS — one source of truth for
+# the profiles; earliest-declared language wins score ties, exactly like
+# the Spark-side iterated-CASE argmax.
+def _langid_oracle() -> str:
+    from rclabsapi_spark.llm.text import LANG_MARKERS
 
-_LANGID_ORACLE = f"""
+    langs = list(LANG_MARKERS)
+    score_sql = {
+        lang: (
+            "len(list_filter(string_split(text, ' '),"
+            " x -> x IN ({})))::INT".format(
+                ", ".join(f"'{m}'" for m in markers)
+            )
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    score_cols = ",\n           ".join(
+        f"{score_sql[lang]} AS score_{lang}" for lang in langs
+    )
+    case_lines = "\n         ".join(
+        "WHEN score_{l} >= GREATEST({rest}) THEN '{l}'".format(
+            l=lang,
+            rest=", ".join(f"score_{r}" for r in langs[i:]),
+        )
+        for i, lang in enumerate(langs[:-1])
+    )
+    return f"""
 WITH scores AS (
     SELECT doc_id,
-           {_LANG_SCORE_SQL['en']} AS score_en,
-           {_LANG_SCORE_SQL['de']} AS score_de,
-           {_LANG_SCORE_SQL['es']} AS score_es,
-           {_LANG_SCORE_SQL['fr']} AS score_fr,
-           {_LANG_SCORE_SQL['zh']} AS score_zh
+           {score_cols}
     FROM documents
 )
 SELECT *,
        CASE
-         WHEN score_en >= GREATEST(score_en, score_de, score_es, score_fr, score_zh) THEN 'en'
-         WHEN score_de >= GREATEST(score_de, score_es, score_fr, score_zh) THEN 'de'
-         WHEN score_es >= GREATEST(score_es, score_fr, score_zh) THEN 'es'
-         WHEN score_fr >= GREATEST(score_fr, score_zh) THEN 'fr'
-         ELSE 'zh'
+         {case_lines}
+         ELSE '{langs[-1]}'
        END AS predicted_lang
 FROM scores
 """
+
+
+_LANGID_ORACLE = _langid_oracle()
 
 
 @query("text_lang_id", _LANGID_ORACLE)
