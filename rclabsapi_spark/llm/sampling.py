@@ -60,6 +60,32 @@ def stratified_hash_sample(
     return df.filter(hash_bucket(F.col(key_col), salt=salt) < thr)
 
 
+def split_assign(
+    df: DataFrame,
+    *,
+    key_col: str,
+    val_pct: float,
+    test_pct: float,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the 16-bit key bucket is
+    cut at [0, val) → 'val', [val, val+test) → 'test', rest → 'train'.
+    Membership is a pure function of (salt, key): resuming, re-running,
+    repartitioning, or growing the corpus never moves an existing row
+    across splits — the property random assignment can't give and
+    train/eval hygiene depends on. Adds a ``split`` column; pure Project,
+    no shuffle."""
+    b = hash_bucket(F.col(key_col), salt=salt)
+    t_val = pct_threshold(val_pct)
+    t_test = pct_threshold(val_pct + test_pct)
+    split = (
+        F.when(b < F.lit(t_val), F.lit("val"))
+        .when(b < F.lit(t_test), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
+
+
 def mixture_sample(
     df: DataFrame,
     *,

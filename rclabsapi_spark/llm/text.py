@@ -144,6 +144,44 @@ def lang_id(docs: DataFrame, *, text_col: str = "text", key_col: str = "doc_id")
     return docs.select(*out_cols)
 
 
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    chunk_tokens: int,
+    stride: int,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunking: split each document's whitespace tokens
+    into chunks of ``chunk_tokens`` starting every ``stride`` tokens
+    (stride < chunk_tokens ⇒ overlapping context windows; the final
+    chunks may be short). Returns
+    (key, chunk_idx, chunk_text, chunk_len).
+
+    Scale: zero shuffle — chunk starts are a per-row ``sequence`` +
+    ``posexplode`` and each chunk is a ``slice`` of the token array, all
+    inside whole-stage codegen. Output rows ≈ tokens/stride per doc;
+    partitioning follows the input scan."""
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride)
+    )
+    exploded = docs.select(
+        F.col(key_col),
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start"), chunk_tokens)
+    return exploded.select(
+        key_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).cast("long").alias("chunk_len"),
+    )
+
+
 def fingerprint(docs: DataFrame, *, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
     """Normalized-content fingerprint: md5 over lowercased,
     whitespace-collapsed text (the rolling-hash shape, engine-portable)."""

@@ -224,3 +224,64 @@ def q_emb_norms(spark, sf_dir):
         F.round(F.min("norm"), 6).alias("min_norm"),
         F.round(F.max("norm"), 6).alias("max_norm"),
     )
+
+
+_CHUNK_ORACLE = """
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+s AS (
+    SELECT doc_id, toks,
+           UNNEST(generate_series(1, GREATEST(len(toks), 1), 64)) AS start
+    FROM t
+)
+SELECT doc_id,
+       ((start - 1) / 64)::BIGINT AS chunk_idx,
+       array_to_string(list_slice(toks, start, start + 127), ' ')
+           AS chunk_text,
+       len(list_slice(toks, start, start + 127))::BIGINT AS chunk_len
+FROM s
+"""
+
+
+@query("train_chunk_sliding", _CHUNK_ORACLE)
+def q_chunk_sliding(spark, sf_dir):
+    """Sliding-window context chunking (128-token windows, stride 64 —
+    50% overlap): per-row sequence/posexplode/slice, zero shuffle, all
+    whole-stage codegen. chunk_idx = start ordinal, so the oracle's
+    (start-1)/stride reproduces posexplode's position exactly."""
+    from rclabsapi_spark.llm.text import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"),
+        chunk_tokens=128,
+        stride=64,
+    )
+
+
+_SPLIT_ORACLE = """
+SELECT doc_id, source,
+       CASE
+         WHEN substring(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 4)
+              < '0ccc' THEN 'val'
+         WHEN substring(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 4)
+              < '1999' THEN 'test'
+         ELSE 'train'
+       END AS split
+FROM documents
+"""
+
+
+@query("train_split_assign", _SPLIT_ORACLE)
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (5% val, 5% test) — split
+    membership is a pure function of (salt, doc_id), so re-runs,
+    repartitionings, and corpus growth never move an existing row across
+    splits. Pure Project, no shuffle; thresholds are the same 16-bit md5
+    bucket the samplers use (0.05*65536=3276=0x0ccc, 0.10*65536=0x1999)."""
+    from rclabsapi_spark.llm.sampling import split_assign
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return split_assign(
+        docs, key_col="doc_id", val_pct=5.0, test_pct=5.0, salt="split1"
+    )

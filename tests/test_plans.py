@@ -198,3 +198,13 @@ def test_gap_fill_single_scan_single_exchange(spark):
     assert _scans(plan)["events"] == 1
     assert plan.count("Exchange") == 1
     assert plan.count("Window") == 1
+
+
+def test_chunking_and_split_are_scan_only(spark):
+    """Sliding-window chunking and split assignment are pure per-row
+    codegen (sequence/posexplode/slice, md5-bucket CASE): one scan,
+    zero exchanges."""
+    for name in ("train_chunk_sliding", "train_split_assign"):
+        plan = _plan(spark, name)
+        assert _scans(plan)["documents"] == 1, name
+        assert plan.count("Exchange") == 0, name
