@@ -1,4 +1,4 @@
-"""Physical table layout for scale: bucketing and sorted writes.
+"""Physical table layout for scale: bucketing, sorted writes, Z-order.
 
 The reference relies on PostgreSQL B-tree indexes (scripts/init.sql:89-98)
 for its hot predicates. A Spark-native engine gets the same effect from
@@ -12,14 +12,22 @@ table LAYOUT at rest:
 - **Sorted-within-partition writes** (`write_sorted`): parquet row-group
   min/max stats become range indexes; a predicate on the sort column
   skips whole row groups (the B-tree-index analog for scans).
+- **Z-order writes** (`write_zordered`): a single-column sort prunes one
+  dimension and leaves every other predicate scanning all files. Laying
+  the table out along a Morton (bit-interleaved) curve gives every
+  z-ordered column locality, so a box predicate (user × time, the
+  composite-index shape the reference builds) prunes on ALL of them —
+  the multi-column CREATE INDEX analog, same idea as Delta's
+  OPTIMIZE ZORDER BY. The curve key is pure codegen bit math.
 
-Both are write-time decisions, exactly like the reference's CREATE INDEX
+All are write-time decisions, exactly like the reference's CREATE INDEX
 statements — schema-design artifacts, not per-query code.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -58,6 +66,66 @@ def write_sorted(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
+
+
+def zorder_key(
+    cols: list[Column], bounds: list[tuple[float, float]], *, bits: int = 12
+) -> Column:
+    """Morton curve key: each column is min/max-normalized to a
+    ``bits``-bit integer rank, and bit j of column i lands at interleaved
+    position j·k+i. Pure Column bit math (whole-stage codegen); k·bits
+    must fit a signed long (k·bits ≤ 62).
+
+    ``bounds`` are the per-column (min, max) used for normalization —
+    computed once by the caller (a tiny driver-side aggregate, the same
+    pattern as IVF's centroid pull). Values outside the bounds clamp."""
+    k = len(cols)
+    if k * bits > 62:
+        raise ValueError("k*bits must be <= 62")
+    z = F.lit(0).cast("long")
+    max_rank = (1 << bits) - 1
+    for i, (c, (lo, hi)) in enumerate(zip(cols, bounds)):
+        span = float(hi - lo) if hi > lo else 1.0
+        rank = F.floor(
+            (c.cast("double") - float(lo)) / span * float(max_rank)
+        ).cast("long")
+        rank = F.greatest(F.lit(0), F.least(F.lit(max_rank), rank))
+        for j in range(bits):
+            bit = F.shiftright(rank, j).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, j * k + i))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    *,
+    zorder_cols: list[str],
+    num_files: int = 16,
+    bits: int = 12,
+) -> None:
+    """Write ``df`` laid out along the Morton curve of ``zorder_cols``
+    (numeric/timestamp): range-partition by the curve key into
+    ``num_files`` files, sort within each, drop the key. File and
+    row-group min/max stats then bound a small curve segment per file,
+    so predicates on ANY z-ordered column skip most files — verified in
+    tests/test_layout.py by reading parquet footer stats: a
+    single-dimension predicate prunes z-ordered files where a
+    one-column-sorted layout scans everything."""
+    cols = [F.col(c) for c in zorder_cols]
+    aggs = []
+    for c in zorder_cols:
+        aggs += [F.min(F.col(c).cast("double")), F.max(F.col(c).cast("double"))]
+    row = df.agg(*aggs).collect()[0]
+    bounds = [(row[2 * i], row[2 * i + 1]) for i in range(len(zorder_cols))]
+    keyed = df.withColumn("__z", zorder_key(cols, bounds, bits=bits))
+    (
+        keyed.repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
 
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:

@@ -92,3 +92,62 @@ def test_sorted_write_rowgroup_stats(spark, tmp_path):
     assert "PushedFilters" in plan and "l_shipdate" in plan
     n = out.count()
     assert 0 < n < li.count()
+
+
+def _files_overlapping(path, col, lo, hi):
+    """Count parquet data files whose footer min/max for `col` overlaps
+    [lo, hi] — the set a stats-pruning scan must read."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    total, overlapping = 0, 0
+    for f in glob.glob(f"{path}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        fmin, fmax = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    fmin = s.min if fmin is None else min(fmin, s.min)
+                    fmax = s.max if fmax is None else max(fmax, s.max)
+        total += 1
+        if fmin is not None and not (fmax < lo or fmin > hi):
+            overlapping += 1
+    return overlapping, total
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Z-order vs single-column sort on a 2-D uniform grid: a predicate
+    on the SECOND dimension prunes most z-ordered files (each file holds
+    a compact curve segment, so its y min/max is tight) but no
+    x-sorted files (every x-range stripe spans all of y)."""
+    from rclabsapi_spark.layout import write_zordered
+
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("x"),
+        (F.col("id") / 256).cast("long").alias("y"),
+    )
+    zpath = str(tmp_path / "grid_z")
+    xpath = str(tmp_path / "grid_x")
+    write_zordered(grid, zpath, zorder_cols=["x", "y"], num_files=16)
+    grid.repartitionByRange(16, "x").sortWithinPartitions(
+        "x", "y"
+    ).write.mode("overwrite").parquet(xpath)
+
+    # y-only box: 1/16 of the y range
+    z_hit, z_total = _files_overlapping(zpath, "y", 0, 15)
+    x_hit, x_total = _files_overlapping(xpath, "y", 0, 15)
+    assert x_hit == x_total  # x-sorted layout can't prune a y predicate
+    assert z_hit <= z_total // 2  # z-order prunes most files
+    # and the x dimension still prunes too (locality on BOTH dims)
+    zx_hit, _ = _files_overlapping(zpath, "x", 0, 15)
+    assert zx_hit <= z_total // 2
+
+    # correctness: the z-ordered copy is the same relation
+    assert spark.read.parquet(zpath).count() == 256 * 256
+    got = spark.read.parquet(zpath).filter(
+        (F.col("x") < 16) & (F.col("y") < 16)
+    ).count()
+    assert got == 16 * 16
