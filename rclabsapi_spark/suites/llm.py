@@ -195,7 +195,7 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(pairs)
 
 
-@query("dedup_clusters_star", _CLUSTERS_ORACLE)
+@query("dedup_clusters_star", _CLUSTERS_ORACLE, bench=True)
 def q_dedup_clusters_star(spark, sf_dir):
     """Same cluster resolution as `dedup_clusters`, computed by
     large-star/small-star alternation (Kiveris et al.) — O(log n)

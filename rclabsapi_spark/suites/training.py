@@ -244,7 +244,7 @@ FROM s
 """
 
 
-@query("train_chunk_sliding", _CHUNK_ORACLE)
+@query("train_chunk_sliding", _CHUNK_ORACLE, bench=True)
 def q_chunk_sliding(spark, sf_dir):
     """Sliding-window context chunking (128-token windows, stride 64 —
     50% overlap): per-row sequence/posexplode/slice, zero shuffle, all
