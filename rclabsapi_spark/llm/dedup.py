@@ -102,6 +102,45 @@ def exact_dedup(
     )
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_fps: DataFrame,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: a NEW batch against the fingerprint store
+    of everything already ingested — the daily-merge pattern (full
+    re-dedup of a 100 TB corpus per batch is a non-starter; the
+    fingerprint store is 32 B/doc and append-only).
+
+    Returns (key, text_hash, status) for every new-batch doc:
+    ``seen_before`` (hash exists in the store — wins over the in-batch
+    verdict), ``dup_in_batch`` (another new doc with the same hash has a
+    smaller key), or ``kept``. The caller appends the kept hashes to the
+    store, keeping the operation idempotent.
+
+    Scale: ONE shuffle on the 32-byte hash — the in-batch keeper window
+    and the store join cluster on the same key; the store side shuffles
+    its hashes only (never broadcastable at corpus scale, never wider
+    than 32 B/row).
+    """
+    batch = new_docs.select(
+        F.col(key_col), F.md5(F.col(text_col)).alias("text_hash")
+    )
+    seen = seen_fps.select(
+        F.col(seen_fps.columns[0]).alias("text_hash")
+    ).distinct().withColumn("_seen", F.lit(1))
+    marked = batch.join(seen, "text_hash", "left")
+    keeper = F.min(key_col).over(Window.partitionBy("text_hash"))
+    status = (
+        F.when(F.col("_seen") == 1, F.lit("seen_before"))
+        .when(F.col(key_col) != keeper, F.lit("dup_in_batch"))
+        .otherwise(F.lit("kept"))
+    )
+    return marked.select(key_col, "text_hash", status.alias("status"))
+
+
 def minhash_signatures(
     docs: DataFrame,
     *,

@@ -215,6 +215,51 @@ def q_dedup_clusters_star(spark, sf_dir):
     return dedup_clusters_star(pairs)
 
 
+# historical corpus = src0-src9 (their fingerprint store), new batch =
+# src10-src19 — the daily-merge shape on the fixture.
+_HIST_SRCS = ", ".join(f"'src{i}'" for i in range(10))
+
+_INCR_DEDUP_ORACLE = f"""
+WITH hist AS (
+    SELECT DISTINCT md5(text) AS fp FROM documents
+    WHERE source IN ({_HIST_SRCS})
+),
+batch AS (
+    SELECT doc_id, md5(text) AS text_hash FROM documents
+    WHERE source NOT IN ({_HIST_SRCS})
+),
+ranked AS (
+    SELECT doc_id, text_hash,
+           MIN(doc_id) OVER (PARTITION BY text_hash) AS keeper
+    FROM batch
+)
+SELECT doc_id, text_hash,
+       CASE WHEN text_hash IN (SELECT fp FROM hist) THEN 'seen_before'
+            WHEN doc_id != keeper THEN 'dup_in_batch'
+            ELSE 'kept'
+       END AS status
+FROM ranked
+"""
+
+
+@query("dedup_incremental", _INCR_DEDUP_ORACLE)
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental exact dedup: the new batch (sources src10-19) against
+    the fingerprint store of the already-ingested corpus (src0-9) —
+    seen_before beats dup_in_batch beats kept. One shuffle on the
+    32-byte hash; the store side ships fingerprints, never bodies."""
+    from rclabsapi_spark.llm.dedup import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist_srcs = [f"src{i}" for i in range(10)]
+    hist_fps = (
+        docs.filter(F.col("source").isin(hist_srcs))
+        .select(F.md5("text").alias("fp"))
+    )
+    batch = docs.filter(~F.col("source").isin(hist_srcs))
+    return incremental_dedup(batch, hist_fps)
+
+
 @query(
     "sample_hash",
     "SELECT doc_id, lang, source FROM documents"

@@ -208,3 +208,13 @@ def test_chunking_and_split_are_scan_only(spark):
         plan = _plan(spark, name)
         assert _scans(plan)["documents"] == 1, name
         assert plan.count("Exchange") == 0, name
+
+
+def test_incremental_dedup_hash_clustered(spark):
+    """Incremental dedup: each relation shuffles ONCE on the 32-byte
+    hash (batch window + store distinct); the join adds no extra
+    repartition of either side."""
+    plan = _plan(spark, "dedup_incremental")
+    assert _scans(plan)["documents"] == 2  # batch + fingerprint store
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "hashpartitioning(text_hash" in plan
