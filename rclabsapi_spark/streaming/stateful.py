@@ -174,6 +174,109 @@ def ewma_stream(
     )
 
 
+def _scd2_group(
+    key,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    *,
+    ts_col: str,
+    attr_col: str,
+    tiebreak_col: str,
+) -> Iterable[pd.DataFrame]:
+    """Change compression for streaming SCD2: emit one row per attribute
+    CHANGE; state = the last emitted attribute (nullable — state.exists
+    disambiguates 'no history yet' from 'last attr was NULL', the same
+    null-safety the batch operator gets from its row_number marker)."""
+    has_prev = state.exists
+    prev_attr = state.get[0] if has_prev else None
+
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    # per-instant dedup: highest tiebreak wins (batch: max_by). tail(1),
+    # not .last() — groupby().last() takes the last NON-NULL per column,
+    # which would resurrect an outvoted attr when the winner is NULL.
+    rows = (
+        rows.sort_values([ts_col, tiebreak_col])
+        .groupby(ts_col, as_index=False)
+        .tail(1)
+        .sort_values(ts_col)
+    )
+
+    out = []
+    for _, row in rows.iterrows():
+        attr = row[attr_col]
+        a_null = pd.isna(attr)
+        p_null = prev_attr is None or (
+            not isinstance(prev_attr, str) and pd.isna(prev_attr)
+        )
+        changed = (
+            not has_prev
+            or a_null != p_null
+            or (not a_null and attr != prev_attr)
+        )
+        if changed:
+            out.append((key[0], None if a_null else attr, row[ts_col]))
+            prev_attr = None if a_null else attr
+            has_prev = True
+    state.update((prev_attr,))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "event_type", "valid_from"]
+        )
+
+
+def scd2_stream(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Streaming CDC → SCD2 change rows (ST11's live job-status history:
+    etl_job_manager.cpp:671-699 appends transitions as they happen).
+
+    Emits (key, attr, valid_from) per CHANGE; the reader derives
+    valid_to/is_current with the batch operator's lead() over the
+    append-only change log — a sink can't retract an earlier row to
+    close its interval, so closing is a read-side concern by design.
+    State per key = the last attribute (one nullable string): O(keys),
+    horizontally partitioned, matching the batch operator
+    (operators/timeseries.py::scd2_intervals) wherever per-key arrival
+    is in timestamp order across micro-batches (within a micro-batch,
+    order doesn't matter — rows are sorted and per-instant ties resolve
+    by max tiebreak, exactly like the batch max_by)."""
+
+    def fn(key, pdfs, state):
+        # columns are renamed to the output names by the select below
+        return _scd2_group(
+            key,
+            pdfs,
+            state,
+            ts_col="ts",
+            attr_col="event_type",
+            tiebreak_col="tiebreak",
+        )
+
+    return (
+        events.select(
+            events[key_col].alias("user_id"),
+            events[ts_col].alias("ts"),
+            events[attr_col].alias("event_type"),
+            events[tiebreak_col].alias("tiebreak"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                "user_id long, event_type string, valid_from timestamp"
+            ),
+            stateStructType="attr string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_exact_dedup(
     events: DataFrame,
     *,

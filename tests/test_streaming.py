@@ -505,3 +505,94 @@ def test_streaming_sessionization_matches_batch(spark, events_dir, tmp_path):
     total_batch = sum(t[3] for t in expected)
     gi = get_registry()["w_sessionization"].fn(spark, SF_SMOKE)
     assert total_batch == sum(r["n_events"] for r in gi.collect())
+
+
+def test_streaming_scd2_matches_batch(spark, events_dir, tmp_path):
+    """Streaming CDC → SCD2: the change rows emitted by the stateful
+    stream must be exactly the batch operator's (key, attr, valid_from)
+    set on the same input."""
+    from rclabsapi_spark.operators.timeseries import scd2_intervals
+    from rclabsapi_spark.streaming.stateful import scd2_stream
+
+    batch_ev = spark.read.parquet(events_dir)
+    expected = {
+        (r["user_id"], r["event_type"], r["valid_from"])
+        for r in scd2_intervals(
+            batch_ev,
+            key_col="user_id",
+            ts_col="ts",
+            attr_col="event_type",
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    assert expected
+
+    schema = batch_ev.schema
+    stream = stream_events_dir(spark, events_dir, schema)
+    q = (
+        scd2_stream(stream)
+        .writeStream.format("memory")
+        .queryName("scd2_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_scd2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["event_type"], r["valid_from"])
+        for r in spark.sql("SELECT * FROM scd2_out").collect()
+    }
+    assert got == expected
+
+
+def test_scd2_group_state_across_batches():
+    """Cross-micro-batch change compression and null-safety of the raw
+    group function: a second batch continuing a key's history must not
+    re-emit the unchanged attribute, must emit →NULL as a change, and
+    must drop NULL→NULL no-ops (state.exists disambiguates 'no history'
+    from 'last attr was NULL')."""
+    import pandas as pd
+
+    from rclabsapi_spark.streaming.stateful import _scd2_group
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    def run(state, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["user_id", "ts", "event_type", "tiebreak"]
+        )
+        out = list(
+            _scd2_group(
+                (7,),
+                [pdf],
+                state,
+                ts_col="ts",
+                attr_col="event_type",
+                tiebreak_col="tiebreak",
+            )
+        )
+        return [tuple(r) for r in out[0].itertuples(index=False)] if out else []
+
+    st = FakeState()
+    # batch 1: tie at t=1 (tiebreak 2 wins with "A"), no-op repeat at t=2
+    got1 = run(st, [(7, 1, "Z", 1), (7, 1, "A", 2), (7, 2, "A", 3)])
+    assert got1 == [(7, "A", 1)]
+    # batch 2: same attr continues (nothing), then →NULL (change),
+    # NULL→NULL (no-op), NULL→B (change)
+    got2 = run(
+        st,
+        [(7, 3, "A", 4), (7, 4, None, 5), (7, 5, None, 6), (7, 6, "B", 7)],
+    )
+    assert got2 == [(7, None, 4), (7, "B", 6)]
+    assert st._v == ("B",)
