@@ -49,20 +49,35 @@ def test_fmt_no_trailing_zeros_matches_model(spark, xs):
     assert got == [_py_fmt(x) for x in xs]
 
 
+# representable half-ties (x·10⁶ lands exactly or near .5) — the values
+# where F.round vs DuckDB ROUND actually diverged (r4: 65.4046875), plus
+# negative mirrors where ROUND itself (half-away) disagrees with the
+# floor form. The parity contract is floor-form == floor-form; ROUND is
+# deliberately NOT the oracle expression.
+_TIE_VALUES = [
+    65.4046875, -65.4046875, 0.5030625, -0.5030625,
+    2.5e-6, -2.5e-6, 1.5e-6, -1.5e-6, 0.0, -0.0,
+]
+
+
 @SETTINGS
 @given(st.lists(finite_doubles, min_size=1, max_size=50))
 def test_round_half_up_matches_duckdb(spark, xs):
-    """round_half_up must agree with DuckDB ROUND on every double —
-    including the representable-tie values where F.round diverges."""
+    """round_half_up must agree bit-for-bit with the DuckDB oracle form
+    (sql_round_half_up — the floor expression the suites embed) on every
+    double, including representable half-ties in both signs. Both
+    engines evaluate the same floor(x·1e6 + 0.5)/1e6 product, so
+    equality is exact, not approximate."""
+    from rclabsapi_spark.functions.scalars import sql_round_half_up
+
+    xs = xs + _TIE_VALUES
     df = spark.createDataFrame([(x,) for x in xs], "x double")
     got = [
         r["r"] for r in df.select(round_half_up(F.col("x")).alias("r")).collect()
     ]
     con = duckdb.connect()
-    want = [
-        con.execute("SELECT ROUND(CAST(? AS DOUBLE), 6)", [x]).fetchone()[0]
-        for x in xs
-    ]
+    sql = f"SELECT {sql_round_half_up('CAST(? AS DOUBLE)', 6)}"
+    want = [con.execute(sql, [x]).fetchone()[0] for x in xs]
     assert got == pytest.approx(want, abs=0.0)
 
 
