@@ -89,3 +89,38 @@ def check_constraints(df, constraints: dict):
     return wide.selectExpr(
         f"stack({len(names)}, {stack}) as (constraint_name, violations)"
     )
+
+
+def fk_orphan_counts(relationships: list[tuple]) -> "DataFrame":
+    """Referential-integrity audit (init.sql:17,60,72 — the reference's
+    NOT NULL REFERENCES columns): per relationship, count child rows
+    whose key has no parent — the FK check a lakehouse must run as a
+    batch audit since parquet enforces nothing.
+
+    ``relationships`` is a list of
+    (name, child_df, child_key, parent_df, parent_key).
+
+    Scale: each relationship is one LEFT ANTI join on its key (broadcast
+    when the parent is a dim, shuffle for fact⋈fact) reduced to a single
+    count — the unioned result is #relationships rows. NULL child keys
+    count as orphans in both engines (null never equi-matches)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    if not relationships:
+        raise ValueError("relationships must be non-empty")
+    outs = []
+    for name, child, ck, parent, pk in relationships:
+        orphans = (
+            child.select(F.col(ck).alias("_k"))
+            .join(
+                parent.select(F.col(pk).alias("_k")).distinct(),
+                "_k",
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).alias("orphans"))
+            .select(F.lit(name).alias("relationship"), "orphans")
+        )
+        outs.append(orphans)
+    return reduce(lambda a, b: a.unionByName(b), outs)

@@ -766,3 +766,66 @@ def q_vocab(spark, sf_dir):
         .orderBy(F.col("freq").desc(), F.col("tok"))
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality: referential-integrity audit (§1.2 — init.sql FK REFERENCES)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_fk_orphans",
+    """
+    SELECT 'lineitem_orders' AS relationship,
+           (SELECT COUNT(*) FROM lineitem l
+            LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+              ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey IS NULL)::BIGINT AS orphans
+    UNION ALL
+    SELECT 'orders_customer',
+           (SELECT COUNT(*) FROM orders o
+            LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+              ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL)::BIGINT
+    UNION ALL
+    SELECT 'customer_nation',
+           (SELECT COUNT(*) FROM customer c
+            LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+              ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_nationkey IS NULL)::BIGINT
+    UNION ALL
+    SELECT 'supplier_nation',
+           (SELECT COUNT(*) FROM supplier s
+            LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+              ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_nationkey IS NULL)::BIGINT
+    UNION ALL
+    SELECT 'nation_region',
+           (SELECT COUNT(*) FROM nation na
+            LEFT JOIN (SELECT DISTINCT r_regionkey FROM region) r
+              ON na.n_regionkey = r.r_regionkey
+            WHERE r.r_regionkey IS NULL)::BIGINT
+    """,
+)
+def q_dq_fk(spark, sf_dir):
+    """Referential-integrity audit over the star schema's FK spine
+    (reference: NOT NULL REFERENCES columns, init.sql:17,60,72 —
+    postgres enforces these; a parquet lake must audit them). Each
+    relationship is one anti-join reduced to a count: dims broadcast,
+    lineitem→orders shuffles on the order key."""
+    from rclabsapi_spark.functions.validation import fk_orphan_counts
+
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ("lineitem", "orders", "customer", "supplier", "nation", "region")}
+    return fk_orphan_counts([
+        ("lineitem_orders", t["lineitem"], "l_orderkey",
+         t["orders"], "o_orderkey"),
+        ("orders_customer", t["orders"], "o_custkey",
+         t["customer"], "c_custkey"),
+        ("customer_nation", t["customer"], "c_nationkey",
+         t["nation"], "n_nationkey"),
+        ("supplier_nation", t["supplier"], "s_nationkey",
+         t["nation"], "n_nationkey"),
+        ("nation_region", t["nation"], "n_regionkey",
+         t["region"], "r_regionkey"),
+    ])
