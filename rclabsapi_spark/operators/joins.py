@@ -96,6 +96,7 @@ def asof_join(
     on: str,
     by: str | Sequence[str],
     right_cols: Sequence[str],
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of (backward) join: for each left row, attach the payload of the
     LATEST right row with ``right.on <= left.on`` within the same ``by``
@@ -111,10 +112,18 @@ def asof_join(
     inequality-join alternative is a broadcast-nested-loop (O(n·m)) that
     dies at scale.
 
+    ``direction="forward"`` attaches the EARLIEST right row with
+    ``right.on >= left.on`` instead — same union trick with the window
+    ordered descending (ties still match: the right row sorts before
+    the left at equal ``on`` either way). Both directions are ONE
+    shuffle on ``by``.
+
     Right rows must be unique per (by, on) — pre-aggregate if not (ASOF
     tie-break at equal timestamps is otherwise engine-defined). Left
     columns pass through; ``right_cols`` must not collide with them.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     by_keys = [by] if isinstance(by, str) else list(by)
     lhs = left.select(
         *by_keys,
@@ -132,9 +141,10 @@ def asof_join(
     )
     from pyspark.sql import Window
 
+    on_order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
     w = (
         Window.partitionBy(*by_keys)
-        .orderBy(F.col(on).asc(), F.col("__tag").asc())
+        .orderBy(on_order, F.col("__tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = lhs.unionByName(rhs).select(

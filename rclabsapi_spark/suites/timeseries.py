@@ -218,3 +218,44 @@ def q_gap_fill(spark, sf_dir):
     return gap_fill(
         events, key_col="user_id", ts_col="ts", value_col="value", grain="hour"
     )
+
+
+_ASOF_FWD_ORACLE = """
+WITH p AS (
+    SELECT user_id, ts, MAX(value) AS next_purchase_value
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+c AS (
+    SELECT event_id, user_id, ts, value FROM events
+    WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id, c.ts, c.value, p.next_purchase_value
+FROM c ASOF LEFT JOIN p
+  ON c.user_id = p.user_id AND p.ts >= c.ts
+"""
+
+
+@query("j_asof_forward", _ASOF_FWD_ORACLE)
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of join: each click gets the user's NEXT purchase value
+    at or after the click (the time-to-next-event primitive). Same
+    union-window implementation as the backward join with the window
+    ordered descending — one shuffle on user_id; DuckDB's native
+    ASOF >= is the oracle."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("next_purchase_value"))
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="ts",
+        by="user_id",
+        right_cols=["next_purchase_value"],
+        direction="forward",
+    )

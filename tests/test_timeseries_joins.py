@@ -116,3 +116,34 @@ def test_range_join_bucket_width_does_not_change_answer(spark):
             ).collect()
         }
         assert got == expected, width
+
+
+def test_asof_forward_match_ties_and_groups(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T10:30:00")),  # exact-tie with right
+            (2, 10, _ts("2024-01-01T09:00:00")),  # earlier → earliest right
+            (3, 10, _ts("2024-01-01T11:00:00")),  # after all rights → null
+            (4, 20, _ts("2024-01-01T09:00:00")),  # other group, no right
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01T10:00:00"), 100.0),
+            (10, _ts("2024-01-01T10:30:00"), 200.0),
+        ],
+        "user_id long, ts timestamp, val double",
+    )
+    out = {
+        r["event_id"]: r["val"]
+        for r in asof_join(
+            left, right, on="ts", by="user_id", right_cols=["val"],
+            direction="forward",
+        ).collect()
+    }
+    assert out[1] == 200.0  # right at the same instant matches (>=)
+    assert out[2] == 100.0  # earliest right at-or-after the left row
+    assert out[3] is None  # nothing at or after
+    assert out[4] is None  # isolation: other group's rights invisible
+    assert len(out) == 4
