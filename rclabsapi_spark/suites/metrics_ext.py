@@ -829,3 +829,110 @@ def q_dq_fk(spark, sf_dir):
         ("nation_region", t["nation"], "n_regionkey",
          t["region"], "r_regionkey"),
     ])
+
+
+# ---------------------------------------------------------------------------
+# A16 extension — exact percentiles PER GROUP (the per-job-type latency
+# distribution the scalar A16 summarizes globally)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a16_percentiles_by_group",
+    """
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_a16_by_group(spark, sf_dir):
+    """Exact interpolated percentiles per group
+    (performance_monitor.hpp:239-255 applied per job type). Both engines
+    use the same (n-1)·p linear interpolation, so values are
+    bit-identical before the final rounding. One shuffle on the group
+    key; at scale, swap in the GK sketch (approx_quantile_bound) when
+    per-group sorts dominate."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heartbeat-gap audit (job timeout monitoring: the reference flags jobs
+# whose progress stalls — job_monitor_service timeout sweep; ST6-adjacent)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_heartbeat_gaps",
+    """
+    WITH g AS (
+        SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+        FROM events
+    ),
+    gaps AS (
+        SELECT user_id,
+               (FLOOR(epoch(ts)) - FLOOR(epoch(prev_ts)))::BIGINT AS gap_s
+        FROM g WHERE prev_ts IS NOT NULL
+    ),
+    tail AS (
+        SELECT user_id,
+               (FLOOR(epoch(TIMESTAMP '2024-02-01 00:00:00'))
+                - FLOOR(epoch(MAX(ts))))::BIGINT AS silence_s
+        FROM events GROUP BY user_id
+    )
+    SELECT t.user_id,
+           COALESCE(x.n_gaps, 0)::BIGINT AS n_gaps,
+           COALESCE(x.max_gap_s, 0)::BIGINT AS max_gap_s,
+           t.silence_s,
+           (CASE WHEN t.silence_s > 86400 THEN 1 ELSE 0 END)::INT
+               AS is_silent
+    FROM tail t
+    LEFT JOIN (
+        SELECT user_id,
+               COUNT(CASE WHEN gap_s > 21600 THEN 1 END)::BIGINT AS n_gaps,
+               MAX(gap_s)::BIGINT AS max_gap_s
+        FROM gaps GROUP BY user_id
+    ) x USING (user_id)
+    """,
+)
+def q_heartbeat_gaps(spark, sf_dir):
+    """Heartbeat-gap audit per key: count intra-stream gaps > 6h, the
+    max gap, and trailing silence vs frozen 'now' (2024-02-01) with a
+    >24h dead-man flag — the batch form of the reference's job-timeout
+    sweep (stalled-progress detection). One shuffle on user_id: the lag
+    window, the gap aggregate, and the tail aggregate all cluster on
+    the key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    now = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.col("ts").cast("long")
+    g = ev.repartition(F.col("user_id")).select(
+        "user_id",
+        "ts",
+        (ts_s - F.lag(ts_s).over(w)).alias("gap_s"),
+    )
+    per_key = g.groupBy("user_id").agg(
+        F.count(F.when(F.col("gap_s") > 21600, 1)).alias("n_gaps"),
+        F.coalesce(F.max("gap_s"), F.lit(0)).cast("long").alias("max_gap_s"),
+        (now.cast("long") - F.max(ts_s)).cast("long").alias("silence_s"),
+    )
+    return per_key.select(
+        "user_id",
+        "n_gaps",
+        "max_gap_s",
+        "silence_s",
+        (F.col("silence_s") > 86400).cast("int").alias("is_silent"),
+    )
