@@ -46,18 +46,30 @@ def compact_parquet(
     path: str,
     *,
     target_file_bytes: int = 128 * 1024 * 1024,
+    zorder_cols: list[str] | None = None,
 ) -> CompactionStats:
     """Rewrite ``path`` into ceil(total/target) files via staged commit.
 
-    Uses ``coalesce`` (no shuffle — compaction is IO-bound repacking, the
-    rows don't need redistribution)."""
+    Default is ``coalesce`` (no shuffle — compaction is IO-bound
+    repacking, the rows don't need redistribution). With ``zorder_cols``
+    the rewrite instead lays the files out along the Morton curve of
+    those columns (layout.write_zordered) — compaction is exactly when
+    re-clustering is free-ish, since the data is being rewritten anyway
+    (the OPTIMIZE ... ZORDER BY pattern)."""
     before = _data_files(path)
     total = sum(os.path.getsize(f) for f in before)
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
     staging = f"{path}.compact-{uuid.uuid4().hex[:8]}"
     try:
-        df.coalesce(n_out).write.mode("overwrite").parquet(staging)
+        if zorder_cols:
+            from rclabsapi_spark.layout import write_zordered
+
+            write_zordered(
+                df, staging, zorder_cols=zorder_cols, num_files=n_out
+            )
+        else:
+            df.coalesce(n_out).write.mode("overwrite").parquet(staging)
         old = f"{path}.old-{uuid.uuid4().hex[:8]}"
         os.rename(path, old)
         os.rename(staging, path)

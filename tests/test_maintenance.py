@@ -65,3 +65,31 @@ def test_expire_partitions(spark, tmp_path):
     assert dropped == all_parts[:2]
     remaining = spark.read.parquet(path)
     assert remaining.select(F.min("index_date")).collect()[0][0] == cutoff
+
+
+def test_compaction_with_zorder_reclusters(spark, tmp_path):
+    """Compaction with zorder_cols rewrites the same rows laid out along
+    the curve: row count conserved, fewer files, and a predicate on the
+    second z-dimension prunes files it couldn't before."""
+    from pyspark.sql import functions as F
+
+    from rclabsapi_spark.maintenance import compact_parquet
+    from tests.test_layout import _files_overlapping
+
+    path = str(tmp_path / "grid")
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("x"),
+        (F.col("id") / 256).cast("long").alias("y"),
+    )
+    # messy initial state: many files, x-striped (y unprunable)
+    grid.repartitionByRange(64, "x").write.mode("overwrite").parquet(path)
+    y_hit0, total0 = _files_overlapping(path, "y", 0, 15)
+    assert y_hit0 == total0
+
+    stats = compact_parquet(
+        spark, path, target_file_bytes=1 << 15, zorder_cols=["x", "y"]
+    )
+    assert stats.files_after < stats.files_before
+    assert spark.read.parquet(path).count() == 256 * 256
+    y_hit1, total1 = _files_overlapping(path, "y", 0, 15)
+    assert y_hit1 <= total1 // 2
