@@ -88,3 +88,24 @@ def list_log_files(
     )
     col = F.col(_SORT_COLS[sort_by])
     return df.orderBy(col.asc() if ascending else col.desc(), F.col("name"))
+
+
+def write_jsonl(df, path: str, *, num_files: int | None = None) -> None:
+    """JSONL export — the training-data interchange format (one JSON
+    object per line; every dataset-exchange tool reads it). Spark's json
+    sink IS JSONL (one object per line per file part). ``num_files``
+    coalesces for handoff-sized files; omit to keep the write fully
+    parallel."""
+    out = df.coalesce(num_files) if num_files else df
+    out.write.mode("overwrite").json(path)
+
+
+def read_jsonl(spark, path: str, schema=None):
+    """JSONL ingest. Pass an explicit ``schema`` at scale — schema
+    inference is a full extra pass over the data; with a schema the read
+    is single-pass and malformed lines land in Spark's permissive-mode
+    ``_corrupt_record`` handling instead of failing the job."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -58,3 +58,23 @@ def test_list_log_files_sorted(spark, log_dir):
     assert by_size[0]["size_bytes"] >= by_size[1]["size_bytes"]
     with pytest.raises(ValueError):
         list_log_files(spark, log_dir, sort_by="bogus")
+
+
+def test_jsonl_roundtrip_preserves_rows(spark, tmp_path):
+    """parquet → JSONL → parquet roundtrip conserves rows and values
+    (modulo JSON's type surface: timestamps re-read via the declared
+    schema, not inference)."""
+    from rclabsapi_spark.catalog import load_table
+    from rclabsapi_spark.sources.files import read_jsonl, write_jsonl
+
+    from .conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path, num_files=2)
+
+    back = read_jsonl(spark, path, schema=docs.schema)
+    assert back.count() == docs.count()
+    a = {tuple(r) for r in docs.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
