@@ -735,3 +735,76 @@ def q_mm_resize(spark, sf_dir):
 
     docs = attach_binary(load_table(spark, sf_dir, "documents"))
     return resize_meta(docs, target_w=32, target_h=32)
+
+
+# ---------------------------------------------------------------------------
+# Quality-curriculum sampling: quartile-bucket the composite quality score,
+# then keep-rate per bucket (10/25/50/100%) — downweight the low-quality
+# tail, keep all of the top quartile. Membership stays a pure function of
+# (salt, doc_id), so the curriculum is reproducible.
+# ---------------------------------------------------------------------------
+
+_CURRICULUM_ORACLE = f"""
+WITH q AS ({_QUALITY_ORACLE}),
+s AS (SELECT doc_id, quality_score FROM q),
+b AS (
+    SELECT quantile_cont(quality_score, 0.25) AS b1,
+           quantile_cont(quality_score, 0.5)  AS b2,
+           quantile_cont(quality_score, 0.75) AS b3
+    FROM s
+),
+t AS (
+    SELECT s.doc_id, s.quality_score,
+           CASE WHEN s.quality_score < b.b1 THEN 'q1'
+                WHEN s.quality_score < b.b2 THEN 'q2'
+                WHEN s.quality_score < b.b3 THEN 'q3'
+                ELSE 'q4' END AS bucket
+    FROM s CROSS JOIN b
+)
+SELECT doc_id, quality_score, bucket FROM t
+WHERE substring(md5('curr' || CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE bucket WHEN 'q1' THEN '1999'
+                  WHEN 'q2' THEN '4000'
+                  WHEN 'q3' THEN '8000'
+                  ELSE 'g000' END
+"""
+
+
+@query("sample_quality_curriculum", _CURRICULUM_ORACLE)
+def q_quality_curriculum(spark, sf_dir):
+    """Quality-curriculum sample: quartile-bucket the composite quality
+    score (exact interpolated percentiles — both engines use the same
+    (n-1)·p rule on the same rounded scores, so boundaries are
+    bit-identical), then the samplers' md5-bucket keep rates per
+    quartile: 10% of q1 up to 100% of q4. The boundary relation is one
+    tiny aggregate broadcast back onto the scan; membership is a pure
+    function of (salt, doc_id). At 100 TB swap the exact percentile for
+    the GK sketch (approx_quantile_bound) — same plan shape."""
+    from rclabsapi_spark.llm.sampling import hash_bucket
+
+    feats = quality_features(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_score"
+    )
+    bounds = feats.agg(
+        F.expr("percentile(quality_score, 0.25)").alias("b1"),
+        F.expr("percentile(quality_score, 0.5)").alias("b2"),
+        F.expr("percentile(quality_score, 0.75)").alias("b3"),
+    )
+    j = feats.join(F.broadcast(bounds))
+    bucket = (
+        F.when(F.col("quality_score") < F.col("b1"), "q1")
+        .when(F.col("quality_score") < F.col("b2"), "q2")
+        .when(F.col("quality_score") < F.col("b3"), "q3")
+        .otherwise("q4")
+    )
+    thr = (
+        F.when(F.col("bucket") == "q1", "1999")
+        .when(F.col("bucket") == "q2", "4000")
+        .when(F.col("bucket") == "q3", "8000")
+        .otherwise("g000")
+    )
+    return (
+        j.withColumn("bucket", bucket)
+        .filter(hash_bucket(F.col("doc_id"), salt="curr") < thr)
+        .select("doc_id", "quality_score", "bucket")
+    )
