@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from rclabsapi_spark.functions.scalars import round_half_up
+
 # Function-word-profile language ID: marker-token hit counts per language,
 # deterministic argmax. Profiles are the ~30 highest-frequency function
 # words per language (public frequency-list knowledge — the signal real
@@ -74,12 +76,12 @@ def bpe_ish_count(text: Column) -> Column:
 def stopword_ratio(text: Column) -> Column:
     t = tokens(text)
     stops = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
-    return F.round(stops / F.size(t), 6)
+    return round_half_up(stops / F.size(t), 6)
 
 
 def mean_token_len(text: Column) -> Column:
     t = tokens(text)
-    return F.round(
+    return round_half_up(
         F.length(F.replace(text, F.lit(" "), F.lit(""))) / F.size(t), 6
     )
 
@@ -101,14 +103,17 @@ def quality_features(
         n_tok.cast("long").alias("n_tokens"),
         mean_token_len(text).alias("mean_token_len"),
         stopword_ratio(text).alias("stopword_ratio"),
-        F.round(punct / char_len, 6).alias("punct_ratio"),
+        round_half_up(punct / char_len, 6).alias("punct_ratio"),
     )
     score = (
         F.least(F.lit(1.0), F.col("n_tokens") / 50.0)
         + (1.0 - F.least(F.lit(1.0), F.col("punct_ratio") * 10.0))
         + F.least(F.lit(1.0), F.col("mean_token_len") / 8.0)
     ) / 3.0
-    return out.withColumn("quality_score", F.round(score, 6))
+    # round_half_up throughout (not F.round): every rounded ratio is a
+    # representable-half-tie hazard vs the DuckDB oracle — quality_score
+    # 0.8466495 actually diverged at sf0.1 before this.
+    return out.withColumn("quality_score", round_half_up(score, 6))
 
 
 def _isin_filter(markers: tuple[str, ...]):

@@ -443,24 +443,23 @@ def q_tokens(spark, sf_dir):
     )
 
 
-_QUALITY_ORACLE = """
+# every rounded ratio goes through the floor-form (sql_round_half_up)
+# like the Spark side — ROUND diverges at representable half-ties
+# (quality_score 0.8466495 actually flipped at sf0.1 under ROUND).
+from rclabsapi_spark.functions.scalars import sql_round_half_up as _rhu
+
+_QUALITY_ORACLE = f"""
 WITH feat AS (
     SELECT doc_id,
            length(text)::BIGINT AS char_len,
            len(string_split(text, ' '))::BIGINT AS n_tokens,
-           ROUND(length(replace(text, ' ', ''))
-                 / len(string_split(text, ' ')), 6) AS mean_token_len,
-           ROUND(len(list_filter(string_split(text, ' '),
-                     x -> x IN ('the','a','an','and','or','of','to','in','is','it')))
-                 / len(string_split(text, ' ')), 6) AS stopword_ratio,
-           ROUND(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-                 / length(text), 6) AS punct_ratio
+           {_rhu("length(replace(text, ' ', '')) / len(string_split(text, ' '))", 6)} AS mean_token_len,
+           {_rhu("len(list_filter(string_split(text, ' '), x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) / len(string_split(text, ' '))", 6)} AS stopword_ratio,
+           {_rhu("length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text)", 6)} AS punct_ratio
     FROM documents
 )
 SELECT *,
-       ROUND((LEAST(1.0, n_tokens / 50.0)
-              + (1.0 - LEAST(1.0, punct_ratio * 10.0))
-              + LEAST(1.0, mean_token_len / 8.0)) / 3.0, 6) AS quality_score
+       {_rhu("(LEAST(1.0, n_tokens / 50.0) + (1.0 - LEAST(1.0, punct_ratio * 10.0)) + LEAST(1.0, mean_token_len / 8.0)) / 3.0", 6)} AS quality_score
 FROM feat
 """
 

@@ -285,3 +285,63 @@ def q_split_assign(spark, sf_dir):
     return split_assign(
         docs, key_col="doc_id", val_pct=5.0, test_pct=5.0, salt="split1"
     )
+
+
+_SPLIT_LEAK_ORACLE = """
+WITH assigned AS (
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           CASE
+             WHEN substring(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 4)
+                  < '0ccc' THEN 'val'
+             WHEN substring(md5('split1' || CAST(doc_id AS VARCHAR)), 1, 4)
+                  < '1999' THEN 'test'
+             ELSE 'train'
+           END AS split
+    FROM documents
+),
+fps AS (
+    SELECT fp,
+           COUNT(DISTINCT split)::BIGINT AS n_splits,
+           COUNT(*)::BIGINT AS n_docs
+    FROM assigned GROUP BY fp
+)
+SELECT a.split,
+       COUNT(*)::BIGINT AS n_docs,
+       CAST(SUM(CASE WHEN f.n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_leaked,
+       ROUND(SUM(CASE WHEN f.n_splits > 1 THEN 1 ELSE 0 END)
+             / COUNT(*), 6) AS leak_ratio
+FROM assigned a JOIN fps f USING (fp)
+GROUP BY a.split
+"""
+
+
+@query("train_split_contamination", _SPLIT_LEAK_ORACLE)
+def q_split_contamination(spark, sf_dir):
+    """Split-contamination audit: per split, how many documents share a
+    normalized content fingerprint with ANOTHER split — the eval-leakage
+    hazard hash-based splitting by doc_id cannot prevent when the same
+    content appears under different ids (dedupe before splitting, or
+    split by content fingerprint instead). Fingerprints shuffle (32 B),
+    bodies never; two reductions on the fingerprint key share one
+    partitioning — the cross_source_leakage shape applied to splits."""
+    from rclabsapi_spark.llm.sampling import split_assign
+    from rclabsapi_spark.llm.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = fingerprint(docs)  # (doc_id, fingerprint)
+    assigned = split_assign(
+        docs.select("doc_id"), key_col="doc_id",
+        val_pct=5.0, test_pct=5.0, salt="split1",
+    ).join(fps, "doc_id")
+    per_fp = assigned.groupBy("fingerprint").agg(
+        F.count_distinct("split").alias("n_splits")
+    )
+    tagged = assigned.join(per_fp, "fingerprint")
+    leaked = F.when(F.col("n_splits") > 1, 1).otherwise(0)
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(leaked).cast("long").alias("n_leaked"),
+        F.round(F.sum(leaked) / F.count(F.lit(1)), 6).alias("leak_ratio"),
+    )
