@@ -769,7 +769,7 @@ WHERE substring(md5('curr' || CAST(doc_id AS VARCHAR)), 1, 4) <
 """
 
 
-@query("sample_quality_curriculum", _CURRICULUM_ORACLE)
+@query("sample_quality_curriculum", _CURRICULUM_ORACLE, bench=True)
 def q_quality_curriculum(spark, sf_dir):
     """Quality-curriculum sample: quartile-bucket the composite quality
     score (exact interpolated percentiles — both engines use the same

@@ -317,7 +317,7 @@ GROUP BY a.split
 """
 
 
-@query("train_split_contamination", _SPLIT_LEAK_ORACLE)
+@query("train_split_contamination", _SPLIT_LEAK_ORACLE, bench=True)
 def q_split_contamination(spark, sf_dir):
     """Split-contamination audit: per split, how many documents share a
     normalized content fingerprint with ANOTHER split — the eval-leakage
