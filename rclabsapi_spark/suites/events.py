@@ -242,3 +242,111 @@ def q_st5_dual(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return rate_limit_check_dual(ev)
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (extension: the canonical event-log OLAP rollup —
+# weekly signup cohorts × activity-week offsets)
+# ---------------------------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH firsts AS (
+    SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+    FROM events GROUP BY user_id
+),
+active AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT f.cohort_week::TIMESTAMP AS cohort_week,
+       (datediff('day', f.cohort_week, a.week) / 7)::BIGINT AS week_offset,
+       COUNT(DISTINCT a.user_id)::BIGINT AS n_users
+FROM active a JOIN firsts f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@query("w_cohort_retention", _COHORT_ORACLE)
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users bucketed by the week of their first
+    event, counted distinct per (cohort, weeks-since) — the engagement
+    rollup every event dashboard draws. Both aggregates and the join
+    cluster on user_id (one fact shuffle; the per-user firsts relation
+    is corpus-users-sized and co-partitioned, broadcast at fixture
+    scale); week offsets are exact (week-starts differ by multiples of
+    7 days in both engines, Monday-anchored date_trunc)."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    j = active.join(firsts, "user_id")
+    return j.groupBy(
+        "cohort_week",
+        F.floor(
+            F.datediff(F.col("week"), F.col("cohort_week")) / 7
+        ).cast("long").alias("week_offset"),
+    ).agg(F.count_distinct("user_id").alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis (extension: ordered view → click → purchase per user)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH v AS (
+    SELECT user_id, MIN(ts) AS t_view FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts) AS t_click
+    FROM events e JOIN v USING (user_id)
+    WHERE e.event_type = 'click' AND e.ts >= v.t_view
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS t_purchase
+    FROM events e JOIN c USING (user_id)
+    WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+    GROUP BY e.user_id
+)
+SELECT 'view' AS stage, (SELECT COUNT(*) FROM v)::BIGINT AS n_users
+UNION ALL SELECT 'click', (SELECT COUNT(*) FROM c)::BIGINT
+UNION ALL SELECT 'purchase', (SELECT COUNT(*) FROM p)::BIGINT
+"""
+
+
+@query("w_funnel_stages", _FUNNEL_ORACLE)
+def q_funnel(spark, sf_dir):
+    """Ordered funnel: view → click-after-view → purchase-after-click,
+    counting users surviving each stage (order matters: a click BEFORE
+    the first view doesn't advance the funnel — the windowed-sequence
+    semantics a naive per-type count gets wrong). Three per-user min
+    aggregates chained by joins, all clustering on user_id — one
+    logical shuffle key end-to-end; stage relations shrink
+    monotonically."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage_min(df, etype, after=None, after_col=None):
+        e = df.filter(F.col("event_type") == etype)
+        if after is not None:
+            e = e.join(after, "user_id").filter(
+                F.col("ts") >= F.col(after_col)
+            )
+        return e.groupBy("user_id").agg(F.min("ts").alias(f"t_{etype}"))
+
+    v = stage_min(ev, "view")
+    c = stage_min(ev, "click", after=v, after_col="t_view")
+    p = stage_min(ev, "purchase", after=c, after_col="t_click")
+
+    def count_row(df, name):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_users")
+        ).select(F.lit(name).alias("stage"), "n_users")
+
+    return (
+        count_row(v, "view")
+        .unionByName(count_row(c, "click"))
+        .unionByName(count_row(p, "purchase"))
+    )
