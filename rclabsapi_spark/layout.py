@@ -78,7 +78,10 @@ def zorder_key(
 
     ``bounds`` are the per-column (min, max) used for normalization —
     computed once by the caller (a tiny driver-side aggregate, the same
-    pattern as IVF's centroid pull). Values outside the bounds clamp."""
+    pattern as IVF's centroid pull). Values outside the bounds clamp;
+    NULLs rank at the range minimum (a NULL would otherwise poison the
+    whole interleaved key and strand the row in one unclustered
+    partition)."""
     k = len(cols)
     if k * bits > 62:
         raise ValueError("k*bits must be <= 62")
@@ -87,7 +90,9 @@ def zorder_key(
     for i, (c, (lo, hi)) in enumerate(zip(cols, bounds)):
         span = float(hi - lo) if hi > lo else 1.0
         rank = F.floor(
-            (c.cast("double") - float(lo)) / span * float(max_rank)
+            (F.coalesce(c.cast("double"), F.lit(float(lo))) - float(lo))
+            / span
+            * float(max_rank)
         ).cast("long")
         rank = F.greatest(F.lit(0), F.least(F.lit(max_rank), rank))
         for j in range(bits):
@@ -118,6 +123,11 @@ def write_zordered(
         aggs += [F.min(F.col(c).cast("double")), F.max(F.col(c).cast("double"))]
     row = df.agg(*aggs).collect()[0]
     bounds = [(row[2 * i], row[2 * i + 1]) for i in range(len(zorder_cols))]
+    if any(lo is None or hi is None for lo, hi in bounds):
+        # Empty input (or an all-NULL z column) has no curve to lay out —
+        # degrade to a plain identity write instead of a TypeError.
+        df.coalesce(num_files).write.mode("overwrite").parquet(path)
+        return
     keyed = df.withColumn("__z", zorder_key(cols, bounds, bits=bits))
     (
         keyed.repartitionByRange(num_files, "__z")

@@ -108,11 +108,18 @@ def incremental_dedup(
     *,
     text_col: str = "text",
     key_col: str = "doc_id",
+    fp_col: str = "text_hash",
 ) -> DataFrame:
     """Incremental exact dedup: a NEW batch against the fingerprint store
     of everything already ingested — the daily-merge pattern (full
     re-dedup of a 100 TB corpus per batch is a non-starter; the
     fingerprint store is 32 B/doc and append-only).
+
+    ``seen_fps`` must carry its fingerprints in ``fp_col`` (default
+    ``text_hash``, the column this function emits — so a store built
+    from prior ``kept`` output round-trips). Raises if absent: silently
+    joining on a positional guess against a wider store would produce
+    wrong seen_before/kept verdicts.
 
     Returns (key, text_hash, status) for every new-batch doc:
     ``seen_before`` (hash exists in the store — wins over the in-batch
@@ -128,8 +135,13 @@ def incremental_dedup(
     batch = new_docs.select(
         F.col(key_col), F.md5(F.col(text_col)).alias("text_hash")
     )
+    if fp_col not in seen_fps.columns:
+        raise ValueError(
+            f"fingerprint store has no column {fp_col!r}; "
+            f"got {seen_fps.columns}"
+        )
     seen = seen_fps.select(
-        F.col(seen_fps.columns[0]).alias("text_hash")
+        F.col(fp_col).alias("text_hash")
     ).distinct().withColumn("_seen", F.lit(1))
     marked = batch.join(seen, "text_hash", "left")
     keeper = F.min(key_col).over(Window.partitionBy("text_hash"))

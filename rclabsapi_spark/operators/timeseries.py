@@ -51,10 +51,12 @@ def gap_fill(
       half-up to 6 decimals (``round_half_up`` — the engine-portable
       floor(x·1e6+0.5)/1e6 form; plain ``F.round`` vs DuckDB ``ROUND``
       diverge at representable half-ties), NULL for gap buckets;
-    - ``v_ffill``  — last observed ``v`` at or before the bucket;
+    - ``v_ffill``  — last NON-NULL ``v`` at or before the bucket
+      (IGNORE-NULLS semantics: a bucket whose observations are all
+      NULL is filled past, not from);
     - ``v_interp`` — linear interpolation between the surrounding
-      observed buckets (NULL before the first / after the last
-      observation).
+      non-NULL observed buckets (NULL before the first / after the
+      last non-NULL observation; all-NULL buckets are spanned).
 
     The interpolation arithmetic runs on the *rounded* bucket averages
     with integer epoch-second distances, so it is bit-identical across
@@ -87,13 +89,36 @@ def gap_fill(
     # over (currentRow, unboundedFollowing) — is evaluated by Spark by
     # recomputing the aggregate per row, O(rows²) per key: 43 s vs
     # 1.7 s at sf0.1).
+    # Fill sources honour IGNORE-NULLS semantics: a bucket whose AVG is
+    # NULL (every observation NULL) still bounds the spine and emits its
+    # run, but forward-fill skips past it and interpolation spans it —
+    # matching the oracle's LAST_VALUE/FIRST_VALUE ... IGNORE NULLS.
+    # Both ignore-nulls lookups are O(n) RUNNING frames: ascending
+    # last() for the fill-from side, and a descending twin — where
+    # "preceding" rows are LATER buckets, so last() over
+    # (unboundedPreceding, -1) is the first non-NULL observation
+    # strictly AFTER the current bucket — for the fill-to side. The
+    # quadratic unbounded-FOLLOWING first() never appears. Same key
+    # partitioning for all three windows → still the single exchange;
+    # the descending pair costs one extra in-partition sort.
     w = Window.partitionBy("key").orderBy("bucket")
+    w_ff = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_nn = (
+        Window.partitionBy("key")
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t_b = F.col("bucket").cast("timestamp").cast("long")
+    v_nn = F.when(F.col("v").isNotNull(), t_b)
     nxt = obs.select(
         "key",
         "bucket",
         "v",
         F.lead("bucket").over(w).alias("next_bucket"),
-        F.lead("v").over(w).alias("next_v"),
+        F.last("v", ignorenulls=True).over(w_ff).alias("ff_v"),
+        F.last(v_nn, ignorenulls=True).over(w_ff).alias("ff_t"),
+        F.last("v", ignorenulls=True).over(w_nn).alias("nn_v"),
+        F.last(v_nn, ignorenulls=True).over(w_nn).alias("nn_t"),
     )
     run = F.when(
         F.col("next_bucket").isNull(), F.array(F.col("bucket"))
@@ -104,32 +129,36 @@ def gap_fill(
         )
     )
     emitted = nxt.select(
-        "key", "bucket", "v", "next_bucket", "next_v",
+        "key", "bucket", "v", "ff_v", "ff_t", "nn_v", "nn_t",
         F.explode(run).alias("out_bucket"),
     )
 
     t_out = F.col("out_bucket").cast("timestamp").cast("long")
-    t_prev = F.col("bucket").cast("timestamp").cast("long")
-    t_next = F.col("next_bucket").cast("timestamp").cast("long")
     is_observed = F.col("out_bucket") == F.col("bucket")
+    v_out = F.when(is_observed, F.col("v"))
 
-    interp = F.when(is_observed, F.col("v")).otherwise(
-        # every gap row sits strictly between two observations, so the
-        # oracle's prev/next-not-null guard is satisfied by construction
+    # A gap row inherits its generating bucket's lookups unchanged: no
+    # observation sits between them, so "last non-NULL ≤ out_bucket" ==
+    # ff at the generator and "first non-NULL > out_bucket" == nn at
+    # the generator. NULL ff_v or nn_v (before first / after last
+    # non-NULL observation, or an all-NULL key) propagates through the
+    # arithmetic to a NULL v_interp, matching the oracle's guard.
+    interp = F.coalesce(
+        v_out,
         round_half_up(
-            F.col("v")
-            + (F.col("next_v") - F.col("v"))
-            * (t_out - t_prev)
-            / (t_next - t_prev),
+            F.col("ff_v")
+            + (F.col("nn_v") - F.col("ff_v"))
+            * (t_out - F.col("ff_t"))
+            / (F.col("nn_t") - F.col("ff_t")),
             6,
-        )
+        ),
     )
 
     return emitted.select(
         F.col("key").alias(key_col),
         F.col("out_bucket").alias("bucket"),
-        F.when(is_observed, F.col("v")).alias("v"),
-        F.col("v").alias("v_ffill"),
+        v_out.alias("v"),
+        F.col("ff_v").alias("v_ffill"),
         interp.alias("v_interp"),
     )
 

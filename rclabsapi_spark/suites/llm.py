@@ -257,7 +257,7 @@ def q_dedup_incremental(spark, sf_dir):
         .select(F.md5("text").alias("fp"))
     )
     batch = docs.filter(~F.col("source").isin(hist_srcs))
-    return incremental_dedup(batch, hist_fps)
+    return incremental_dedup(batch, hist_fps, fp_col="fp")
 
 
 @query(

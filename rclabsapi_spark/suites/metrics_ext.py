@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rclabsapi_spark.catalog import load_table
+from rclabsapi_spark.functions.scalars import round_half_up, sql_round_half_up
 from rclabsapi_spark.llm.similarity import embedding_near_dup_pairs
 from rclabsapi_spark.operators.aggregates import efficiency_score, metric_rollup
 from rclabsapi_spark.plans.log_query import LogQueryParams, search_logs
@@ -839,11 +840,11 @@ def q_dq_fk(spark, sf_dir):
 
 @query(
     "a16_percentiles_by_group",
-    """
+    f"""
     SELECT o_orderpriority,
-           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
-           ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90,
-           ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99
+           {sql_round_half_up('quantile_cont(o_totalprice, 0.5)', 6)} AS p50,
+           {sql_round_half_up('quantile_cont(o_totalprice, 0.9)', 6)} AS p90,
+           {sql_round_half_up('quantile_cont(o_totalprice, 0.99)', 6)} AS p99
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -851,16 +852,24 @@ def q_a16_by_group(spark, sf_dir):
     """Exact interpolated percentiles per group
     (performance_monitor.hpp:239-255 applied per job type). Both engines
     use the same (n-1)·p linear interpolation, so values are
-    bit-identical before the final rounding. One shuffle on the group
-    key; at scale, swap in the GK sketch (approx_quantile_bound) when
-    per-group sorts dominate."""
+    bit-identical before the final rounding — which therefore goes
+    through round_half_up, not F.round/ROUND (the representable-half-tie
+    divergence class). One shuffle on the group key; at scale, swap in
+    the GK sketch (approx_quantile_bound) when per-group sorts
+    dominate."""
     return (
         load_table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
-            F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
-            F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99"),
+            round_half_up(
+                F.expr("percentile(o_totalprice, 0.5)"), 6
+            ).alias("p50"),
+            round_half_up(
+                F.expr("percentile(o_totalprice, 0.9)"), 6
+            ).alias("p90"),
+            round_half_up(
+                F.expr("percentile(o_totalprice, 0.99)"), 6
+            ).alias("p99"),
         )
     )
 
@@ -918,8 +927,11 @@ def q_heartbeat_gaps(spark, sf_dir):
     )
     now = F.lit("2024-02-01 00:00:00").cast("timestamp")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ts_s = F.col("ts").cast("long")
-    g = ev.repartition(F.col("user_id")).select(
+    # Under a vanilla session the parquet ts reads as TIMESTAMP_NTZ,
+    # which cannot cast straight to long in Spark 4 — route via
+    # timestamp first (no-op under the engine's pinned session config).
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    g = ev.select(
         "user_id",
         "ts",
         (ts_s - F.lag(ts_s).over(w)).alias("gap_s"),

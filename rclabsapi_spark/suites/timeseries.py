@@ -210,10 +210,13 @@ def q_scd2(spark, sf_dir):
 
 @query("ts_gap_fill_interpolate", _GAP_FILL_ORACLE, bench=True)
 def q_gap_fill(spark, sf_dir):
-    """Gap-fill the per-user event-value series to hourly grain: spine via
-    sequence/explode from per-key bounds (size = keys × span/grain,
-    independent of input rows), forward-fill and linear interpolation as
-    two window passes over one user_id partitioning."""
+    """Gap-fill the per-user event-value series to hourly grain via run
+    emission: each observed hourly bucket emits itself plus its gap run
+    (sequence/explode up to the next observed bucket — output is keys ×
+    span/grain, independent of input rows), with ignore-nulls fill
+    sources computed as O(n) running window frames over the same single
+    user_id partitioning; both fills are then per-row arithmetic on the
+    emitted rows — no spine relation, no spine⋈obs join."""
     events = load_table(spark, sf_dir, "events")
     return gap_fill(
         events, key_col="user_id", ts_col="ts", value_col="value", grain="hour"

@@ -151,3 +151,42 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
         (F.col("x") < 16) & (F.col("y") < 16)
     ).count()
     assert got == 16 * 16
+
+
+def test_zorder_empty_and_null_guards(spark, tmp_path):
+    """Empty input degrades to a plain write (no TypeError on None
+    bounds); NULL z-column values rank at the range minimum and survive
+    the write."""
+    from rclabsapi_spark.layout import write_zordered
+
+    schema = "a double, b double, payload int"
+    empty = spark.createDataFrame([], schema)
+    p_empty = str(tmp_path / "empty")
+    write_zordered(empty, p_empty, zorder_cols=["a", "b"], num_files=4)
+    assert spark.read.parquet(p_empty).count() == 0
+
+    rows = [(None, 5.0, 1), (1.0, None, 2), (2.0, 3.0, 3), (None, None, 4)]
+    nulls = spark.createDataFrame(rows, schema)
+    p_nulls = str(tmp_path / "nulls")
+    write_zordered(nulls, p_nulls, zorder_cols=["a", "b"], num_files=2)
+    back = spark.read.parquet(p_nulls)
+    assert back.count() == 4
+    assert sorted(r.payload for r in back.collect()) == [1, 2, 3, 4]
+
+    all_null = spark.createDataFrame(
+        [(None, None, 1), (None, None, 2)], schema
+    )
+    p_alln = str(tmp_path / "allnull")
+    write_zordered(all_null, p_alln, zorder_cols=["a", "b"], num_files=2)
+    assert spark.read.parquet(p_alln).count() == 2
+
+
+def test_compact_zorder_empty_table(spark, tmp_path):
+    """compact_parquet(zorder_cols=...) on an empty table completes."""
+    from rclabsapi_spark.maintenance import compact_parquet
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame([], "a double, b double").write.parquet(path)
+    stats = compact_parquet(spark, path, zorder_cols=["a", "b"])
+    assert stats.files_after >= 0
+    assert spark.read.parquet(path).count() == 0

@@ -191,13 +191,16 @@ def test_scd2_single_entity_key_exchange(spark):
 
 def test_gap_fill_single_scan_single_exchange(spark):
     """Gap-fill: run-emission design — one scan, one key exchange shared
-    by the bucket aggregate and the lead window, one Window operator
-    (the spine-join formulation scanned and shuffled twice and its
-    unbounded-following lookup was O(rows²) per key)."""
+    by the bucket aggregate and both window passes, exactly two Window
+    operators (ascending lead+ffill, descending ignore-nulls next-lookup
+    — the second is a sort, not a shuffle; the spine-join formulation
+    scanned and shuffled twice and its unbounded-following lookup was
+    O(rows²) per key)."""
     plan = _plan(spark, "ts_gap_fill_interpolate")
     assert _scans(plan)["events"] == 1
     assert plan.count("Exchange") == 1
-    assert plan.count("Window") == 1
+    assert plan.count("Window") == 2
+    assert "unboundedpreceding$(), -1" in plan  # running frame, not UNB FOLLOWING
 
 
 def test_chunking_and_split_are_scan_only(spark):
