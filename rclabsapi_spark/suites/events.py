@@ -269,25 +269,34 @@ GROUP BY 1, 2
 def q_cohort_retention(spark, sf_dir):
     """Weekly cohort retention: users bucketed by the week of their first
     event, counted distinct per (cohort, weeks-since) — the engagement
-    rollup every event dashboard draws. Both aggregates and the join
-    cluster on user_id (one fact shuffle; the per-user firsts relation
-    is corpus-users-sized and co-partitioned, broadcast at fixture
-    scale); week offsets are exact (week-starts differ by multiples of
-    7 days in both engines, Monday-anchored date_trunc)."""
+    rollup every event dashboard draws. SINGLE fact scan, single fact
+    shuffle: distinct (user, week) pairs under a user_id repartition
+    (hashpartitioning(user_id) satisfies the (user_id, week) clustering),
+    cohort week as min(week) over the same partitioning — date_trunc is
+    monotone, so min(trunc(ts)) == trunc(min(ts)) and no separate firsts
+    relation or join is needed. The rows reaching the final (cohort,
+    offset) aggregate are already one-per-(user, week), so the distinct
+    count degenerates to a plain count of the pre-shrunk relation. Week
+    offsets are exact (week-starts differ by multiples of 7 days in both
+    engines, Monday-anchored date_trunc)."""
     ev = load_table(spark, sf_dir, "events")
-    firsts = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    weeks = (
+        ev.select(
+            "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+        )
+        .repartition(F.col("user_id"))
+        .distinct()
     )
-    active = ev.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
-    ).distinct()
-    j = active.join(firsts, "user_id")
-    return j.groupBy(
+    w_u = Window.partitionBy("user_id")
+    cohorted = weeks.select(
+        "user_id", "week", F.min("week").over(w_u).alias("cohort_week")
+    )
+    return cohorted.groupBy(
         "cohort_week",
         F.floor(
             F.datediff(F.col("week"), F.col("cohort_week")) / 7
         ).cast("long").alias("week_offset"),
-    ).agg(F.count_distinct("user_id").alias("n_users"))
+    ).agg(F.count(F.lit(1)).alias("n_users"))
 
 
 # ---------------------------------------------------------------------------
@@ -322,31 +331,62 @@ def q_funnel(spark, sf_dir):
     """Ordered funnel: view → click-after-view → purchase-after-click,
     counting users surviving each stage (order matters: a click BEFORE
     the first view doesn't advance the funnel — the windowed-sequence
-    semantics a naive per-type count gets wrong). Three per-user min
-    aggregates chained by joins, all clustering on user_id — one
-    logical shuffle key end-to-end; stage relations shrink
-    monotonically."""
-    ev = load_table(spark, sf_dir, "events")
+    semantics a naive per-type count gets wrong). SINGLE fact scan,
+    single fact shuffle: two stacked running-min window passes over one
+    user_id partitioning (RANGE frames on epoch seconds, so same-instant
+    events qualify, matching the oracle's >=) mark each row with the
+    earliest view / earliest qualifying click seen so far — a stage-k
+    event qualifies iff a stage-(k-1) marker exists at-or-before it,
+    which is exactly ts >= min(qualifying prev stage). Per-user flags
+    then collapse in the same partitioning and one singleton aggregate
+    unpivots to the 3 stage rows. (The join-chain formulation scanned
+    the fact 5× with 9 exchanges; this is 1 scan, 1 fact exchange.)"""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    # NTZ-safe epoch ordering (vanilla sessions read parquet ts as
+    # TIMESTAMP_NTZ, which cannot cast straight to long).
+    ts_s = F.col("ts").cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_s)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_view = F.col("event_type") == "view"
+    is_click = F.col("event_type") == "click"
+    is_purchase = F.col("event_type") == "purchase"
 
-    def stage_min(df, etype, after=None, after_col=None):
-        e = df.filter(F.col("event_type") == etype)
-        if after is not None:
-            e = e.join(after, "user_id").filter(
-                F.col("ts") >= F.col(after_col)
-            )
-        return e.groupBy("user_id").agg(F.min("ts").alias(f"t_{etype}"))
-
-    v = stage_min(ev, "view")
-    c = stage_min(ev, "click", after=v, after_col="t_view")
-    p = stage_min(ev, "purchase", after=c, after_col="t_click")
-
-    def count_row(df, name):
-        return df.agg(
-            F.count(F.lit(1)).alias("n_users")
-        ).select(F.lit(name).alias("stage"), "n_users")
-
-    return (
-        count_row(v, "view")
-        .unionByName(count_row(c, "click"))
-        .unionByName(count_row(p, "purchase"))
+    s1 = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(F.when(is_view, F.col("ts"))).over(w).alias("t_view_le"),
+    )
+    qual_click = F.when(
+        is_click & F.col("t_view_le").isNotNull(), F.col("ts")
+    )
+    s2 = s1.select(
+        "user_id",
+        "event_type",
+        "t_view_le",
+        qual_click.alias("t_qual_click"),
+        F.min(qual_click).over(w).alias("t_click_le"),
+    )
+    flags = s2.groupBy("user_id").agg(
+        F.max(is_view.cast("int")).alias("v"),
+        F.max(F.col("t_qual_click").isNotNull().cast("int")).alias("c"),
+        F.max(
+            (is_purchase & F.col("t_click_le").isNotNull()).cast("int")
+        ).alias("p"),
+    )
+    totals = flags.agg(
+        F.sum("v").alias("view"),
+        F.sum("c").alias("click"),
+        F.sum("p").alias("purchase"),
+    )
+    return totals.select(
+        F.expr(
+            "stack(3, 'view', view, 'click', click,"
+            " 'purchase', purchase) AS (stage, n_users)"
+        )
     )

@@ -221,3 +221,93 @@ def test_incremental_dedup_hash_clustered(spark):
     assert _scans(plan)["documents"] == 2  # batch + fingerprint store
     assert plan.count("Exchange hashpartitioning") == 2
     assert "hashpartitioning(text_hash" in plan
+
+
+def test_cohort_retention_single_scan_user_clustered(spark):
+    """Cohort retention: ONE fact scan, ONE user_id exchange shared by
+    the distinct, the min-week window, and the per-user rows feeding the
+    final small (cohort, offset) aggregate — no firsts join, no
+    count-distinct expand."""
+    plan = _plan(spark, "w_cohort_retention")
+    assert _scans(plan)["events"] == 1
+    assert plan.count("Exchange") == 2  # user_id + tiny final agg
+    assert "hashpartitioning(user_id" in plan
+    assert "Expand" not in plan
+
+
+def test_funnel_single_scan_user_clustered(spark):
+    """Ordered funnel: ONE fact scan; the two stacked running-min window
+    passes and the per-user flag aggregate all reuse one user_id
+    exchange; only the 3-row unpivot gathers to a single partition."""
+    plan = _plan(spark, "w_funnel_stages")
+    assert _scans(plan)["events"] == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_heartbeat_gaps_single_scan_single_exchange(spark):
+    """Heartbeat audit: lag window, gap aggregate, and tail aggregate
+    all cluster on user_id — one scan, one exchange."""
+    plan = _plan(spark, "dq_heartbeat_gaps")
+    assert _scans(plan)["events"] == 1
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_fk_orphans_broadcasts_dims(spark):
+    """FK audit: every dimension side is broadcast (the fact sides are
+    never shuffled for the anti joins); each fact table is scanned once
+    per FK it participates in, no more."""
+    plan = _plan(spark, "dq_fk_orphans")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert plan.count("SortMergeJoin") == 0
+
+
+def test_a16_by_group_single_scan(spark):
+    """Per-group exact percentiles: one scan, one group-key exchange."""
+    plan = _plan(spark, "a16_percentiles_by_group")
+    assert _scans(plan)["orders"] == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_asof_forward_single_exchange_key(spark):
+    """Forward as-of: the union-window design shuffles on user_id only
+    (both branches), never sort-merges a range join."""
+    plan = _plan(spark, "j_asof_forward")
+    assert _scans(plan)["events"] == 2  # clicks + purchases branches
+    assert "hashpartitioning(user_id" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_quality_curriculum_two_scans_no_selfjoin(spark):
+    """Curriculum sampling: one tiny quartile-bounds aggregate whose
+    single row broadcasts onto the filter pass — the keep decision is a
+    per-row expression against the broadcast bounds, never a shuffled
+    docs⋈docs join."""
+    plan = _plan(spark, "sample_quality_curriculum")
+    assert _scans(plan)["documents"] == 2  # bounds agg + filter pass
+    assert "SortMergeJoin" not in plan
+    assert "IdentityBroadcastMode" in plan  # the 1-row bounds relation
+
+
+def test_split_contamination_fingerprints_only(spark):
+    """Split-contamination audit: in the FINAL adaptive plan every
+    cross-split join runs broadcast on md5 fingerprints (AQE converts
+    the static sort-merge once it sees the split sizes); document
+    bodies are never shuffled."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(
+        _REG["train_split_contamination"].fn(spark, SF_CORRECT)
+    )
+    assert scans["documents"] == 3  # train fingerprints + val + test
+    assert counts["bhj"] >= 2
+    assert counts["smj"] == 0
+
+
+def test_incremental_dedup_store_side_fingerprints(spark):
+    """Incremental dedup: batch window + store distinct cluster on the
+    32-byte hash; the store side projects the fingerprint column only."""
+    plan = _plan(spark, "dedup_incremental")
+    assert _scans(plan)["documents"] == 2
+    assert "hashpartitioning(text_hash" in plan
