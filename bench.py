@@ -4,10 +4,19 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line:
 
     {"metric": ..., "value": total_sec, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": ...}
+     "queries": {name: sec, ...}, "sf": ...,
+     "slope": {"sf_low": ..., "queries_low": {...}, "ratio": {...}}}
 
 Each query is fully materialized through a noop sink (forces the complete
 plan — scan, shuffles, projections — with no collect-to-driver skew).
+
+The slope block is the local proxy for the 100×-scale claim: the same
+set runs at a 10×-smaller SF and the per-query time ratio is emitted. A
+query whose time grows much faster than the data (ratio >> 10×) has a
+hidden driver bottleneck or quadratic path that the flat big-SF number
+can't expose. Disable with SPARK_GRAFT_SLOPE=0 (the low-SF dir is
+derived by swapping the sf token in $SPARK_GRAFT_SF_DIR, overridable via
+SPARK_GRAFT_SLOPE_SF_DIR).
 """
 
 from __future__ import annotations
@@ -24,6 +33,29 @@ from rclabsapi_spark.registry import get_registry
 from rclabsapi_spark.session import get_spark
 
 
+def _time_all(spark, bench_specs, sf_dir, runs=2):
+    """Warm each query once un-timed (JVM classloading + whole-stage
+    codegen — one-time costs on a long-lived cluster), then keep the min
+    of ``runs`` timed executions: a transient load spike on a shared
+    machine (GC, another tenant) inflates one sample, not both — the min
+    is the steady-state cost of the plan, which is what we measure. The
+    noop sink forces full plan execution with no driver collect."""
+
+    def run(spec):
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    for spec in bench_specs.values():
+        run(spec)
+
+    samples: dict[str, list[float]] = {n: [] for n in bench_specs}
+    for _ in range(runs):
+        for name, spec in bench_specs.items():
+            t0 = time.perf_counter()
+            run(spec)
+            samples[name].append(round(time.perf_counter() - t0, 3))
+    return {name: min(ts) for name, ts in samples.items()}, samples
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -35,29 +67,35 @@ def main() -> None:
     registry = get_registry()
     bench_specs = {n: s for n, s in sorted(registry.items()) if s.bench}
 
-    # Steady-state methodology: run each query once un-timed (JVM
-    # classloading + whole-stage-codegen compilation happen here — on a
-    # long-lived cluster those are one-time costs), then time the second
-    # run. The noop sink forces full plan execution with no driver
-    # collect.
-    def run(spec):
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    timings, samples = _time_all(spark, bench_specs, sf_dir)
 
-    for spec in bench_specs.values():
-        run(spec)
-
-    # Min of two timed runs per query: a transient load spike on a shared
-    # machine (GC, another tenant) inflates one sample, not both — the min
-    # is the steady-state cost of the plan, which is what we're measuring.
-    # The raw per-run samples are also emitted so rounds stay comparable
-    # run-vs-run as well as min-vs-min (r1-r3 were single-run).
-    samples: dict[str, list[float]] = {n: [] for n in bench_specs}
-    for _ in range(2):
-        for name, spec in bench_specs.items():
-            t0 = time.perf_counter()
-            run(spec)
-            samples[name].append(round(time.perf_counter() - t0, 3))
-    timings = {name: min(ts) for name, ts in samples.items()}
+    # Scaling slope: re-run the set one SF down (default 10× less data)
+    # and report t_high / t_low per query. Linear-in-data queries land
+    # well under the data ratio (fixed per-query overhead dominates the
+    # small-SF run); anything far above it is superlinear and needs a
+    # plan audit. Raw per-run samples are emitted for the main SF only.
+    slope = None
+    if os.environ.get("SPARK_GRAFT_SLOPE", "1") != "0" and sf is not None:
+        low_dir = os.environ.get("SPARK_GRAFT_SLOPE_SF_DIR")
+        low_sf = None
+        if low_dir is None:
+            low_sf = sf / 10
+            cand = sf_dir.replace(f"sf{sf:g}", f"sf{low_sf:g}")
+            low_dir = cand if cand != sf_dir and os.path.isdir(cand) else None
+        elif (m2 := re.search(r"sf([0-9.]+)", low_dir)) is not None:
+            low_sf = float(m2.group(1).rstrip("."))
+        if low_dir is not None and os.path.isdir(low_dir):
+            low_timings, _ = _time_all(spark, bench_specs, low_dir, runs=1)
+            slope = {
+                "sf_low": low_sf,
+                "queries_low": low_timings,
+                "ratio": {
+                    n: round(timings[n] / low_timings[n], 2)
+                    if low_timings[n] > 0
+                    else None
+                    for n in timings
+                },
+            }
 
     # Rows-per-second context for the reference's ops/sec baselines: total
     # input rows consumed by the headline set over its total wall-clock.
@@ -70,20 +108,19 @@ def main() -> None:
     rows_scanned = len(timings) * max(table_rows.values())
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wallclock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "samples": samples,
-                "sf": sf,
-                "rows_per_sec": int(rows_scanned / total) if total > 0 else None,
-                "n_queries": len(timings),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_query_wallclock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "samples": samples,
+        "sf": sf,
+        "rows_per_sec": int(rows_scanned / total) if total > 0 else None,
+        "n_queries": len(timings),
+    }
+    if slope is not None:
+        out["slope"] = slope
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

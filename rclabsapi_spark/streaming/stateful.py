@@ -297,3 +297,123 @@ def stream_exact_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols or ["event_id"]
     )
+
+
+def _funnel_group(
+    key,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Per-user ordered-funnel tracker, exact under ANY arrival order.
+
+    The batch invariants this must reproduce (suites/events.py
+    q_funnel): a click advances the funnel iff click.ts >= min(view ts);
+    a purchase iff purchase.ts >= min(qualifying click ts). Both
+    thresholds are MONOTONE NON-INCREASING as events arrive (a new view
+    can only lower t_view; a lower t_view or new click can only lower
+    t_qual_click), and purchase qualification is therefore STICKY —
+    once a purchase beats the current threshold it beats every future
+    one. So exactness needs only:
+
+    - the current thresholds (two scalars),
+    - candidate clicks BELOW t_view (they qualify iff t_view later
+      drops past them — clicks at/above it fold into the min and are
+      dropped),
+    - candidate purchases below t_qual_click, discarded wholesale the
+      moment one qualifies.
+
+    State is O(#distinct pre-view click ts + #pre-click purchase ts)
+    per user — events that precede the funnel's frontier — not O(all
+    events); a completed funnel clears to the two scalars.
+    """
+    if state.exists:
+        t_view, t_qual, cands_c, cands_p, has_p, seq = state.get
+        cands_c = set(cands_c or [])
+        cands_p = set(cands_p or [])
+        has_p = bool(has_p)
+    else:
+        t_view, t_qual, cands_c, cands_p, has_p, seq = (
+            None, None, set(), set(), False, 0
+        )
+
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    ns = rows["ts"].astype("int64")
+    et = rows["event_type"]
+    views = ns[et == "view"]
+    if len(views):
+        v = int(views.min())
+        t_view = v if t_view is None else min(t_view, v)
+    cands_c.update(int(x) for x in ns[et == "click"])
+    if t_view is not None and cands_c:
+        qual = {c for c in cands_c if c >= t_view}
+        if qual:
+            q = min(qual)
+            t_qual = q if t_qual is None else min(t_qual, q)
+        cands_c -= qual
+    if not has_p:
+        cands_p.update(int(x) for x in ns[et == "purchase"])
+        if t_qual is not None and any(p >= t_qual for p in cands_p):
+            has_p = True
+    if has_p:
+        # flags can never regress; candidates are dead weight
+        cands_c, cands_p = set(), set()
+    seq += 1
+    state.update(
+        (t_view, t_qual, sorted(cands_c), sorted(cands_p), has_p, seq)
+    )
+    yield pd.DataFrame(
+        [(
+            key[0],
+            int(t_view is not None),
+            int(t_qual is not None),
+            int(has_p),
+            seq,
+        )],
+        columns=["user_id", "has_view", "has_click", "has_purchase", "seq"],
+    )
+
+
+def funnel_stream(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming ordered funnel (view → click-after-view →
+    purchase-after-click), the live twin of the batch `w_funnel_stages`
+    query — the reference pushes exactly this progression live over its
+    broadcast layer (message_broadcaster.cpp:154-233, ST1/ST7).
+
+    Emits one (user_id, has_view, has_click, has_purchase, seq) row per
+    key per micro-batch; the latest seq per key is that user's current
+    funnel state, and summing flags over keys reproduces the batch
+    3-stage counts EXACTLY regardless of how events are split or
+    ordered across micro-batches (see _funnel_group for why the state
+    stays small). State is checkpointed and key-partitioned — scales
+    horizontally like every applyInPandasWithState operator here."""
+
+    def fn(key, pdfs, state):
+        return _funnel_group(key, pdfs, state)
+
+    return (
+        events.select(
+            events[key_col].alias("user_id"),
+            events[ts_col].cast("timestamp").alias("ts"),
+            events[type_col].alias("event_type"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                "user_id long, has_view int, has_click int,"
+                " has_purchase int, seq long"
+            ),
+            stateStructType=(
+                "t_view long, t_qual_click long, cand_clicks array<long>,"
+                " cand_purchases array<long>, has_p boolean, seq long"
+            ),
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

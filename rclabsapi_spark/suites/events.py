@@ -265,7 +265,7 @@ GROUP BY 1, 2
 """
 
 
-@query("w_cohort_retention", _COHORT_ORACLE)
+@query("w_cohort_retention", _COHORT_ORACLE, bench=True)
 def q_cohort_retention(spark, sf_dir):
     """Weekly cohort retention: users bucketed by the week of their first
     event, counted distinct per (cohort, weeks-since) — the engagement
@@ -326,7 +326,7 @@ UNION ALL SELECT 'purchase', (SELECT COUNT(*) FROM p)::BIGINT
 """
 
 
-@query("w_funnel_stages", _FUNNEL_ORACLE)
+@query("w_funnel_stages", _FUNNEL_ORACLE, bench=True)
 def q_funnel(spark, sf_dir):
     """Ordered funnel: view → click-after-view → purchase-after-click,
     counting users surviving each stage (order matters: a click BEFORE

@@ -242,7 +242,7 @@ FROM ranked
 """
 
 
-@query("dedup_incremental", _INCR_DEDUP_ORACLE)
+@query("dedup_incremental", _INCR_DEDUP_ORACLE, bench=True)
 def q_dedup_incremental(spark, sf_dir):
     """Incremental exact dedup: the new batch (sources src10-19) against
     the fingerprint store of the already-ingested corpus (src0-9) —

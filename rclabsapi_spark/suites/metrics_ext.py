@@ -807,6 +807,7 @@ def q_vocab(spark, sf_dir):
               ON na.n_regionkey = r.r_regionkey
             WHERE r.r_regionkey IS NULL)::BIGINT
     """,
+    bench=True,
 )
 def q_dq_fk(spark, sf_dir):
     """Referential-integrity audit over the star schema's FK spine

@@ -238,7 +238,7 @@ FROM c ASOF LEFT JOIN p
 """
 
 
-@query("j_asof_forward", _ASOF_FWD_ORACLE)
+@query("j_asof_forward", _ASOF_FWD_ORACLE, bench=True)
 def q_asof_forward(spark, sf_dir):
     """Forward as-of join: each click gets the user's NEXT purchase value
     at or after the click (the time-to-next-event primitive). Same

@@ -596,3 +596,103 @@ def test_scd2_group_state_across_batches():
     )
     assert got2 == [(7, None, 4), (7, "B", 6)]
     assert st._v == ("B",)
+
+
+def _batch_funnel_flags(spark, events_path):
+    """Reference flags computed the obvious way (tiny fixture): per user,
+    t_view = min view ts; click qualifies iff >= t_view; purchase iff
+    >= min qualifying click. The registry's w_funnel_stages is the
+    oracle-verified batch form; this keeps the test independent of it."""
+    pdf = spark.read.parquet(events_path).select(
+        "user_id", "ts", "event_type"
+    ).toPandas()
+    flags = {}
+    for uid, g in pdf.groupby("user_id"):
+        views = g.loc[g.event_type == "view", "ts"]
+        t_view = views.min() if len(views) else None
+        has_v = t_view is not None
+        t_qual = None
+        if has_v:
+            qc = g.loc[(g.event_type == "click") & (g.ts >= t_view), "ts"]
+            t_qual = qc.min() if len(qc) else None
+        has_p = t_qual is not None and bool(
+            ((g.event_type == "purchase") & (g.ts >= t_qual)).any()
+        )
+        flags[uid] = (int(has_v), int(t_qual is not None), int(has_p))
+    return flags
+
+
+def _streamed_funnel_flags(spark, in_dir, ckpt, qname):
+    from rclabsapi_spark.streaming.stateful import funnel_stream
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")  # force one micro-batch per file
+        .load(in_dir)
+    )
+    q = (
+        funnel_stream(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        f"""
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER
+                (PARTITION BY user_id ORDER BY seq DESC) AS rn
+            FROM {qname}
+        ) WHERE rn = 1
+        """
+    ).collect()
+    return {
+        r["user_id"]: (r["has_view"], r["has_click"], r["has_purchase"])
+        for r in rows
+    }
+
+
+def test_streaming_funnel_matches_batch(spark, events_dir, tmp_path):
+    """Live funnel == batch funnel on the same events, replayed as one
+    micro-batch per file."""
+    expected = _batch_funnel_flags(spark, events_dir)
+    assert sum(f[2] for f in expected.values()) > 0  # funnel completes
+
+    in_dir = str(tmp_path / "funnel_in")
+    spark.read.parquet(events_dir).repartition(4).write.parquet(in_dir)
+    got = _streamed_funnel_flags(
+        spark, in_dir, str(tmp_path / "ckpt_funnel"), "funnel_out"
+    )
+    assert got == _batch_funnel_flags(spark, in_dir)
+    assert got == expected
+
+
+def test_streaming_funnel_exact_under_reversed_arrival(spark, events_dir, tmp_path):
+    """Adversarial replay: files split by DESCENDING timestamp, so every
+    later micro-batch delivers EARLIER events — views arrive after the
+    clicks they retroactively qualify, clicks after the purchases. The
+    pruned-candidate state must converge to the same flags as batch."""
+    expected = _batch_funnel_flags(spark, events_dir)
+
+    ev = spark.read.parquet(events_dir)
+    in_dir = str(tmp_path / "funnel_rev_in")
+    # 4 contiguous DESC time slices → slice 0 (latest events) is batch 0
+    ranked = ev.withColumn(
+        "slice",
+        F.ntile(4).over(
+            __import__("pyspark.sql.window", fromlist=["Window"])
+            .Window.orderBy(F.col("ts").desc())
+        ),
+    )
+    for i in range(1, 5):
+        ranked.filter(F.col("slice") == i).drop("slice").coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+    got = _streamed_funnel_flags(
+        spark, in_dir, str(tmp_path / "ckpt_funnel_rev"), "funnel_rev_out"
+    )
+    assert got == expected
