@@ -1,0 +1,53 @@
+"""Ranked-retrieval unit semantics: hand-checkable corpus, ranking order,
+BM25 saturation/length-normalization behavior."""
+
+from __future__ import annotations
+
+import math
+
+from rclabsapi_spark.llm.retrieval import bm25_topk, tfidf_topk
+
+DOCS = [
+    (1, "spark spark spark filler filler"),  # tf=3, long-ish
+    (2, "spark filler"),                     # tf=1, short
+    (3, "filler filler filler"),             # no match
+    (4, "spark spark rare"),                 # tf=2 + the rare term
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_tfidf_ranking_and_scores(spark):
+    rows = tfidf_topk(_df(spark), ["spark", "rare"], k=10).collect()
+    # doc 3 has no query term — absent entirely
+    assert [r.doc_id for r in rows] == [4, 1, 2]
+    by_id = {r.doc_id: r for r in rows}
+    idf_spark = math.log(4 / 3)
+    idf_rare = math.log(4 / 1)
+    expect4 = 2 * idf_spark + 1 * idf_rare
+    assert abs(by_id[4].score - expect4) < 1e-6
+    assert by_id[4].n_terms == 2 and by_id[1].n_terms == 1
+
+
+def test_bm25_rewards_rarity_and_penalizes_length(spark):
+    rows = bm25_topk(_df(spark), ["spark", "rare"], k=10).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert 3 not in by_id
+    # the rare term dominates: doc 4 outranks the tf=3 doc 1
+    assert rows[0].doc_id == 4
+    # same tf=1 for 'spark' would tie docs 1 vs 2 under raw tf; BM25's
+    # length normalization must rank the short doc 2 above doc 1 if both
+    # had equal tf — here doc 1 has tf=3 but dl=5 vs doc 2 tf=1 dl=2;
+    # saturation caps the tf advantage below 3x
+    assert by_id[1].score < 3 * by_id[2].score
+
+
+def test_topk_limit_and_tiebreak(spark):
+    dup = spark.createDataFrame(
+        [(i, "spark") for i in range(10)], ["doc_id", "text"]
+    )
+    rows = tfidf_topk(dup, ["spark"], k=4).collect()
+    # identical scores -> doc_id ascending tie-break, limit respected
+    assert [r.doc_id for r in rows] == [0, 1, 2, 3]
