@@ -1,0 +1,217 @@
+"""Event-log / customer analytics operators: Markov path transitions,
+n-gram path mining, RFM segmentation, robust (median/MAD) anomaly
+detection, per-group heavy hitters, and mergeable partial aggregates.
+
+These extend the reference's metrics rollups (job_monitoring_models.cpp
+A1-A17) with the standard OLAP analytics a monitoring/event store grows
+next: "what do users do after X", "which accounts are my best", "which
+day's volume is abnormal". All pure DataFrame/Catalyst — no UDFs, no
+driver loops.
+
+Scale posture per operator is documented on the function; the common
+theme is ONE fact-table shuffle on the entity key, with every later
+reduction either re-using that clustering (window over the same key, or
+a groupBy whose keys are a superset of the partitioning) or operating on
+the already-tiny aggregate relation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def transition_matrix(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """First-order Markov transitions between consecutive events per key:
+    (from_type, to_type, n, p) where p is the row-conditional probability
+    n / Σ_to n.
+
+    One fact shuffle (the per-key lead window); the transition counts are
+    a |types|² relation, so the probability-normalizing window over
+    from_type is driver-trivial. p divides exact integer counts — bit-
+    identical across engines, no rounding needed."""
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    seq = events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w_from).cast("double"))
+        .alias("p"),
+    )
+
+
+def path_trigrams(
+    events: DataFrame,
+    *,
+    k: int = 10,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Top-k length-3 event paths (t1→t2→t3 within one key's timeline):
+    the "common journeys" miner. Two stacked leads over ONE per-key
+    window ordering (one shuffle, one sort), counts partial-combine, and
+    the top-k is TakeOrdered with a full lexicographic tie-break so the
+    boundary is deterministic."""
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    seq = events.select(
+        F.col(type_col).alias("t1"),
+        F.lead(type_col, 1).over(w).alias("t2"),
+        F.lead(type_col, 2).over(w).alias("t3"),
+    ).filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+    return (
+        seq.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "t1", "t2", "t3")
+        .limit(k)
+    )
+
+
+def rfm_scores(
+    orders: DataFrame,
+    *,
+    now: str,
+    key_col: str = "o_custkey",
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    buckets: int = 4,
+) -> DataFrame:
+    """Classic RFM scoring: per customer recency (days since last order,
+    vs a frozen ``now``), frequency (order count), monetary (total
+    spend), each quartiled with ``ntile``.
+
+    Determinism: ntile is order-sensitive, so every ORDER BY carries the
+    customer key as tie-break, and monetary — an accumulation-ordered
+    float sum — is rounded to 6 decimals *before* it is ranked, so both
+    engines rank the same values. One fact shuffle (the per-customer
+    aggregate); the three ntile windows are global-order operations over
+    the customer relation — fine for dashboard-sized customer counts; at
+    ≫10⁸ customers swap ntile for percentile-threshold joins (the
+    documented scale path for global ranks)."""
+    per_cust = orders.groupBy(key_col).agg(
+        F.datediff(F.lit(now).cast("date"), F.max(date_col).cast("date"))
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum(amount_col), 6).alias("monetary"),
+    )
+    w_r = Window.orderBy("recency_days", key_col)
+    w_f = Window.orderBy(F.col("frequency").desc(), key_col)
+    w_m = Window.orderBy(F.col("monetary").desc(), key_col)
+    return per_cust.select(
+        F.col(key_col),
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(buckets).over(w_r).alias("r_score"),
+        F.ntile(buckets).over(w_f).alias("f_score"),
+        F.ntile(buckets).over(w_m).alias("m_score"),
+    )
+
+
+def mad_anomalies(
+    counted: DataFrame,
+    *,
+    group_cols: tuple[str, ...],
+    value_col: str,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Robust outlier flagging: |x − median| > threshold·MAD per group,
+    the median/MAD analog of the reference's threshold alerts (ST6,
+    system_metrics.hpp:43-54) that needs no hand-tuned absolute limit.
+
+    ``counted`` is an already-aggregated relation (e.g. daily counts), so
+    both median passes run over tiny per-group relations; the group
+    medians broadcast back. Exact medians keep oracle parity (counts are
+    integers; the even-cardinality midpoint average is exact in doubles);
+    the GK-sketch swap applies when groups are huge (see operators/
+    approx.py)."""
+    gcols = list(group_cols)
+    v = F.col(value_col).cast("double")
+    med = counted.groupBy(*gcols).agg(F.median(v).alias("med"))
+    with_med = counted.join(F.broadcast(med), gcols)
+    dev = F.abs(v - F.col("med"))
+    mad = with_med.groupBy(*gcols).agg(F.median(dev).alias("mad"))
+    return (
+        with_med.join(F.broadcast(mad), gcols)
+        .withColumn("is_anomaly", dev > F.lit(threshold) * F.col("mad"))
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    *,
+    group_col: str,
+    item_col: str,
+    k: int = 2,
+) -> DataFrame:
+    """Top-k most frequent items per group (rank by count desc, item asc
+    — fully deterministic). ONE shuffle: an explicit repartition on the
+    group key lets both the (group, item) count and the ranking window
+    reuse the same clustering (hashpartitioning(group) satisfies the
+    aggregate's (group, item) distribution)."""
+    counts = (
+        df.repartition(F.col(group_col))
+        .groupBy(group_col, item_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("n").desc(), item_col)
+    return counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def merge_partial_aggs(
+    df: DataFrame,
+    *,
+    part_col: Column,
+    group_cols: tuple[str, ...],
+    value_col: str,
+) -> DataFrame:
+    """Incremental-aggregate maintenance: compute mergeable partial
+    state (count, sum, min, max) per (partition, group), then MERGE the
+    partials into the final per-group aggregate — the algebra that lets
+    a 100 TB rollup absorb a new day's partition without rescanning
+    history (count/sum add, min/max fold, avg derives as sum/count;
+    the same decomposition Spark itself uses for map-side combine).
+
+    Returns the merged per-group relation; correctness contract is
+    merge(partials) ≡ full recompute, which the registry oracle checks
+    by computing the full aggregate directly."""
+    gcols = list(group_cols)
+    v = F.col(value_col)
+    partials = df.groupBy(part_col.alias("__part"), *gcols).agg(
+        F.count(F.lit(1)).alias("p_cnt"),
+        F.sum(v).alias("p_sum"),
+        F.min(v).alias("p_min"),
+        F.max(v).alias("p_max"),
+    )
+    merged = partials.groupBy(*gcols).agg(
+        F.sum("p_cnt").alias("n"),
+        F.sum("p_sum").alias("sum_v"),
+        F.min("p_min").alias("min_v"),
+        F.max("p_max").alias("max_v"),
+    )
+    return merged.select(
+        *gcols,
+        "n",
+        F.round(F.col("sum_v"), 6).alias("sum_v"),
+        "min_v",
+        "max_v",
+        F.round(F.col("sum_v") / F.col("n"), 6).alias("avg_v"),
+    )

@@ -1,0 +1,250 @@
+"""Event-log / customer analytics suite: path mining, RFM segmentation,
+robust anomaly detection, cross-tab pivot, per-group heavy hitters, and
+incremental-aggregate maintenance — the OLAP layer a monitoring store
+(job_monitoring_models.cpp's A-series rollups) grows once dashboards ask
+"what happens next / who matters / what's abnormal" instead of plain
+counts. Implementations in operators/analytics.py; all single-fact-scan,
+UDF-free plans.
+
+"now" is frozen per domain (registry.py): orders → 2002-01-01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rclabsapi_spark.catalog import load_table
+from rclabsapi_spark.operators.analytics import (
+    heavy_hitters,
+    mad_anomalies,
+    merge_partial_aggs,
+    path_trigrams,
+    rfm_scores,
+    transition_matrix,
+)
+from rclabsapi_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# Markov path analysis over the event log
+# ---------------------------------------------------------------------------
+
+_SEQ_WINDOW = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+
+_TRANSITIONS_ORACLE = f"""
+WITH seq AS (
+    SELECT event_type AS from_type,
+           LEAD(event_type) {_SEQ_WINDOW} AS to_type
+    FROM events
+),
+counts AS (
+    SELECT from_type, to_type, COUNT(*)::BIGINT AS n
+    FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       n::DOUBLE / (SUM(n) OVER (PARTITION BY from_type))::DOUBLE AS p
+FROM counts
+"""
+
+
+@query("path_transitions", _TRANSITIONS_ORACLE, bench=True)
+def q_transitions(spark, sf_dir):
+    """First-order Markov transition matrix between consecutive events
+    per user (ts, event_id ordering). One fact shuffle; p divides exact
+    integer counts — no rounding needed. operators/analytics.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return transition_matrix(ev)
+
+
+_TRIGRAMS_ORACLE = f"""
+WITH seq AS (
+    SELECT event_type AS t1,
+           LEAD(event_type, 1) {_SEQ_WINDOW} AS t2,
+           LEAD(event_type, 2) {_SEQ_WINDOW} AS t3
+    FROM events
+)
+SELECT t1, t2, t3, COUNT(*)::BIGINT AS n
+FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, t1, t2, t3
+LIMIT 10
+"""
+
+
+@query("path_top_trigrams", _TRIGRAMS_ORACLE, bench=True)
+def q_trigrams(spark, sf_dir):
+    """Top-10 three-step user journeys: two stacked leads over one
+    per-user window sort, TakeOrdered top-k with lexicographic
+    tie-break. operators/analytics.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return path_trigrams(ev, k=10)
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation over orders
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH per_cust AS (
+    SELECT o_custkey,
+           datediff('day', MAX(o_orderdate)::DATE, DATE '2002-01-01')::BIGINT
+               AS recency_days,
+           COUNT(*)::BIGINT AS frequency,
+           ROUND(SUM(o_totalprice), 6) AS monetary
+    FROM orders GROUP BY 1
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+       NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+       NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+FROM per_cust
+"""
+
+
+@query("rfm_segments", _RFM_ORACLE, bench=True)
+def q_rfm(spark, sf_dir):
+    """Per-customer RFM quartile scores against the frozen orders "now".
+    ntile orders carry the customer key as tie-break and rank the
+    6-decimal-rounded monetary sum, so the quartile boundaries are
+    deterministic in both engines. operators/analytics.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    return rfm_scores(orders, now="2002-01-01")
+
+
+# ---------------------------------------------------------------------------
+# Robust daily-volume anomaly detection (median/MAD)
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH daily AS (
+    SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day,
+           COUNT(*)::DOUBLE AS n
+    FROM events GROUP BY 1, 2
+),
+med AS (SELECT event_type, MEDIAN(n) AS med FROM daily GROUP BY 1),
+j AS (SELECT d.*, m.med FROM daily d JOIN med m USING (event_type)),
+mad AS (
+    SELECT event_type, MEDIAN(ABS(n - med)) AS mad FROM j GROUP BY 1
+)
+SELECT j.event_type, j.day, j.n, j.med, mad.mad,
+       ABS(j.n - j.med) > 3.0 * mad.mad AS is_anomaly
+FROM j JOIN mad USING (event_type)
+"""
+
+
+@query("anomaly_mad_daily", _MAD_ORACLE, bench=True)
+def q_mad(spark, sf_dir):
+    """Median/MAD outlier flags over per-type daily volumes — the
+    tuning-free robust version of ST6's absolute thresholds
+    (system_metrics.hpp:43-54). The fact aggregates once; both median
+    passes and joins run on the tiny (type, day) relation with broadcast
+    joins. Exact integer-midpoint medians keep cross-engine parity.
+    operators/analytics.py."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return mad_anomalies(
+        daily, group_cols=("event_type",), value_col="n"
+    ).select("event_type", "day", "n", "med", "mad", "is_anomaly")
+
+
+# ---------------------------------------------------------------------------
+# Cross-tab pivot: order counts status × priority
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PIVOT_ALIASES = ["p_urgent", "p_high", "p_medium", "p_not_specified", "p_low"]
+
+_PIVOT_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')::BIGINT AS p_urgent,
+       COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH')::BIGINT AS p_high,
+       COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')::BIGINT AS p_medium,
+       COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED')::BIGINT
+           AS p_not_specified,
+       COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW')::BIGINT AS p_low
+FROM orders GROUP BY 1
+"""
+
+
+@query("pivot_status_priority", _PIVOT_ORACLE, bench=True)
+def q_pivot(spark, sf_dir):
+    """Order counts cross-tabbed status × priority. The pivot values are
+    explicit, so Spark skips the extra distinct-values pass and compiles
+    to one conditional aggregate (same plan as the FILTER oracle) —
+    a single reduction to |statuses| rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    pv = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = pv.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{val}`"), F.lit(0)).alias(alias)
+            for val, alias in zip(_PRIORITIES, _PIVOT_ALIASES)
+        ],
+    )
+    return renamed
+
+
+# ---------------------------------------------------------------------------
+# Per-group heavy hitters
+# ---------------------------------------------------------------------------
+
+_HH_ORACLE = """
+WITH counts AS (
+    SELECT user_id, event_type, COUNT(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type, n, rank FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY n DESC, event_type) AS rank
+    FROM counts
+) WHERE rank <= 2
+"""
+
+
+@query("hh_top_events_per_user", _HH_ORACLE, bench=True)
+def q_heavy_hitters(spark, sf_dir):
+    """Each user's top-2 event types by count. ONE shuffle: the explicit
+    user_id repartition serves both the (user, type) aggregate and the
+    ranking window (hashpartitioning(user_id) satisfies the aggregate's
+    clustering). operators/analytics.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return heavy_hitters(ev, group_col="user_id", item_col="event_type", k=2)
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (mergeable partial state)
+# ---------------------------------------------------------------------------
+
+_INC_ORACLE = """
+SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day,
+       COUNT(*)::BIGINT AS n,
+       ROUND(SUM(value), 6) AS sum_v,
+       MIN(value) AS min_v,
+       MAX(value) AS max_v,
+       ROUND(SUM(value) / COUNT(*), 6) AS avg_v
+FROM events GROUP BY 1, 2
+"""
+
+
+@query("inc_agg_daily_merge", _INC_ORACLE, bench=True)
+def q_inc_agg(spark, sf_dir):
+    """Incremental rollup maintenance: per-(type, day) state computed as
+    mergeable partials over an 80/20 base/delta split of the fact (the
+    absorb-a-new-partition path at 100 TB), then merged — the oracle
+    recomputes the aggregate directly, proving merge(partials) ≡ full.
+    operators/analytics.py."""
+    ev = load_table(spark, sf_dir, "events")
+    part = F.when(F.col("event_id") % 10 < 8, F.lit("base")).otherwise(
+        F.lit("delta")
+    )
+    return merge_partial_aggs(
+        ev.withColumn("day", F.date_trunc("day", F.col("ts"))),
+        part_col=part,
+        group_cols=("event_type", "day"),
+        value_col="value",
+    )
