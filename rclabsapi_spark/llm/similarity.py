@@ -347,3 +347,84 @@ def ivf_topk(
         F.round(cosine(F.col("v"), F.col("qvec")), 6).alias("cosine_sim"),
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(key_col)).limit(k)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    literature): k-means-cluster the embedding space, then within each
+    cluster drop every vector that has a higher-priority (lower-key)
+    cluster-mate with cosine ≥ ``threshold``. Exact pairwise similarity
+    is only ever computed *inside* a cluster — the clustering is what
+    makes semantic dedup sub-quadratic at corpus scale.
+
+    Returns (key, centroid_id, status) with status kept|dropped for every
+    input vector.
+
+    Keep rule (deterministic, mirrors the exact/SimHash tiers): a vector
+    is dropped iff SOME lower-keyed member of its cluster is
+    ``threshold``-similar — the greedy scan-by-key semantic, not
+    transitive closure (near-dup *chains* stay collapsed to their
+    lowest-key survivor only within a cluster; cross-cluster chains are
+    by construction out of scope for SemDeDup).
+
+    Scale shape: k-means is K×dim driver pulls per iteration (the MLlib
+    pattern, see kmeans_centroids); assignment is one broadcast-join
+    scan; in-cluster pair generation reuses the sorted-members array
+    combinatorics of embedding_near_dup_pairs (one shuffle on
+    centroid_id, no self-join). Cluster sizes are corpus/k in
+    expectation — grow ``k`` with the corpus to bound the B² in-cluster
+    work (the paper runs K≈10⁵ for web-scale corpora); degenerate
+    clusters are dropped via ``max_cluster_size`` (cap documented, same
+    policy as the LSH tiers)."""
+    cents = kmeans_centroids(
+        embeddings, vec_col=vec_col, key_col=key_col, k=k, iters=iters
+    )
+    assigned = ivf_assign(
+        embeddings, vec_col=vec_col, key_col=key_col, centroids=cents
+    )
+    clusters = assigned.groupBy("centroid_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(key_col), F.col("v")))
+        ).alias("members")
+    )
+    if max_cluster_size is not None:
+        clusters = clusters.filter(F.size("members") <= max_cluster_size)
+    m = F.col("members")
+    # pair (x, y) with x.key < y.key — y is the drop candidate
+    pair_structs = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + F.lit(2), F.size(m) - i - F.lit(1)),
+                lambda y: F.struct(
+                    y[key_col].alias("dup_key"),
+                    F.round(cosine(x["v"], y["v"]), 9).alias("sim"),
+                ),
+            ),
+        )
+    )
+    dropped = (
+        clusters.select(F.explode(pair_structs).alias("p"))
+        .filter(F.col("p.sim") >= threshold)
+        .select(F.col("p.dup_key").alias(key_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("__d", F.lit(1)), key_col, "left")
+        .select(
+            key_col,
+            "centroid_id",
+            F.when(F.col("__d").isNotNull(), "dropped")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )

@@ -807,3 +807,24 @@ def q_quality_curriculum(spark, sf_dir):
         .filter(hash_bucket(F.col("doc_id"), salt="curr") < thr)
         .select("doc_id", "quality_score", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023) — cluster-then-prune
+# ---------------------------------------------------------------------------
+
+
+@query("dedup_semantic", None)
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the embeddings fixture: k-means (k=8, 2 iters,
+    deterministic first-k init) then in-cluster cosine pruning at 0.35,
+    keeping the lowest-keyed member of each near-dup pair. Rows-only in
+    the driver (the k-means driver loop is not SQL-expressible);
+    tests/test_semantic_dedup.py brute-force-verifies the in-cluster
+    prune against numpy all-pairs on the same clustering. Sixth dedup
+    tier (exact / MinHash / SimHash / n-gram / embedding-LSH / semantic),
+    llm/similarity.py::semantic_dedup."""
+    from rclabsapi_spark.llm.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=8, iters=2, threshold=0.35)
