@@ -135,12 +135,15 @@ def mad_anomalies(
     the median/MAD analog of the reference's threshold alerts (ST6,
     system_metrics.hpp:43-54) that needs no hand-tuned absolute limit.
 
-    ``counted`` is an already-aggregated relation (e.g. daily counts), so
-    both median passes run over tiny per-group relations; the group
-    medians broadcast back. Exact medians keep oracle parity (counts are
-    integers; the even-cardinality midpoint average is exact in doubles);
-    the GK-sketch swap applies when groups are huge (see operators/
-    approx.py)."""
+    ``counted`` is an already-aggregated relation (e.g. daily counts) and
+    is cached here — three consumers (group median, the deviation join,
+    the MAD median) read it, and without the cache each would re-run the
+    upstream fact aggregate. Both median passes run over the tiny cached
+    relation; the group medians broadcast back. Exact medians keep oracle
+    parity (counts are integers; the even-cardinality midpoint average is
+    exact in doubles); the GK-sketch swap applies when groups are huge
+    (see operators/approx.py)."""
+    counted = counted.cache()
     gcols = list(group_cols)
     v = F.col(value_col).cast("double")
     med = counted.groupBy(*gcols).agg(F.median(v).alias("med"))

@@ -59,3 +59,84 @@ def approx_quantiles(
             for i, p in enumerate(probs)
         ]
     )
+
+
+def mg_topk(
+    df: DataFrame,
+    col: str,
+    *,
+    summary_size: int = 64,
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k frequent items via merged per-partition
+    Misra–Gries summaries — the scale path for exact heavy hitters
+    (operators/analytics.py::heavy_hitters) when the item domain is too
+    large to aggregate exactly (URLs, n-grams, user agents at 100 TB).
+
+    Each partition maintains ONE Misra–Gries summary of ``summary_size``
+    counters across its Arrow batches (``mapInPandas`` receives the
+    batch iterator per partition, so the summary persists across
+    batches); the per-partition summaries — ≤ summary_size rows each —
+    are then merged by summing per-item lower bounds. Mergeable-summary
+    guarantee (Agarwal et al., PODS'12, public literature): writing n
+    for the total row count,
+
+      estimate ≤ true_count ≤ estimate + n/(summary_size+1)
+
+    and every item with true_count > n/(summary_size+1) survives into
+    the merged candidate set. The shuffle carries partitions×summary_size
+    tiny rows instead of the item domain; tests/test_approx.py pins the
+    error bound and its partitioning-invariance.
+
+    Output: (item, est, n_total) — top-k candidates by estimated lower
+    bound, ties broken on the item for determinism. Exactly ONE data
+    scan: each partition's row count rides along as a null-item sentinel
+    row in its summary, so n (needed for the error bound) needs no
+    second pass."""
+    import pandas as pd
+
+    def summarize(batches):
+        counters: dict = {}
+        n_part = 0
+        for pdf in batches:
+            for v in pdf[col]:
+                if v is None:
+                    continue
+                n_part += 1
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < summary_size:
+                    counters[v] = 1
+                else:
+                    # decrement-all: drop zeros (the MG step)
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame(
+            {
+                "item": list(counters) + [None],
+                "cnt": list(counters.values()) + [n_part],
+            }
+        )
+
+    src = df.select(F.col(col).cast("string").alias(col))
+    summaries = src.mapInPandas(
+        summarize, schema="item string, cnt long"
+    ).cache()  # ≤ partitions×(summary_size+1) rows; 2 consumers
+    merged = (
+        summaries.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("cnt").alias("est"))
+    )
+    total = summaries.filter(F.col("item").isNull()).agg(
+        F.sum("cnt").alias("n_total")
+    )
+    return (
+        merged.join(F.broadcast(total))
+        .orderBy(F.col("est").desc(), "item")
+        .limit(k)
+    )

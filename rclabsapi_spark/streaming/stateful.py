@@ -417,3 +417,75 @@ def funnel_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def _transitions_group(
+    key,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Per-user consecutive-transition counter for an event-time-ordered
+    feed: sort the micro-batch by (ts, event_id), prepend the carried
+    last event type, emit one (from, to, n) increment row per adjacent
+    pair, carry the new tail. State is ONE string per user — the
+    sequence itself is never retained.
+
+    Contract: micro-batches must arrive in event-time order per user
+    (the CDC/log-replay contract scd2_stream also requires); arbitrary
+    split POINTS are fine — the carried tail stitches batch boundaries.
+    Within a batch, arrival order is irrelevant (sorted here)."""
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+    types = rows["event_type"].tolist()
+    if state.exists:
+        (last_type,) = state.get
+        types = [last_type] + types
+    counts: dict[tuple[str, str], int] = {}
+    for a, b in zip(types[:-1], types[1:]):
+        counts[(a, b)] = counts.get((a, b), 0) + 1
+    state.update((types[-1],))
+    out = [
+        (key[0], a, b, n) for (a, b), n in sorted(counts.items())
+    ]
+    yield pd.DataFrame(
+        out, columns=["user_id", "from_type", "to_type", "n"]
+    )
+
+
+def transitions_stream(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming Markov transition counts — the live twin of the batch
+    ``path_transitions`` query (operators/analytics.py): summing the
+    emitted (from_type, to_type, n) increments over any prefix of the
+    stream reproduces the batch transition matrix over the same events
+    exactly. One scalar of state per user, checkpointed and
+    key-partitioned; the reference streams the same per-job progression
+    live over its broadcast layer (message_broadcaster.cpp:154-233)."""
+
+    def fn(key, pdfs, state):
+        return _transitions_group(key, pdfs, state)
+
+    return (
+        events.select(
+            events[key_col].alias("user_id"),
+            events[ts_col].cast("timestamp").alias("ts"),
+            events[type_col].alias("event_type"),
+            events[id_col].alias("event_id"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                "user_id long, from_type string, to_type string, n long"
+            ),
+            stateStructType="last_type string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -14,6 +14,7 @@ pinned in tests/test_approx.py.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from rclabsapi_spark.catalog import load_table
 from rclabsapi_spark.operators.approx import approx_distinct, approx_quantiles
@@ -79,3 +80,48 @@ def q_approx_quantiles(spark, sf_dir):
             & (F.abs(F.col("r95") - 0.95) <= 0.02)
         ).alias("rank_ok"),
     )
+
+
+@query(
+    "approx_mg_topk_bound",
+    """
+    WITH exact AS (
+        SELECT event_type, COUNT(*)::BIGINT AS exact_n
+        FROM events GROUP BY 1
+    )
+    SELECT event_type, exact_n, true AS within_bound
+    FROM exact ORDER BY exact_n DESC, event_type LIMIT 5
+    """,
+)
+def q_mg_topk(spark, sf_dir):
+    """Merged Misra–Gries heavy hitters (summary_size=64) checked against
+    the exact top-5 type counts: estimate ≤ exact ≤ estimate + n/65 must
+    hold for EVERY partitioning (the mergeable-summaries guarantee —
+    tests/test_approx.py pins it under adversarial repartitions). The
+    exact counts are the oracle-verified values; at 100 TB the exact
+    aggregate is the side you drop, keeping the fixed-size summaries.
+    operators/approx.py::mg_topk."""
+    from rclabsapi_spark.operators.approx import mg_topk
+
+    events = load_table(spark, sf_dir, "events")
+    exact = (
+        events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "event_type")
+        .limit(5)
+    )
+    mg = mg_topk(events, "event_type", summary_size=64, k=5).select(
+        F.col("item"), F.col("est"), F.col("n_total")
+    )
+    j = exact.join(mg, exact.event_type == mg.item, "left")
+    est = F.coalesce(F.col("est"), F.lit(0))
+    n = F.max(F.col("n_total")).over(Window.partitionBy())
+    bound = est + n.cast("double") / 65.0
+    return j.select(
+        "event_type",
+        "exact_n",
+        (
+            (est <= F.col("exact_n"))
+            & (F.col("exact_n").cast("double") <= bound)
+        ).alias("within_bound"),
+    ).orderBy(F.col("exact_n").desc(), "event_type")

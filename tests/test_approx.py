@@ -93,3 +93,61 @@ def test_registered_bound_queries_all_true(spark):
         assert all(r["within_bound"] for r in d.collect()), sf
         q = reg["approx_quantile_bound"].fn(spark, sf_dir)
         assert all(r["rank_ok"] for r in q.collect()), sf
+
+
+def _exact_counts(df, col):
+    return {
+        r[col]: r["n"]
+        for r in df.groupBy(col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
+def test_mg_topk_error_bound_any_partitioning(spark):
+    """Misra–Gries merged-summary guarantee: est ≤ true ≤ est + n/(m+1)
+    for every surviving candidate, under adversarial repartitionings
+    (the estimate may move; the bound may not)."""
+    from rclabsapi_spark.operators.approx import mg_topk
+
+    ev = load_table(spark, SF_DIR, "events")
+    exact = _exact_counts(ev.select(F.col("user_id").cast("string").alias("u")), "u")
+    n = sum(exact.values())
+    m = 16
+    for parts in (1, 7, 13):
+        rows = mg_topk(
+            ev.repartition(parts), "user_id", summary_size=m, k=10
+        ).collect()
+        # near-uniform user counts → few/no guaranteed hitters; whatever
+        # candidates survive must still satisfy the bound
+        assert 1 <= len(rows) <= 10
+        for r in rows:
+            true = exact[r.item]
+            assert r.est <= true <= r.est + n / (m + 1), (parts, r)
+            assert r.n_total == n
+
+
+def test_mg_topk_exact_when_domain_fits(spark):
+    """Domain ≤ summary_size ⇒ no decrements ever fire ⇒ estimates are
+    exact and the top-k IS the true top-k."""
+    from rclabsapi_spark.operators.approx import mg_topk
+
+    ev = load_table(spark, SF_DIR, "events")
+    exact = _exact_counts(ev.select(F.col("event_type").alias("t")), "t")
+    rows = mg_topk(ev, "event_type", summary_size=64, k=5).collect()
+    assert {r.item: r.est for r in rows} == exact
+
+
+def test_mg_topk_hot_item_survives_skew(spark):
+    """Any item with true count > n/(m+1) must be present in the merged
+    candidate set — the heavy-hitter promise, on a worst-case stream of
+    one hot key drowned in singletons."""
+    from rclabsapi_spark.operators.approx import mg_topk
+
+    data = [("hot",)] * 1000 + [(f"u{i}",) for i in range(2000)]
+    df = spark.createDataFrame(data, ["item_col"]).repartition(8)
+    m = 16
+    rows = mg_topk(df, "item_col", summary_size=m, k=5).collect()
+    by_item = {r.item: r for r in rows}
+    n = 3000
+    assert "hot" in by_item
+    r = by_item["hot"]
+    assert r.est <= 1000 <= r.est + n / (m + 1)

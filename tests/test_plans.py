@@ -311,3 +311,80 @@ def test_incremental_dedup_store_side_fingerprints(spark):
     plan = _plan(spark, "dedup_incremental")
     assert _scans(plan)["documents"] == 2
     assert "hashpartitioning(text_hash" in plan
+
+
+def test_retrieval_single_cached_corpus_scan(spark):
+    """TF-IDF and BM25 materialize the postings index once: every
+    statistic (df, dl, avgdl) reads the cache, the only live parquet
+    read is the count-only corpus-size scan, and top-k is TakeOrdered
+    (no full sort)."""
+    from rclabsapi_spark.planaudit import audit
+
+    for name, min_cached in (("retr_tfidf_topk", 2), ("retr_bm25_topk", 4)):
+        scans, counts = audit(_REG[name].fn(spark, SF_CORRECT))
+        assert scans.get("documents", 0) <= 1, name  # count-only N scan
+        assert counts["cached"] >= min_cached, name
+        plan = _plan(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_path_queries_single_scan_user_clustered(spark):
+    """Markov transitions and trigram paths: ONE fact scan, the per-user
+    sequence window is the only fact-sized exchange; later reductions
+    are |types|-sized."""
+    p = _plan(spark, "path_transitions")
+    assert _scans(p)["events"] == 1
+    assert p.count("Exchange") == 3  # user window, pair agg, from_type window
+    assert "hashpartitioning(user_id" in p
+    p = _plan(spark, "path_top_trigrams")
+    assert _scans(p)["events"] == 1
+    assert p.count("Exchange") == 2
+    assert "TakeOrderedAndProject" in p
+
+
+def test_rfm_single_scan(spark):
+    """RFM: one orders scan, one per-customer aggregate exchange; the
+    ntile windows run on the reduced customer relation (the documented
+    global-rank limitation)."""
+    p = _plan(spark, "rfm_segments")
+    assert _scans(p)["orders"] == 1
+    assert p.count("Exchange") == 2  # customer agg + single-partition ntile
+
+
+def test_mad_anomaly_cached_daily_broadcast_medians(spark):
+    """MAD anomalies: the daily aggregate is cached (3 consumers, one
+    fact reduction), both median relations broadcast back — no
+    sort-merge join, no repeated fact scan."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_REG["anomaly_mad_daily"].fn(spark, SF_CORRECT))
+    assert scans.get("events", 0) <= 1
+    assert counts["cached"] >= 2
+    assert counts["bhj"] >= 2
+    assert counts["smj"] == 0
+
+
+def test_pivot_single_conditional_aggregate(spark):
+    """Explicit pivot values compile to one conditional aggregate over
+    one scan — no distinct-values pre-pass."""
+    p = _plan(spark, "pivot_status_priority")
+    assert _scans(p)["orders"] == 1
+    assert p.count("Exchange") <= 2
+
+
+def test_heavy_hitters_one_exchange(spark):
+    """Per-group heavy hitters: the explicit group-key repartition is
+    the ONLY exchange — the (group, item) aggregate and the ranking
+    window both reuse it."""
+    p = _plan(spark, "hh_top_events_per_user")
+    assert _scans(p)["events"] == 1
+    assert p.count("Exchange") == 1
+    assert "hashpartitioning(user_id" in p
+
+
+def test_inc_agg_partial_then_merge(spark):
+    """Incremental-aggregate maintenance: one scan, the partial
+    aggregate exchange plus the merge exchange — nothing else."""
+    p = _plan(spark, "inc_agg_daily_merge")
+    assert _scans(p)["events"] == 1
+    assert p.count("Exchange") == 2

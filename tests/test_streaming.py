@@ -9,6 +9,7 @@ import os
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from rclabsapi_spark.streaming.routing import route_events, subscriptions_df
 from rclabsapi_spark.streaming.sources import (
@@ -695,4 +696,54 @@ def test_streaming_funnel_exact_under_reversed_arrival(spark, events_dir, tmp_pa
     got = _streamed_funnel_flags(
         spark, in_dir, str(tmp_path / "ckpt_funnel_rev"), "funnel_rev_out"
     )
+    assert got == expected
+
+
+def _batch_transitions(spark, events_path):
+    from rclabsapi_spark.operators.analytics import transition_matrix
+
+    rows = transition_matrix(spark.read.parquet(events_path)).collect()
+    return {(r.from_type, r.to_type): r.n for r in rows}
+
+
+def test_streaming_transitions_match_batch(spark, events_dir, tmp_path):
+    """Summed live transition increments == the batch Markov matrix when
+    files replay in event-time order (the in-order feed contract); batch
+    split points are arbitrary — the carried per-user tail stitches
+    boundaries."""
+    from rclabsapi_spark.streaming.stateful import transitions_stream
+
+    expected = _batch_transitions(spark, events_dir)
+    assert sum(expected.values()) > 0
+
+    ev = spark.read.parquet(events_dir)
+    in_dir = str(tmp_path / "trans_in")
+    ranked = ev.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    )
+    for i in range(1, 5):
+        ranked.filter(F.col("slice") == i).drop("slice").coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(in_dir)
+    )
+    q = (
+        transitions_stream(stream)
+        .writeStream.format("memory")
+        .queryName("trans_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_trans"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_rows = spark.sql(
+        "SELECT from_type, to_type, SUM(n) AS n FROM trans_out GROUP BY 1, 2"
+    ).collect()
+    got = {(r.from_type, r.to_type): r.n for r in got_rows}
     assert got == expected
