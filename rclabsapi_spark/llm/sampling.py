@@ -16,7 +16,7 @@ trivially parallel, no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -134,3 +134,30 @@ def mixture_sample(
         hash_bucket(F.col(key_col), salt=salt) < thr
     )
     return joined.filter(keep).drop("_rate")
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    *,
+    group_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Uniform k-per-group sample without replacement — the distributed
+    equivalent of per-group reservoir sampling, made deterministic the
+    same way as :func:`hash_sample`: rank rows inside each group by
+    ``md5(salt || key)`` (key as tie-break) and keep rank ≤ k. Every
+    engine, run, and partitioning picks the identical subset; adding a
+    new group never perturbs another group's sample.
+
+    One shuffle (the per-group ranking window); no global sort. For
+    groups far larger than k at extreme scale, pre-filtering with a
+    coarse hash threshold (keep ~4k/|group| by bucket, then rank) bounds
+    the sort input — the rank step is unchanged."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), key_col
+    )
+    return df.withColumn("sample_rank", F.row_number().over(w)).filter(
+        F.col("sample_rank") <= k
+    )

@@ -7,7 +7,7 @@ over billions of documents with no Python in the loop.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rclabsapi_spark.functions.scalars import round_half_up
@@ -194,4 +194,62 @@ def fingerprint(docs: DataFrame, *, text_col: str = "text", key_col: str = "doc_
     return docs.select(
         F.col(key_col),
         F.md5(norm).alias("fingerprint"),
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    min_count: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information:
+    PMI(a,b) = ln(p(ab) / (p(a)·p(b))) with unigram probabilities from
+    the token stream and bigram probabilities from the adjacent-pair
+    stream. The standard corpus-analysis signal for multiword
+    expressions ("new york") the tokenizer/vocab steps should keep
+    intact.
+
+    One shuffle on the doc key (posexplode + the adjacency lead window
+    share it), then counts partial-aggregate to vocabulary size; corpus
+    totals ride along as a broadcast 1-row relation. PMI is per-row
+    arithmetic on exact integer counts — the multiplication order is
+    pinned left-associative so both engines produce bit-identical
+    doubles — and the top-k breaks ties lexicographically."""
+    toks = docs.repartition(F.col(key_col)).select(
+        F.col(key_col).alias("doc"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "w"),
+    )
+    w_doc = Window.partitionBy("doc").orderBy("pos")
+    bi = toks.select(
+        F.col("w").alias("w1"), F.lead("w").over(w_doc).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    uni = toks.groupBy(F.col("w")).agg(F.count(F.lit(1)).alias("n_w"))
+    bi_counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    totals = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("n_uni")
+    ).crossJoin(bi.agg(F.count(F.lit(1)).cast("double").alias("n_bi")))
+    ua = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b"))
+    pmi = F.log(
+        (F.col("n_ab").cast("double") * F.col("n_uni") * F.col("n_uni"))
+        / (F.col("n_bi") * F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return (
+        bi_counts.filter(F.col("n_ab") >= min_count)
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            round_half_up(pmi).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(k)
     )

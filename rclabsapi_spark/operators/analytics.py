@@ -218,3 +218,200 @@ def merge_partial_aggs(
         "max_v",
         F.round(F.col("sum_v") / F.col("n"), 6).alias("avg_v"),
     )
+
+
+def seasonal_naive_backtest(
+    series: DataFrame,
+    *,
+    group_cols: tuple[str, ...],
+    idx_col: str,
+    value_col: str,
+    season: int = 7,
+) -> DataFrame:
+    """Backtest the seasonal-naive forecast (ŷ_t = y_{t−season}) over a
+    per-group series keyed by an integer period index: per group, the
+    evaluated-period count, MAE, and SMAPE.
+
+    This is the reference's baseline-comparison indicator (A14,
+    job_monitoring_models.cpp:226-258) turned into a proper forecast
+    skill measure: a model is only useful if it beats seasonal-naive.
+
+    The forecast is a self-join of the (already tiny) aggregated series
+    on ``idx − season`` — equi-join, broadcast-eligible, and robust to
+    calendar gaps (a missing period yields no forecast row rather than a
+    silently shifted ``lag``). Errors are per-row arithmetic on exact
+    integer-valued doubles; only the final averaged metrics are rounded
+    (engine-portable half-up)."""
+    from rclabsapi_spark.functions.scalars import round_half_up
+
+    gcols = list(group_cols)
+    cur = series.select(
+        *gcols, F.col(idx_col).alias("idx"), F.col(value_col).alias("actual")
+    )
+    past = series.select(
+        *gcols,
+        (F.col(idx_col) + season).alias("idx"),
+        F.col(value_col).alias("forecast"),
+    )
+    j = cur.join(past, [*gcols, "idx"])
+    err = F.abs(F.col("actual") - F.col("forecast"))
+    denom = F.abs(F.col("actual")) + F.abs(F.col("forecast"))
+    smape_term = F.when(denom > 0, 2.0 * err / denom).otherwise(F.lit(0.0))
+    return j.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        round_half_up(F.avg(err)).alias("mae"),
+        round_half_up(F.avg(smape_term)).alias("smape"),
+    )
+
+
+def psi_drift(
+    df: DataFrame,
+    *,
+    group_cols: tuple[str, ...],
+    value_col: str,
+    period_col: Column,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    period, per group: equal-width bins over the GLOBAL value range,
+    PSI = Σ_bins (q−p)·ln(q/p) with ε-floored shares.
+
+    Distribution drift is the monitoring question underneath the
+    reference's baseline deviation alerts (A14/ST6) — "did the metric's
+    whole shape move", not just its mean. ``period_col`` must evaluate to
+    'ref' or 'cur'.
+
+    Scale: one pass computes the global min/max (scalar, broadcast
+    back), a second pass bins and counts — output is |groups|·n_bins
+    rows before the final per-group fold. Bin ids are exact integer
+    arithmetic on both engines (floor of identical double expressions);
+    shares divide exact counts; the 10-term PSI fold is summed in bin
+    order via an ordered array aggregate so accumulation order is
+    pinned, then rounded half-up."""
+    from rclabsapi_spark.functions.scalars import round_half_up
+
+    gcols = list(group_cols)
+    v = F.col(value_col).cast("double")
+    bounds = df.agg(
+        F.min(v).alias("__lo"), F.max(v).alias("__hi")
+    )
+    binned = df.crossJoin(F.broadcast(bounds)).select(
+        *gcols,
+        period_col.alias("period"),
+        F.least(
+            F.greatest(
+                F.floor(
+                    (v - F.col("__lo"))
+                    / ((F.col("__hi") - F.col("__lo")) / float(n_bins))
+                ),
+                F.lit(0),
+            ),
+            F.lit(n_bins - 1),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy(*gcols, "bin").agg(
+        F.sum(F.when(F.col("period") == "ref", 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0)).alias("n_cur"),
+    )
+    w_g = Window.partitionBy(*gcols)
+    shares = counts.select(
+        *gcols,
+        "bin",
+        "n_ref",
+        "n_cur",
+        (F.col("n_ref").cast("double") / F.sum("n_ref").over(w_g)).alias("p"),
+        (F.col("n_cur").cast("double") / F.sum("n_cur").over(w_g)).alias("q"),
+    )
+    # sort_array pins the fold order to bin order on both engines
+    return (
+        shares.groupBy(*gcols)
+        .agg(
+            F.sum("n_ref").alias("n_ref"),
+            F.sum("n_cur").alias("n_cur"),
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("bin"), F.col("p"), F.col("q")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + (
+                    (F.greatest(x["q"], F.lit(eps)) - F.greatest(x["p"], F.lit(eps)))
+                    * F.log(
+                        F.greatest(x["q"], F.lit(eps))
+                        / F.greatest(x["p"], F.lit(eps))
+                    )
+                ),
+            ).alias("__psi"),
+        )
+        .select(
+            *gcols,
+            "n_ref",
+            "n_cur",
+            round_half_up(F.col("__psi")).alias("psi"),
+        )
+    )
+
+
+def mean_shift_changepoint(
+    series: DataFrame,
+    *,
+    group_cols: tuple[str, ...],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Single most-likely changepoint per group via the CUSUM statistic:
+    the split k maximizing |S_k|, S_k = Σ_{i≤k}(x_i − x̄). Returns the
+    changepoint position, the CUSUM score, and the before/after means.
+
+    The "when did this metric's behavior change" follow-up to MAD
+    anomaly flags. All window arithmetic: one ordered prefix sum per
+    group (same order in both engines ⇒ bit-identical doubles), the
+    argmax is a row_number with |S| desc + position asc tie-break.
+    Operates on an already-aggregated series relation; the windows
+    cluster on the group key (one exchange)."""
+    from rclabsapi_spark.functions.scalars import round_half_up
+
+    gcols = list(group_cols)
+    x = F.col(value_col).cast("double")
+    w_g = Window.partitionBy(*gcols)
+    w_run = (
+        Window.partitionBy(*gcols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stats = series.select(
+        *gcols,
+        F.col(order_col).alias("pos"),
+        x.alias("x"),
+        F.sum(x).over(w_run).alias("cum"),
+        F.row_number().over(Window.partitionBy(*gcols).orderBy(order_col)).alias("k"),
+        F.sum(x).over(w_g).alias("total"),
+        F.count(F.lit(1)).over(w_g).alias("n"),
+    )
+    s_k = F.col("cum") - F.col("k") * (F.col("total") / F.col("n"))
+    scored = stats.filter(F.col("k") < F.col("n")).select(
+        *gcols,
+        "pos",
+        "cum",
+        "k",
+        "total",
+        "n",
+        F.abs(s_k).alias("score"),
+    )
+    w_pick = Window.partitionBy(*gcols).orderBy(
+        F.col("score").desc(), F.col("pos")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            *gcols,
+            F.col("pos").alias("changepoint_at"),
+            round_half_up(F.col("score")).alias("cusum_score"),
+            round_half_up(F.col("cum") / F.col("k")).alias("mean_before"),
+            round_half_up(
+                (F.col("total") - F.col("cum")) / (F.col("n") - F.col("k"))
+            ).alias("mean_after"),
+        )
+    )

@@ -140,3 +140,82 @@ def mg_topk(
         .orderBy(F.col("est").desc(), "item")
         .limit(k)
     )
+
+
+def cms_buckets(item: Column, *, depth: int = 4, hex_digits: int = 2) -> list[Column]:
+    """Per-seed Count-Min bucket of an item: the first ``hex_digits`` of
+    ``md5('cms{j}:' || item)`` — a 16^hex_digits-way uniform hash that
+    both engines compute identically (fixed-width lowercase hex)."""
+    return [
+        F.substring(
+            F.md5(F.concat(F.lit(f"cms{j}:"), item.cast("string"))),
+            1,
+            hex_digits,
+        )
+        for j in range(depth)
+    ]
+
+
+def cms_estimate(
+    df: DataFrame,
+    items: DataFrame,
+    *,
+    item_col: str,
+    depth: int = 4,
+    hex_digits: int = 2,
+) -> DataFrame:
+    """Count-Min sketch estimates for the rows of ``items`` (a relation
+    with an ``item_col`` column): build the depth × 16^hex_digits
+    counter table in one pass over ``df``, then estimate each queried
+    item as min_j counter[j][bucket_j(item)].
+
+    The CMS guarantee: exact ≤ est ≤ exact + εN (ε ≈ e/width) — the
+    one-sided overestimate makes it the right sketch for "never
+    undercount" alerting, complementing Misra–Gries' undercount
+    (operators/approx.py::mg_topk). The sketch relation is
+    depth·width rows regardless of input size (that's the point: at
+    100 TB the counters still fit in L2), built by one partial-combined
+    groupBy over (seed, bucket); estimates broadcast-join the queried
+    items against it. Merge = adding counter tables — the groupBy IS the
+    merge, so any partitioning yields the identical sketch
+    (tests/test_approx.py pins this under adversarial repartitions)."""
+    item = F.col(item_col)
+    buckets = cms_buckets(item, depth=depth, hex_digits=hex_digits)
+    pts = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("seed"), b.alias("bucket")
+                    )
+                    for j, b in enumerate(buckets)
+                ]
+            )
+        ).alias("sb")
+    ).select("sb.seed", "sb.bucket")
+    sketch = pts.groupBy("seed", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    q = items.select(
+        item.alias("__item"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("seed"), b.alias("bucket"))
+                    for j, b in enumerate(
+                        cms_buckets(item, depth=depth, hex_digits=hex_digits)
+                    )
+                ]
+            )
+        ).alias("sb"),
+    ).select("__item", "sb.seed", "sb.bucket")
+    # ONE broadcast join against the fixed-size sketch, then min over
+    # seeds — not a join per seed (which would recompute the sketch
+    # branch depth times)
+    return (
+        q.join(F.broadcast(sketch), ["seed", "bucket"], "left")
+        .groupBy("__item")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("__est"))
+        .select(
+            F.col("__item").alias(item_col),
+            F.col("__est").cast("long").alias("cms_est"),
+        )
+    )

@@ -224,3 +224,66 @@ def scd2_intervals(
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().cast("int").alias("is_current"),
     )
+
+
+def concurrency_peaks(
+    intervals: DataFrame,
+    *,
+    group_col: str = "event_type",
+    start_col: str = "start_s",
+    end_col: str = "end_s",
+) -> DataFrame:
+    """Interval-overlap sweep line: peak concurrency per group over
+    half-open integer intervals ``[start, end)``, plus the first instant
+    the peak is reached.
+
+    The classic "how many jobs ran at once" question the reference's job
+    monitor answers driver-side by scanning active jobs
+    (job_monitor_service.cpp:477-530); here it is a distributed sweep:
+    each interval emits (+1 at start, -1 at end), deltas are NETTED per
+    (group, instant) *before* the running sum, so tie instants are
+    unambiguous in both engines (a start and an end at the same t cancel
+    — correct for half-open intervals), and the prefix sum over instants
+    is the concurrency on [t, next_t).
+
+    Scale: ONE exchange — the input is pre-partitioned on the group key,
+    the (group, t) netting aggregate reuses that clustering (hash(group)
+    satisfies the coarser (group, t) distribution), and the prefix-sum
+    window sorts within the same partitions. The netted relation is
+    |distinct instants|-sized, far below 2·n at any realistic grain.
+    Peak extraction is a per-group max + min-t filter on that relation.
+    """
+    pts = intervals.select(
+        F.col(group_col).alias("g"),
+        F.col(start_col).alias("t"),
+        F.lit(1).alias("delta"),
+    ).unionAll(
+        intervals.select(
+            F.col(group_col).alias("g"),
+            F.col(end_col).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    net = (
+        pts.repartition(F.col("g"))
+        .groupBy("g", "t")
+        .agg(F.sum("delta").alias("net"))
+    )
+    w = Window.partitionBy("g").orderBy("t")
+    run = net.select(
+        "g", "t", F.sum("net").over(w).alias("conc")
+    )
+    # peak via a second window over the SAME g-clustering — no join, no
+    # recompute of the sweep branch
+    w_g = Window.partitionBy("g")
+    return (
+        run.withColumn("peak", F.max("conc").over(w_g))
+        .filter(F.col("conc") == F.col("peak"))
+        .groupBy(F.col("g"), F.col("peak"))
+        .agg(F.min("t").alias("peak_at_s"))
+        .select(
+            F.col("g").alias(group_col),
+            F.col("peak").cast("long").alias("peak"),
+            F.col("peak_at_s").cast("long").alias("peak_at_s"),
+        )
+    )

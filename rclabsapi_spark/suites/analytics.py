@@ -16,12 +16,16 @@ from pyspark.sql import functions as F
 from rclabsapi_spark.catalog import load_table
 from rclabsapi_spark.operators.analytics import (
     heavy_hitters,
+    mean_shift_changepoint,
+    psi_drift,
+    seasonal_naive_backtest,
     mad_anomalies,
     merge_partial_aggs,
     path_trigrams,
     rfm_scores,
     transition_matrix,
 )
+from rclabsapi_spark.functions.scalars import sql_round_half_up
 from rclabsapi_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -247,4 +251,177 @@ def q_inc_agg(spark, sf_dir):
         part_col=part,
         group_cols=("event_type", "day"),
         value_col="value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest (forecast skill baseline)
+# ---------------------------------------------------------------------------
+
+_DAILY_SQL = """
+    SELECT event_type,
+           date_diff('day', DATE '2024-01-01',
+                     date_trunc('day', ts)::DATE)::BIGINT AS day_idx,
+           COUNT(*)::DOUBLE AS n
+    FROM events GROUP BY 1, 2
+"""
+
+_SNAIVE_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL}),
+j AS (
+    SELECT c.event_type, c.n AS actual, p.n AS forecast
+    FROM daily c
+    JOIN daily p
+      ON c.event_type = p.event_type AND c.day_idx = p.day_idx + 7
+)
+SELECT event_type, COUNT(*)::BIGINT AS n_eval,
+       {sql_round_half_up('AVG(ABS(actual - forecast))')} AS mae,
+       {sql_round_half_up(
+           "AVG(CASE WHEN ABS(actual) + ABS(forecast) > 0 "
+           "THEN 2.0 * ABS(actual - forecast) / (ABS(actual) + ABS(forecast)) "
+           "ELSE 0.0 END)")} AS smape
+FROM j GROUP BY 1
+"""
+
+
+@query("forecast_seasonal_naive", _SNAIVE_ORACLE, bench=True)
+def q_seasonal_naive(spark, sf_dir):
+    """Forecast-skill floor for the reference's baseline-comparison
+    indicator (A14, job_monitoring_models.cpp:226-258): seasonal-naive
+    ŷ_t = y_{t−7d} backtested over per-type daily volumes, reporting MAE
+    and SMAPE. The week-shift is an equi-join on the aggregated series
+    (calendar-gap safe, unlike a row lag), broadcast-sized after the one
+    fact reduction. operators/analytics.py::seasonal_naive_backtest."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("day_idx"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return seasonal_naive_backtest(
+        daily,
+        group_cols=("event_type",),
+        idx_col="day_idx",
+        value_col="n",
+        season=7,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: PSI between two halves of the event stream
+# ---------------------------------------------------------------------------
+
+_PSI_ORACLE = """
+WITH bounds AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
+binned AS (
+    SELECT event_type,
+           CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'ref' ELSE 'cur' END
+               AS period,
+           CAST(LEAST(GREATEST(
+               FLOOR((value - lo) / ((hi - lo) / 10.0)), 0), 9) AS BIGINT)
+               AS bin
+    FROM events, bounds
+),
+counts AS (
+    SELECT event_type, bin,
+           COUNT(*) FILTER (WHERE period = 'ref')::BIGINT AS n_ref,
+           COUNT(*) FILTER (WHERE period = 'cur')::BIGINT AS n_cur
+    FROM binned GROUP BY 1, 2
+),
+shares AS (
+    SELECT event_type, bin, n_ref, n_cur,
+           n_ref::DOUBLE / SUM(n_ref) OVER (PARTITION BY event_type) AS p,
+           n_cur::DOUBLE / SUM(n_cur) OVER (PARTITION BY event_type) AS q
+    FROM counts
+)
+SELECT event_type,
+       SUM(n_ref)::BIGINT AS n_ref,
+       SUM(n_cur)::BIGINT AS n_cur,
+       FLOOR(SUM((GREATEST(q, 1e-6) - GREATEST(p, 1e-6))
+                 * LN(GREATEST(q, 1e-6) / GREATEST(p, 1e-6)))
+             * 1000000.0 + 0.5) / 1000000.0 AS psi
+FROM shares GROUP BY 1
+"""
+
+
+@query("drift_psi_value", _PSI_ORACLE, bench=True)
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index of the value distribution, first half
+    of January vs second, per event type — "did the metric's shape
+    move", the distributional upgrade of the reference's baseline
+    deviation alerts (A14/ST6). Equal-width deciles over the global
+    range; ε-floored shares; ordered 10-term fold.
+    operators/analytics.py::psi_drift."""
+    ev = load_table(spark, sf_dir, "events")
+    period = F.when(
+        F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "ref"
+    ).otherwise("cur")
+    return psi_drift(
+        ev,
+        group_cols=("event_type",),
+        value_col="value",
+        period_col=period,
+        n_bins=10,
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM mean-shift changepoint over daily volumes
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = f"""
+WITH daily AS ({_DAILY_SQL}),
+stats AS (
+    SELECT event_type, day_idx AS pos, n AS x,
+           SUM(n) OVER (PARTITION BY event_type ORDER BY day_idx
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day_idx) AS k,
+           SUM(n) OVER (PARTITION BY event_type) AS total,
+           COUNT(*) OVER (PARTITION BY event_type) AS n_days
+    FROM daily
+),
+scored AS (
+    SELECT *, ABS(cum - k * (total / n_days)) AS score
+    FROM stats WHERE k < n_days
+),
+picked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY score DESC, pos) AS rn
+    FROM scored
+)
+SELECT event_type, pos AS changepoint_at,
+       {sql_round_half_up('score')} AS cusum_score,
+       {sql_round_half_up('cum / k')} AS mean_before,
+       {sql_round_half_up('(total - cum) / (n_days - k)')} AS mean_after
+FROM picked WHERE rn = 1
+"""
+
+
+@query("changepoint_mean_shift", _CUSUM_ORACLE, bench=True)
+def q_changepoint(spark, sf_dir):
+    """Single most-likely level shift per event type via the CUSUM
+    statistic argmax_k |Σ_{i≤k}(x_i − x̄)| over daily volumes — "when
+    did this metric change", the follow-up to anomaly_mad_daily's "which
+    day is abnormal". All prefix sums run in day order on both engines,
+    so scores are bit-identical and the desc-score/asc-day argmax is
+    deterministic. operators/analytics.py::mean_shift_changepoint."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", F.col("ts")).cast("date"),
+            F.lit("2024-01-01").cast("date"),
+        )
+        .cast("long")
+        .alias("day_idx"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return mean_shift_changepoint(
+        daily,
+        group_cols=("event_type",),
+        order_col="day_idx",
+        value_col="n",
     )

@@ -125,3 +125,55 @@ def q_mg_topk(spark, sf_dir):
             & (F.col("exact_n").cast("double") <= bound)
         ).alias("within_bound"),
     ).orderBy(F.col("exact_n").desc(), "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (mergeable overestimating counter table)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "approx_cms_bound",
+    """
+    WITH exact AS (
+        SELECT user_id, COUNT(*)::BIGINT AS exact_n
+        FROM events GROUP BY 1
+    )
+    SELECT user_id, exact_n, true AS within_bound
+    FROM exact ORDER BY exact_n DESC, user_id LIMIT 10
+    """,
+)
+def q_cms_bound(spark, sf_dir):
+    """Count-Min estimates (depth 4 × width 256) for the 10 busiest
+    users, checked against the CMS contract: exact ≤ est ≤ exact + εn
+    with ε = 2/width — the one-sided overestimate dual of Misra–Gries'
+    undercount (approx_mg_topk_bound). The exact counts are the
+    oracle-verified values; the sketch itself is a fixed depth·width
+    counter relation built in one partial-combined pass, so at 100 TB
+    it is the side you keep when the exact per-key aggregate won't fit.
+    operators/approx.py::cms_estimate."""
+    from rclabsapi_spark.operators.approx import cms_estimate
+
+    events = load_table(spark, sf_dir, "events")
+    exact = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(10)
+    )
+    est = cms_estimate(events, exact, item_col="user_id", depth=4, hex_digits=2)
+    totals = events.agg(F.count(F.lit(1)).cast("double").alias("n_tot"))
+    bound = F.col("exact_n").cast("double") + 2.0 * F.col("n_tot") / 256.0
+    return (
+        exact.join(est, "user_id")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "user_id",
+            "exact_n",
+            (
+                (F.col("cms_est") >= F.col("exact_n"))
+                & (F.col("cms_est").cast("double") <= bound)
+            ).alias("within_bound"),
+        )
+        .orderBy(F.col("exact_n").desc(), "user_id")
+    )

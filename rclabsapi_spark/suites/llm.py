@@ -828,3 +828,29 @@ def q_semantic_dedup(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb, k=8, iters=2, threshold=0.35)
+
+
+_K_PER_GROUP_ORACLE = """
+SELECT event_id, event_type, sample_rank FROM (
+    SELECT event_id, event_type,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY md5('kpg:' || event_id::VARCHAR), event_id
+           ) AS sample_rank
+    FROM events
+) WHERE sample_rank <= 5
+"""
+
+
+@query("sample_k_per_group", _K_PER_GROUP_ORACLE)
+def q_sample_k_per_group(spark, sf_dir):
+    """Uniform 5-per-type event sample — the deterministic distributed
+    equivalent of per-group reservoir sampling: rank by md5(salt||key)
+    inside each group, keep rank ≤ k. Identical subset on every engine,
+    run, and partitioning. llm/sampling.py::sample_k_per_group."""
+    from rclabsapi_spark.llm.sampling import sample_k_per_group
+
+    ev = load_table(spark, sf_dir, "events")
+    return sample_k_per_group(
+        ev, group_col="event_type", key_col="event_id", k=5, salt="kpg:"
+    ).select("event_id", "event_type", "sample_rank")

@@ -89,3 +89,56 @@ def q_bm25(spark, sf_dir):
     df, N are 1-row/terms-row broadcasts. llm/retrieval.py."""
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, _TERMS, k=_K)
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (corpus multiword-expression mining)
+# ---------------------------------------------------------------------------
+
+_PMI_ORACLE = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+uni AS (
+    SELECT unnest(l) AS w FROM toks
+),
+uni_counts AS (
+    SELECT w, COUNT(*)::BIGINT AS n_w FROM uni GROUP BY 1
+),
+bi AS (
+    SELECT unnest(l[1:len(l) - 1]) AS w1, unnest(l[2:len(l)]) AS w2
+    FROM toks
+),
+bi_counts AS (
+    SELECT w1, w2, COUNT(*)::BIGINT AS n_ab FROM bi GROUP BY 1, 2
+),
+totals AS (
+    SELECT (SELECT COUNT(*) FROM uni)::DOUBLE AS n_uni,
+           (SELECT COUNT(*) FROM bi)::DOUBLE AS n_bi
+)
+SELECT w1, w2, n_ab, ua.n_w AS n_a, ub.n_w AS n_b,
+       FLOOR(LN((n_ab::DOUBLE * n_uni * n_uni)
+                / (n_bi * ua.n_w::DOUBLE * ub.n_w::DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS pmi
+FROM bi_counts
+JOIN uni_counts ua ON bi_counts.w1 = ua.w
+JOIN uni_counts ub ON bi_counts.w2 = ub.w
+CROSS JOIN totals
+WHERE n_ab >= 5
+ORDER BY pmi DESC, w1, w2
+LIMIT 20
+"""
+
+
+@query("text_pmi_collocations", _PMI_ORACLE, bench=True)
+def q_pmi_collocations(spark, sf_dir):
+    """Top-20 bigram collocations by PMI — which adjacent word pairs
+    co-occur far above chance. One doc-key shuffle feeds both the
+    adjacency lead and the unigram counts; corpus totals ride as a
+    broadcast 1-row relation; identical left-associative expression
+    trees keep the PMI doubles bit-identical before the half-up round.
+    llm/text.py::pmi_collocations."""
+    from rclabsapi_spark.llm.text import pmi_collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=5, k=20)

@@ -14,7 +14,11 @@ from rclabsapi_spark.operators.joins import (
     range_join_points_to_intervals,
 )
 from rclabsapi_spark.functions.scalars import sql_round_half_up
-from rclabsapi_spark.operators.timeseries import gap_fill, scd2_intervals
+from rclabsapi_spark.operators.timeseries import (
+    concurrency_peaks,
+    gap_fill,
+    scd2_intervals,
+)
 from rclabsapi_spark.registry import query
 
 _ASOF_ORACLE = """
@@ -261,4 +265,62 @@ def q_asof_forward(spark, sf_dir):
         by="user_id",
         right_cols=["next_purchase_value"],
         direction="forward",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap concurrency (sweep line)
+# ---------------------------------------------------------------------------
+
+_EPOCH_S = "date_diff('second', TIMESTAMP '1970-01-01', ts)::BIGINT"
+
+_CONCURRENCY_ORACLE = f"""
+WITH iv AS (
+    SELECT event_type,
+           {_EPOCH_S} AS s,
+           {_EPOCH_S} + FLOOR(value)::BIGINT * 60 AS e
+    FROM events
+),
+pts AS (
+    SELECT event_type, s AS t, 1 AS delta FROM iv
+    UNION ALL
+    SELECT event_type, e AS t, -1 AS delta FROM iv
+),
+net AS (
+    SELECT event_type, t, SUM(delta) AS net FROM pts GROUP BY 1, 2
+),
+run AS (
+    SELECT event_type, t,
+           SUM(net) OVER (PARTITION BY event_type ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) AS conc
+    FROM net
+),
+peaks AS (SELECT event_type, MAX(conc) AS peak FROM run GROUP BY 1)
+SELECT r.event_type, p.peak::BIGINT AS peak, MIN(r.t)::BIGINT AS peak_at_s
+FROM run r
+JOIN peaks p ON r.event_type = p.event_type AND r.conc = p.peak
+GROUP BY 1, 2
+"""
+
+
+@query("ts_concurrency_peak", _CONCURRENCY_ORACLE, bench=True)
+def q_concurrency_peak(spark, sf_dir):
+    """Peak concurrent activity per event type: each event opens a
+    half-open activity interval [ts, ts + floor(value) minutes) — the
+    job-duration shape of the reference's active-jobs gauge
+    (job_monitor_service.cpp:477-530) — and the sweep-line operator nets
+    +1/−1 deltas per instant before one per-type prefix sum. Epoch
+    seconds via the truncating cast on both engines (long cast truncates;
+    date_diff counts whole-second boundaries). operators/timeseries.py::
+    concurrency_peaks."""
+    events = load_table(spark, sf_dir, "events")
+    # defensive NTZ guard as in w_sessionization (metrics_ext.py:711)
+    s = F.col("ts").cast("timestamp").cast("long")
+    iv = events.select(
+        "event_type",
+        s.alias("start_s"),
+        (s + F.floor(F.col("value")).cast("long") * 60).alias("end_s"),
+    )
+    return concurrency_peaks(
+        iv, group_col="event_type", start_col="start_s", end_col="end_s"
     )

@@ -151,3 +151,41 @@ def test_mg_topk_hot_item_survives_skew(spark):
     assert "hot" in by_item
     r = by_item["hot"]
     assert r.est <= 1000 <= r.est + n / (m + 1)
+
+
+def test_cms_overestimates_within_epsilon_all_users(spark):
+    """CMS contract for EVERY key, not just the top-10 the registry query
+    checks: exact ≤ est ≤ exact + (2/width)·n."""
+    from rclabsapi_spark.operators.approx import cms_estimate
+
+    events = load_table(spark, SF_DIR, "events")
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = {
+        r["user_id"]: r["cms_est"]
+        for r in cms_estimate(events, exact, item_col="user_id").collect()
+    }
+    n_total = events.count()
+    bound = 2.0 * n_total / 256.0
+    for r in exact.collect():
+        e = est[r["user_id"]]
+        assert r["exact_n"] <= e <= r["exact_n"] + bound, (
+            r["user_id"], r["exact_n"], e, bound,
+        )
+
+
+def test_cms_invariant_under_partitioning(spark):
+    """The sketch build is one commutative groupBy — estimates must be
+    identical for every input partitioning (map-side merge safety)."""
+    from rclabsapi_spark.operators.approx import cms_estimate
+
+    events = load_table(spark, SF_DIR, "events")
+    items = events.select("user_id").distinct()
+    outs = []
+    for shape in (events, events.repartition(3), events.repartition(64)):
+        outs.append(
+            sorted(
+                (r["user_id"], r["cms_est"])
+                for r in cms_estimate(shape, items, item_col="user_id").collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]

@@ -1,0 +1,94 @@
+"""Linkage operators (operators/linkage.py): blocked fuzzy matching
+ground truth vs brute force within blocks, cap behavior, and basket
+pair-support consistency."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rclabsapi_spark.catalog import load_table
+from rclabsapi_spark.operators.linkage import (
+    basket_pair_support,
+    blocked_fuzzy_pairs,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _block(col: str):
+    return F.expr(f"substring({col}, 1, length({col}) - 2)")
+
+
+def test_fuzzy_pairs_match_bruteforce_within_blocks(spark):
+    """Every emitted pair has dist ≤ max_dist, and every within-block
+    qualifying pair is emitted (blocking recall is exact inside blocks)."""
+    cust = load_table(spark, SF_DIR, "customer")
+    got = {
+        (r["key_a"], r["key_b"]): r["lev_dist"]
+        for r in blocked_fuzzy_pairs(
+            cust,
+            key_col="c_custkey",
+            name_col="c_name",
+            block_col=_block("c_name"),
+            max_dist=1,
+        ).collect()
+    }
+    base = cust.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+        _block("c_name").alias("block"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    brute = {
+        (r["key_a"], r["key_b"]): r["d"]
+        for r in a.join(b, "block")
+        .filter(F.col("a.key") < F.col("b.key"))
+        .select(
+            F.col("a.key").alias("key_a"),
+            F.col("b.key").alias("key_b"),
+            F.levenshtein("a.name", "b.name").alias("d"),
+        )
+        .filter(F.col("d") <= 1)
+        .collect()
+    }
+    assert got == brute
+    assert len(got) > 0
+
+
+def test_fuzzy_pairs_block_cap_drops_hot_block(spark):
+    """A cap smaller than the block size must yield zero candidates from
+    that block instead of a quadratic blowup."""
+    cust = load_table(spark, SF_DIR, "customer")
+    out = blocked_fuzzy_pairs(
+        cust,
+        key_col="c_custkey",
+        name_col="c_name",
+        block_col=F.lit("ALL"),  # adversarial: one giant block
+        max_dist=1,
+        max_block=10,
+    )
+    assert out.count() == 0
+
+
+def test_basket_pairs_symmetric_support(spark):
+    """support_ab of an emitted pair equals the brute-force count of
+    baskets containing both items, and item order is canonical."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    top = basket_pair_support(
+        li, basket_col="l_orderkey", item_col="l_partkey", k=5
+    ).collect()
+    assert len(top) == 5
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    for r in top:
+        assert r["item_a"] < r["item_b"]
+        n = (
+            baskets.filter(F.col("l_partkey") == r["item_a"])
+            .select("l_orderkey")
+            .intersect(
+                baskets.filter(F.col("l_partkey") == r["item_b"]).select(
+                    "l_orderkey"
+                )
+            )
+            .count()
+        )
+        assert n == r["support_ab"]

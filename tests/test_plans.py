@@ -388,3 +388,89 @@ def test_inc_agg_partial_then_merge(spark):
     p = _plan(spark, "inc_agg_daily_merge")
     assert _scans(p)["events"] == 1
     assert p.count("Exchange") == 2
+
+
+def test_concurrency_one_fact_exchange(spark):
+    """Sweep line: the +1/−1 point union is netted on the pre-partitioned
+    group key — the repartition is the only fact-sized exchange; peak
+    extraction broadcasts the tiny per-group maxima back."""
+    p = _plan(spark, "ts_concurrency_peak")
+    assert _scans(p)["events"] == 2  # start points + end points branches
+    assert "hashpartitioning(g" in p
+    assert "Join" not in p  # peak is a window over the same clustering
+    assert p.count("Exchange") <= 2
+
+
+def test_seasonal_naive_joins_reduced_series(spark):
+    """The week-shift self-join runs on the aggregated daily relation
+    (broadcast), never on the fact table."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_REG["forecast_seasonal_naive"].fn(spark, SF_CORRECT))
+    assert scans.get("events", 0) <= 2  # both sides reduce before joining
+    assert counts["bhj"] >= 1
+    assert counts["smj"] == 0
+
+
+def test_psi_single_bin_aggregate(spark):
+    """PSI: global bounds broadcast back (BroadcastNestedLoop on the
+    1-row bounds relation), one (group, bin) aggregate over the fact,
+    shares/fold on the |groups|·n_bins relation."""
+    p = _plan(spark, "drift_psi_value")
+    assert _scans(p)["events"] == 2  # bounds pass + binning pass
+    assert "SortMergeJoin" not in p
+
+
+def test_changepoint_windows_cluster_on_group(spark):
+    """CUSUM: one fact reduction to the daily series; every window
+    (prefix sum, rank, totals) clusters on event_type."""
+    p = _plan(spark, "changepoint_mean_shift")
+    assert _scans(p)["events"] == 1
+    assert "hashpartitioning(event_type" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_fuzzy_linkage_blocked_join_no_cartesian(spark):
+    """Blocked fuzzy matching must join on the block key — no cartesian
+    product, no all-pairs join."""
+    p = _plan(spark, "link_fuzzy_names")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert _scans(p)["customer"] == 2  # both join sides, block-keyed
+
+
+def test_basket_pairs_basket_keyed_join(spark):
+    """Market basket: the pair-gen joins on the basket id (equi-join);
+    supports and N broadcast back; top-k is TakeOrdered."""
+    p = _plan(spark, "mba_pair_lift")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in p
+
+
+def test_pmi_single_doc_shuffle(spark):
+    """PMI: posexplode + adjacency lead share the doc-key clustering;
+    unigram/total relations broadcast back; top-k is TakeOrdered."""
+    p = _plan(spark, "text_pmi_collocations")
+    assert "hashpartitioning(doc" in p
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+
+
+def test_cms_sketch_fixed_size_broadcasts(spark):
+    """Count-Min: the sketch is a depth×width relation joined to the
+    queried items via broadcast — the fact table shuffles only (seed,
+    bucket) pairs."""
+    p = _plan(spark, "approx_cms_bound")
+    assert p.count("BroadcastHashJoin") == 2  # sketch lookup + exact join
+    assert "SortMergeJoin" not in p
+
+
+def test_sample_k_per_group_one_exchange(spark):
+    """Per-group k-sample: the ranking window's group-key exchange is the
+    only shuffle."""
+    p = _plan(spark, "sample_k_per_group")
+    assert _scans(p)["events"] == 1
+    assert p.count("Exchange") == 1
+    assert "hashpartitioning(event_type" in p
