@@ -161,3 +161,39 @@ def sample_k_per_group(
     return df.withColumn("sample_rank", F.row_number().over(w)).filter(
         F.col("sample_rank") <= k
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    *,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    group_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling without replacement (k items, inclusion
+    probability ∝ weight) via the Efraimidis–Spirakis exponential race:
+    each row draws u ∈ (0,1] as a pure function of its key (first 8 hex
+    of md5, so every engine and partitioning draws the same u), scores
+    −ln(u)/w — an Exp(w) variate — and the k SMALLEST scores win.
+
+    The deterministic upgrade of ``df.sample``'s weighted cousin for
+    training-mix construction: re-runs, engines, and partitionings pick
+    the identical subset. One ranking window (per group, or one global
+    rank for ungrouped use — the documented global-sort limitation);
+    everything else is per-row codegen arithmetic."""
+    u_int = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (u_int + 1.0) / float(16**8)
+    score = -F.log(u) / F.col(weight_col).cast("double")
+    parts = [group_col] if group_col else []
+    w = Window.partitionBy(*parts).orderBy(score.asc(), F.col(key_col))
+    return df.withColumn("sample_rank", F.row_number().over(w)).filter(
+        F.col("sample_rank") <= k
+    )

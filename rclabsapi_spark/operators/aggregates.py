@@ -116,3 +116,54 @@ def exact_percentile(df: DataFrame, col: str, p: float) -> DataFrame:
     ``percentile`` is exact (matches the reference's sort-and-index) —
     ``percentile_approx`` is the 100TB-scale variant, one config away."""
     return df.agg(F.expr(f"percentile({col}, {p})").alias("pctl"))
+
+
+def table_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Column-level data profile in ONE global aggregate: per column the
+    row count, null count, distinct count, and (for numeric columns)
+    min/max. The output is |cols| rows — the table-stats audit a
+    warehouse runs before trusting a new feed (the engine-side analog of
+    the reference's schema CHECK constraints, schema.sql:1-80, which
+    validate per-row but never summarize).
+
+    All statistics compute in a single pass with no fact shuffle: one
+    global aggregate (multi-column distinct counts expand map-side),
+    then a driver-trivial unpivot of the 1-row result. At 100 TB the
+    scan is the cost floor; everything else is O(cols)."""
+    cols = cols or df.columns
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName()
+        in ("integer", "long", "double", "float", "short", "decimal")
+    }
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__null_{c}")
+        )
+        aggs.append(F.countDistinct(F.col(c)).alias(f"__dist_{c}"))
+        if c in numeric:
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"__min_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"__max_{c}"))
+    one = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("__n_rows").cast("long").alias("n_rows"),
+            F.col(f"__null_{c}").cast("long").alias("n_null"),
+            F.col(f"__dist_{c}").cast("long").alias("n_distinct"),
+            (
+                F.col(f"__min_{c}")
+                if c in numeric
+                else F.lit(None).cast("double")
+            ).alias("min_num"),
+            (
+                F.col(f"__max_{c}")
+                if c in numeric
+                else F.lit(None).cast("double")
+            ).alias("max_num"),
+        )
+        for c in cols
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

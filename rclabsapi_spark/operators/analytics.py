@@ -415,3 +415,55 @@ def mean_shift_changepoint(
             ).alias("mean_after"),
         )
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    *,
+    conversion_type: str,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Last-touch conversion attribution: each conversion event is
+    credited to the most recent PRECEDING non-conversion event type
+    ("channel") in the same key's timeline; returns per-channel
+    conversion counts, attributed value, and share.
+
+    The marketing-analytics question behind the reference's
+    status-transition log (st11): which activity immediately precedes
+    the outcome. One fact shuffle (the per-key ordered window); the
+    channel rollup is |types|-sized. Conversions with no preceding
+    touch attribute to the NULL channel (reported, not dropped —
+    silently losing them would overstate every other channel's share).
+    Share divides exact integer counts; attributed value is rounded at
+    the final aggregate."""
+    from rclabsapi_spark.functions.scalars import round_half_up
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col(type_col) != conversion_type, F.col(type_col)),
+        ignorenulls=True,
+    ).over(w)
+    conv = events.withColumn("channel", touch).filter(
+        F.col(type_col) == conversion_type
+    )
+    counts = conv.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.sum(F.col(value_col)), 6).alias("attributed_value"),
+    )
+    w_all = Window.partitionBy()
+    return counts.select(
+        "channel",
+        "n_conversions",
+        "attributed_value",
+        (
+            F.col("n_conversions").cast("double")
+            / F.sum("n_conversions").over(w_all).cast("double")
+        ).alias("share"),
+    )

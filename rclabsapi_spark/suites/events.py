@@ -390,3 +390,42 @@ def q_funnel(spark, sf_dir):
             " 'purchase', purchase) AS (stage, n_users)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch conversion attribution
+# ---------------------------------------------------------------------------
+
+_ATTR_ORACLE = """
+WITH touched AS (
+    SELECT event_type, value,
+           LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                      IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS channel
+    FROM events
+),
+counts AS (
+    SELECT channel, COUNT(*)::BIGINT AS n_conversions,
+           ROUND(SUM(value), 6) AS attributed_value
+    FROM touched WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT channel, n_conversions, attributed_value,
+       n_conversions::DOUBLE / (SUM(n_conversions) OVER ())::DOUBLE AS share
+FROM counts
+"""
+
+
+@query("attr_last_touch", _ATTR_ORACLE, bench=True)
+def q_attr_last_touch(spark, sf_dir):
+    """Last-touch attribution: every purchase is credited to the most
+    recent preceding non-purchase event type in the user's timeline
+    (NULL channel = first-session purchases, reported rather than
+    dropped). One fact shuffle — the per-user ordered window — then a
+    |types|-sized rollup; share divides exact integer counts.
+    operators/analytics.py::last_touch_attribution."""
+    from rclabsapi_spark.operators.analytics import last_touch_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    return last_touch_attribution(ev, conversion_type="purchase")

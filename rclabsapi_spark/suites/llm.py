@@ -854,3 +854,40 @@ def q_sample_k_per_group(spark, sf_dir):
     return sample_k_per_group(
         ev, group_col="event_type", key_col="event_id", k=5, salt="kpg:"
     ).select("event_id", "event_type", "sample_rank")
+
+
+_WEIGHTED_ORACLE = """
+WITH scored AS (
+    SELECT o_orderkey, o_orderstatus,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY -LN((('0x' || substring(md5('wsk:' || o_orderkey::VARCHAR), 1, 8))::BIGINT::DOUBLE + 1.0) / 4294967296.0)
+                        / o_totalprice ASC,
+                        o_orderkey
+           ) AS sample_rank
+    FROM orders
+)
+SELECT o_orderkey, o_orderstatus, sample_rank
+FROM scored WHERE sample_rank <= 10
+"""
+
+
+@query("sample_weighted_ares", _WEIGHTED_ORACLE)
+def q_sample_weighted(spark, sf_dir):
+    """Weighted sampling without replacement (10 orders per status,
+    inclusion probability ∝ o_totalprice) via the Efraimidis–Spirakis
+    exponential race: u drawn deterministically from md5(key), score
+    −ln(u)/w, smallest k win. Identical subset on every engine, run,
+    and partitioning; one ranking window per group.
+    llm/sampling.py::weighted_sample_k."""
+    from rclabsapi_spark.llm.sampling import weighted_sample_k
+
+    orders = load_table(spark, sf_dir, "orders")
+    return weighted_sample_k(
+        orders,
+        key_col="o_orderkey",
+        weight_col="o_totalprice",
+        k=10,
+        group_col="o_orderstatus",
+        salt="wsk:",
+    ).select("o_orderkey", "o_orderstatus", "sample_rank")

@@ -949,3 +949,42 @@ def q_heartbeat_gaps(spark, sf_dir):
         "silence_s",
         (F.col("silence_s") > 86400).cast("int").alias("is_silent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Column-level table profile (pre-load data audit)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    ("o_orderkey", True),
+    ("o_custkey", True),
+    ("o_orderstatus", False),
+    ("o_totalprice", True),
+    ("o_orderdate", False),
+    ("o_orderpriority", False),
+]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+       COUNT(*)::BIGINT AS n_rows,
+       COUNT(*) FILTER (WHERE {c} IS NULL)::BIGINT AS n_null,
+       COUNT(DISTINCT {c})::BIGINT AS n_distinct,
+       {f"MIN({c})::DOUBLE" if num else "NULL::DOUBLE"} AS min_num,
+       {f"MAX({c})::DOUBLE" if num else "NULL::DOUBLE"} AS max_num
+FROM orders"""
+    for c, num in _PROFILE_COLS
+)
+
+
+@query("dq_profile_orders", _PROFILE_ORACLE)
+def q_dq_profile(spark, sf_dir):
+    """Column-level profile of the orders feed — row/null/distinct
+    counts per column, min/max for numerics — the audit run before
+    trusting a new extract (engine-side analog of schema.sql's CHECK
+    constraints, which validate rows but never summarize). ONE scan,
+    one global aggregate, driver-trivial unpivot.
+    operators/aggregates.py::table_profile."""
+    from rclabsapi_spark.operators.aggregates import table_profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    return table_profile(orders, [c for c, _ in _PROFILE_COLS])

@@ -92,3 +92,68 @@ def test_basket_pairs_symmetric_support(spark):
             .count()
         )
         assert n == r["support_ab"]
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling + attribution (suite-mates of the linkage batch)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    """With a 1000:1 weight ratio the heavy item family must dominate
+    the sample across salts (inclusion probability ∝ weight)."""
+    from rclabsapi_spark.llm.sampling import weighted_sample_k
+
+    rows = [(i, "heavy" if i < 50 else "light", 1000.0 if i < 50 else 1.0)
+            for i in range(1050)]
+    df = spark.createDataFrame(rows, "id long, fam string, w double")
+    heavy_share = []
+    for salt in ("s1:", "s2:", "s3:"):
+        got = weighted_sample_k(
+            df, key_col="id", weight_col="w", k=20, salt=salt
+        ).collect()
+        heavy_share.append(
+            sum(1 for r in got if r["fam"] == "heavy") / len(got)
+        )
+    # 50 heavy ids hold ~98% of total weight; a uniform sample would
+    # pick ~5% heavy. Demand a clear majority in every draw.
+    assert all(s >= 0.6 for s in heavy_share), heavy_share
+
+
+def test_weighted_sample_deterministic_under_partitioning(spark):
+    from rclabsapi_spark.llm.sampling import weighted_sample_k
+
+    rows = [(i, float(i % 7 + 1)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    outs = []
+    for shape in (df, df.repartition(13)):
+        outs.append(
+            sorted(
+                r["id"]
+                for r in weighted_sample_k(
+                    df=shape, key_col="id", weight_col="w", k=25
+                ).collect()
+            )
+        )
+    assert outs[0] == outs[1]
+    assert len(outs[0]) == 25
+
+
+def test_last_touch_attribution_tiny_case(spark):
+    from rclabsapi_spark.operators.analytics import last_touch_attribution
+
+    rows = [
+        # user 1: view → click → PURCHASE(5) → PURCHASE(7)  (click gets both)
+        (1, 1, "view", 0.0), (1, 2, "click", 0.0),
+        (1, 3, "purchase", 5.0), (1, 4, "purchase", 7.0),
+        # user 2: PURCHASE(3) with no preceding touch → NULL channel
+        (2, 5, "purchase", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, value double"
+    ).withColumn("ts", F.col("event_id").cast("timestamp"))
+    got = {
+        r["channel"]: (r["n_conversions"], r["attributed_value"], r["share"])
+        for r in last_touch_attribution(df, conversion_type="purchase").collect()
+    }
+    assert got == {"click": (2, 12.0, 2 / 3), None: (1, 3.0, 1 / 3)}

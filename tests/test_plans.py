@@ -474,3 +474,29 @@ def test_sample_k_per_group_one_exchange(spark):
     assert _scans(p)["events"] == 1
     assert p.count("Exchange") == 1
     assert "hashpartitioning(event_type" in p
+
+
+def test_weighted_sample_one_exchange(spark):
+    """A-Res weighted sampling: the per-group ranking window's exchange
+    is the only shuffle; scoring is per-row codegen."""
+    p = _plan(spark, "sample_weighted_ares")
+    assert _scans(p)["orders"] == 1
+    assert p.count("Exchange") == 1
+    assert "hashpartitioning(o_orderstatus" in p
+
+
+def test_attribution_user_clustered(spark):
+    """Last-touch: one fact exchange (the per-user ordered window); the
+    channel rollup and share window run on the |types| relation."""
+    p = _plan(spark, "attr_last_touch")
+    assert _scans(p)["events"] == 1
+    assert "hashpartitioning(user_id" in p
+    assert "Join" not in p
+
+
+def test_profile_single_scan_no_fact_shuffle(spark):
+    """Table profile: one scan, one global aggregate (the multi-distinct
+    expand), unpivot is driver-trivial."""
+    p = _plan(spark, "dq_profile_orders")
+    assert _scans(p)["orders"] == 1
+    assert "Join" not in p
