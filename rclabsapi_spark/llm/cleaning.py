@@ -290,3 +290,43 @@ def corpus_filter(
     return joined.withColumn("drop_reason", reason).withColumn(
         "keep", F.col("drop_reason") == ""
     )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 2,
+    k: int = 20,
+) -> DataFrame:
+    """Boilerplate span mining: the word n-grams repeated across the
+    most documents (headers, footers, license blurbs, navigation text —
+    the spans a training-data cleaner strips before dedup, since they
+    inflate near-dup similarity between unrelated pages).
+
+    Explode → one (gram) aggregate with map-side combine — the shuffle
+    carries gram strings once per partition-distinct gram, not the
+    token stream — then a TakeOrdered top-k with full tie-break. The
+    same shingle construction as the Jaccard index (llm/dedup.py::
+    shingles), so a later "strip these spans" pass composes with the
+    dedup tiering."""
+    from rclabsapi_spark.llm.dedup import shingles
+
+    posting = docs.select(
+        F.col(key_col).alias("doc"),
+        F.explode(shingles(F.col(text_col), n)).alias("gram"),
+    )
+    return (
+        posting.groupBy("gram")
+        .agg(
+            F.countDistinct("doc").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occurrences").desc(), "gram"
+        )
+        .limit(k)
+    )

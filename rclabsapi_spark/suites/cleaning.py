@@ -235,3 +235,42 @@ def q_corpus_stats(spark, sf_dir):
         .groupBy("lang", "drop_reason")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate span mining (repeated n-grams across documents)
+# ---------------------------------------------------------------------------
+
+_BOILERPLATE_ORACLE = """
+WITH sh AS (
+    SELECT doc_id,
+           list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 3, 1)),
+               i -> string_split(text, ' ')[i] || ' '
+                    || string_split(text, ' ')[i+1] || ' '
+                    || string_split(text, ' ')[i+2] || ' '
+                    || string_split(text, ' ')[i+3] || ' '
+                    || string_split(text, ' ')[i+4]) AS gs
+    FROM documents
+),
+posting AS (SELECT doc_id, UNNEST(gs) AS gram FROM sh)
+SELECT gram, COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+       COUNT(*)::BIGINT AS n_occurrences
+FROM posting GROUP BY 1
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY n_docs DESC, n_occurrences DESC, gram
+LIMIT 20
+"""
+
+
+@query("clean_boilerplate_ngrams", _BOILERPLATE_ORACLE, bench=True)
+def q_boilerplate(spark, sf_dir):
+    """Top-20 word 5-grams repeated across the most documents — the
+    boilerplate-span detector run before near-dup scoring (repeated
+    navigation/footer text inflates Jaccard between unrelated pages).
+    Same shingle construction as the n-gram index; one exploded
+    aggregate, TakeOrdered top-k. llm/cleaning.py::boilerplate_ngrams."""
+    from rclabsapi_spark.llm.cleaning import boilerplate_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return boilerplate_ngrams(docs, n=5, min_docs=2, k=20)

@@ -500,3 +500,31 @@ def test_profile_single_scan_no_fact_shuffle(spark):
     p = _plan(spark, "dq_profile_orders")
     assert _scans(p)["orders"] == 1
     assert "Join" not in p
+
+
+def test_triangle_count_no_cartesian_cached_orientation(spark):
+    """Triangles: wedge-gen and closure are equi-joins over the cached
+    oriented edge relation — no cartesian product, no repeated fact
+    dedup."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_REG["graph_triangles_coorder"].fn(spark, SF_CORRECT))
+    assert counts["cached"] >= 2  # canonical edges + oriented edges
+    p = _plan(spark, "graph_triangles_coorder")
+    assert "CartesianProduct" not in p
+
+
+def test_pagerank_broadcast_iterations(spark):
+    """PageRank: every per-iteration join broadcasts the |nodes|-sized
+    rank relation; no sort-merge join appears."""
+    p = _plan(spark, "graph_pagerank_transitions")
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 3
+
+
+def test_boilerplate_single_posting_aggregate(spark):
+    """Boilerplate mining: explode → one gram aggregate → TakeOrdered."""
+    p = _plan(spark, "clean_boilerplate_ngrams")
+    assert _scans(p)["documents"] == 1
+    assert "TakeOrderedAndProject" in p
+    assert "Join" not in p
