@@ -489,3 +489,71 @@ def transitions_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def _attribution_group(
+    key,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    conversion_type: str,
+) -> Iterable[pd.DataFrame]:
+    """Per-user last-touch attribution for an event-time-ordered feed:
+    carry the last non-conversion event type across micro-batches; for
+    every conversion row emit one (channel, value) credit. State is one
+    nullable string per user. Same replay contract as
+    ``_transitions_group``: batches arrive in event-time order per user,
+    arbitrary split points, any within-batch arrival order."""
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+    last = state.get[0] if state.exists else None
+    out = []
+    for etype, value in zip(rows["event_type"], rows["value"]):
+        if etype == conversion_type:
+            out.append((key[0], last, 1, float(value)))
+        else:
+            last = etype
+    state.update((last,))
+    yield pd.DataFrame(
+        out, columns=["user_id", "channel", "n", "value"]
+    )
+
+
+def attribution_stream(
+    events: DataFrame,
+    *,
+    conversion_type: str = "purchase",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming last-touch attribution — the live twin of the batch
+    ``attr_last_touch`` query (operators/analytics.py::
+    last_touch_attribution): summing the emitted per-conversion credits
+    over any prefix of the stream reproduces the batch per-channel
+    (n_conversions, attributed_value) exactly, including the NULL
+    channel for conversions with no preceding touch."""
+
+    def fn(key, pdfs, state):
+        return _attribution_group(key, pdfs, state, conversion_type)
+
+    return (
+        events.select(
+            events[key_col].alias("user_id"),
+            events[ts_col].cast("timestamp").alias("ts"),
+            events[type_col].alias("event_type"),
+            events[id_col].alias("event_id"),
+            events[value_col].alias("value"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                "user_id long, channel string, n long, value double"
+            ),
+            stateStructType="last_touch string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -747,3 +747,86 @@ def test_streaming_transitions_match_batch(spark, events_dir, tmp_path):
     ).collect()
     got = {(r.from_type, r.to_type): r.n for r in got_rows}
     assert got == expected
+
+
+def test_streaming_attribution_matches_batch(spark, events_dir, tmp_path):
+    """Summed live last-touch credits == the batch attribution rollup
+    (counts AND value) when files replay in event-time order; split
+    points arbitrary — carried last-touch state stitches boundaries."""
+    from rclabsapi_spark.operators.analytics import last_touch_attribution
+    from rclabsapi_spark.streaming.stateful import attribution_stream
+
+    ev = spark.read.parquet(events_dir)
+    expected = {
+        r["channel"]: (r["n_conversions"], r["attributed_value"])
+        for r in last_touch_attribution(ev, conversion_type="purchase").collect()
+    }
+    assert sum(n for n, _ in expected.values()) > 0
+
+    in_dir = str(tmp_path / "attr_in")
+    ranked = ev.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    )
+    for i in range(1, 5):
+        ranked.filter(F.col("slice") == i).drop("slice").coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(in_dir)
+    )
+    q = (
+        attribution_stream(stream, conversion_type="purchase")
+        .writeStream.format("memory")
+        .queryName("attr_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got_rows = spark.sql(
+        "SELECT channel, SUM(n) AS n, ROUND(SUM(value), 6) AS v"
+        " FROM attr_out GROUP BY 1"
+    ).collect()
+    got = {r.channel: (r.n, r.v) for r in got_rows}
+    assert got == expected
+
+
+def test_streaming_cms_sketch_matches_batch(spark, events_dir, tmp_path):
+    """The stream-maintained Count-Min counter table must be identical
+    to the batch-built sketch over the same events — the merge IS
+    addition, so any micro-batching folds to the same table."""
+    from rclabsapi_spark.streaming.sketches import cms_sketch_stream
+
+    ev = spark.read.parquet(events_dir)
+    batch = {
+        (r["seed"], r["bucket"]): r["c"]
+        for r in cms_sketch_stream(ev, item_col="user_id").collect()
+    }
+
+    schema = ev.schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(events_dir)
+    )
+    q = (
+        cms_sketch_stream(stream, item_col="user_id")
+        .writeStream.format("memory")
+        .queryName("cms_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cms"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["seed"], r["bucket"]): r["c"]
+        for r in spark.sql("SELECT * FROM cms_out").collect()
+    }
+    assert got == batch
