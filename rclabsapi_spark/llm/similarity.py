@@ -428,3 +428,47 @@ def semantic_dedup(
             .alias("status"),
         )
     )
+
+
+def quantize_embeddings_error(
+    embeddings: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    bits: int = 8,
+) -> DataFrame:
+    """Per-dimension scalar quantization audit: quantize each embedding
+    dimension to ``bits`` (min/max affine codes), dequantize, and report
+    per-dimension [lo, hi], mean and max absolute reconstruction error —
+    the go/no-go check before shipping int8 vectors to the ANN index
+    (4× memory cut; the error table says what recall it may cost).
+
+    One posexplode → per-dim (64-row) bounds aggregate → broadcast back
+    → per-row code/dequant arithmetic → per-dim error aggregate. The
+    fact relation shuffles only (dim, value) pairs; codes never
+    materialize wider than the audit needs."""
+    levels = float(2**bits - 1)
+    flat = embeddings.select(
+        F.col(key_col).alias("k"),
+        F.posexplode(F.col(vec_col)).alias("dim0", "v_f"),
+    ).select(
+        "k", (F.col("dim0") + 1).alias("dim"), F.col("v_f").cast("double").alias("v")
+    )
+    bounds = flat.groupBy("dim").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    j = flat.join(F.broadcast(bounds), "dim")
+    width = F.col("hi") - F.col("lo")
+    code = F.floor((F.col("v") - F.col("lo")) / width * levels + 0.5)
+    deq = F.col("lo") + code * width / levels
+    err = F.abs(F.col("v") - deq)
+    return (
+        j.select("dim", "lo", "hi", err.alias("err"))
+        .groupBy("dim")
+        .agg(
+            F.min("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+            F.round(F.avg("err"), 6).alias("mae"),
+            F.round(F.max("err"), 6).alias("max_err"),
+        )
+    )

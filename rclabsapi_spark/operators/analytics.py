@@ -467,3 +467,106 @@ def last_touch_attribution(
             / F.sum("n_conversions").over(w_all).cast("double")
         ).alias("share"),
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    *,
+    value_col: str,
+    key_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Equal-frequency histogram: NTILE buckets over (value, key) — the
+    key tie-break makes bucket boundaries deterministic — with per-bucket
+    count and [lo, hi] bounds. The equi-DEPTH complement of psi_drift's
+    equi-width bins: depth buckets adapt to skew, which is what a query
+    optimizer's statistics or a feature binner wants.
+
+    The ntile is a global-order window (documented global-rank
+    limitation, as rfm_scores); per-bucket bounds are exact min/max.
+    At ≫memory scale swap ntile for percentile_approx cut points and a
+    range join — same output contract."""
+    w = Window.orderBy(F.col(value_col), F.col(key_col))
+    return (
+        df.select(
+            F.col(value_col).alias("v"),
+            F.ntile(n_buckets).over(w).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+    )
+
+
+def entropy_by_group(
+    df: DataFrame,
+    *,
+    group_col: str,
+    cat_col: str,
+) -> DataFrame:
+    """Shannon entropy of a categorical distribution per group:
+    H = −Σ p·ln p over category shares, plus the category count — the
+    diversity audit (is one source dominating this language's corpus?).
+    One (group, cat) aggregate, entropy folds over the tiny share
+    relation; shares divide exact counts, the ln terms are per-row
+    deterministic, and the final fold rounds at 6."""
+    counts = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(cat_col).alias("cat")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_g = Window.partitionBy("grp")
+    shares = counts.select(
+        "grp",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w_g)).alias("p"),
+    )
+    return (
+        shares.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.sum("n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_categories"),
+            F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("entropy"),
+        )
+    )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    *,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Pearson χ² test statistic for independence of two categoricals:
+    Σ (observed − expected)²/expected over the contingency cells, with
+    degrees of freedom (r−1)(c−1). The statistical upgrade of the
+    status × priority pivot: "are these two dimensions related at all".
+    One fact aggregate to the contingency table; margins broadcast back;
+    the cell fold runs over the |r·c| relation."""
+    obs = df.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("c")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    w_r = Window.partitionBy("r")
+    w_c = Window.partitionBy("c")
+    w_all = Window.partitionBy()
+    cells = obs.select(
+        "r",
+        "c",
+        "o",
+        (
+            F.sum("o").over(w_r).cast("double")
+            * F.sum("o").over(w_c).cast("double")
+            / F.sum("o").over(w_all).cast("double")
+        ).alias("e"),
+    )
+    return cells.agg(
+        F.round(
+            F.sum((F.col("o").cast("double") - F.col("e")) ** 2 / F.col("e")),
+            6,
+        ).alias("chi2"),
+        (
+            (F.countDistinct("r") - 1) * (F.countDistinct("c") - 1)
+        ).cast("long").alias("dof"),
+        F.sum("o").alias("n_rows"),
+    )

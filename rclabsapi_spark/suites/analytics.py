@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 
 from rclabsapi_spark.catalog import load_table
 from rclabsapi_spark.operators.analytics import (
+    chi_square_independence,
+    equidepth_histogram,
     heavy_hitters,
     mean_shift_changepoint,
     psi_drift,
@@ -424,4 +426,101 @@ def q_changepoint(spark, sf_dir):
         group_cols=("event_type",),
         order_col="day_idx",
         value_col="n",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram of order values
+# ---------------------------------------------------------------------------
+
+_HISTOGRAM_ORACLE = """
+SELECT bucket, COUNT(*)::BIGINT AS n, MIN(v) AS lo, MAX(v) AS hi
+FROM (
+    SELECT o_totalprice AS v,
+           NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+    FROM orders
+) GROUP BY 1
+"""
+
+
+@query("a_histogram_equidepth", _HISTOGRAM_ORACLE)
+def q_histogram_equidepth(spark, sf_dir):
+    """Equal-frequency 10-bucket histogram of o_totalprice — the
+    skew-adaptive complement of drift_psi_value's equal-width bins (what
+    optimizer statistics and feature binners use). ntile carries the
+    order key as tie-break so bucket boundaries are deterministic.
+    operators/analytics.py::equidepth_histogram."""
+    orders = load_table(spark, sf_dir, "orders")
+    return equidepth_histogram(
+        orders, value_col="o_totalprice", key_col="o_orderkey", n_buckets=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# χ² independence: order status vs priority
+# ---------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH obs AS (
+    SELECT o_orderstatus AS r, o_orderpriority AS c, COUNT(*)::BIGINT AS o
+    FROM orders GROUP BY 1, 2
+),
+cells AS (
+    SELECT r, c, o,
+           (SUM(o) OVER (PARTITION BY r))::DOUBLE
+           * (SUM(o) OVER (PARTITION BY c))::DOUBLE
+           / (SUM(o) OVER ())::DOUBLE AS e
+    FROM obs
+)
+SELECT ROUND(SUM((o::DOUBLE - e) * (o::DOUBLE - e) / e), 6) AS chi2,
+       ((COUNT(DISTINCT r) - 1) * (COUNT(DISTINCT c) - 1))::BIGINT AS dof,
+       SUM(o)::BIGINT AS n_rows
+FROM cells
+"""
+
+
+@query("stat_chi2_status_priority", _CHI2_ORACLE)
+def q_chi2(spark, sf_dir):
+    """Pearson χ² statistic for independence of order status and
+    priority — "are these dimensions related", the statistical upgrade
+    of pivot_status_priority's raw cross-tab. One fact aggregate to the
+    contingency table; margins are windows over the |r·c| relation.
+    operators/analytics.py::chi_square_independence."""
+    orders = load_table(spark, sf_dir, "orders")
+    return chi_square_independence(
+        orders, row_col="o_orderstatus", col_col="o_orderpriority"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlation matrix over lineitem measures
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(corr(l_quantity, l_discount), 6) AS corr_qty_discount,
+       ROUND(corr(l_extendedprice, l_discount), 6) AS corr_price_discount,
+       COUNT(*)::BIGINT AS n_rows
+FROM lineitem
+"""
+
+
+@query("stat_corr_lineitem", _CORR_ORACLE)
+def q_corr(spark, sf_dir):
+    """Pairwise Pearson correlations among the lineitem measures in ONE
+    single-scan aggregate (each corr is a mergeable co-moment fold —
+    map-side partials merge exactly like sum/count, so one pass covers
+    all pairs at any scale)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias(
+            "corr_qty_discount"
+        ),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias(
+            "corr_price_discount"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
     )

@@ -891,3 +891,33 @@ def q_sample_weighted(spark, sf_dir):
         group_col="o_orderstatus",
         salt="wsk:",
     ).select("o_orderkey", "o_orderstatus", "sample_rank")
+
+
+_ENTROPY_ORACLE = """
+WITH counts AS (
+    SELECT lang AS grp, source AS cat, COUNT(*)::BIGINT AS n
+    FROM documents GROUP BY 1, 2
+),
+shares AS (
+    SELECT grp, n,
+           n::DOUBLE / (SUM(n) OVER (PARTITION BY grp))::DOUBLE AS p
+    FROM counts
+)
+SELECT grp AS lang, SUM(n)::BIGINT AS n_rows,
+       COUNT(*)::BIGINT AS n_categories,
+       ROUND(-SUM(p * LN(p)), 6) AS entropy
+FROM shares GROUP BY 1
+"""
+
+
+@query("text_source_entropy", _ENTROPY_ORACLE)
+def q_source_entropy(spark, sf_dir):
+    """Shannon entropy of the source mix per language — the corpus
+    diversity audit (a language whose tokens come from one source is a
+    biased slice, whatever its size). One (lang, source) aggregate;
+    entropy folds over the tiny share relation.
+    operators/analytics.py::entropy_by_group."""
+    from rclabsapi_spark.operators.analytics import entropy_by_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return entropy_by_group(docs, group_col="lang", cat_col="source")

@@ -345,3 +345,43 @@ def q_split_contamination(spark, sf_dir):
         F.sum(leaked).cast("long").alias("n_leaked"),
         F.round(F.sum(leaked) / F.count(F.lit(1)), 6).alias("leak_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization audit
+# ---------------------------------------------------------------------------
+
+_QUANT_ORACLE = """
+WITH flat AS (
+    SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+           unnest(embedding)::DOUBLE AS v
+    FROM embeddings
+),
+bounds AS (
+    SELECT dim, MIN(v) AS lo, MAX(v) AS hi FROM flat GROUP BY 1
+),
+coded AS (
+    SELECT f.dim, b.lo, b.hi,
+           ABS(f.v - (b.lo + FLOOR((f.v - b.lo) / (b.hi - b.lo) * 255.0 + 0.5)
+                             * (b.hi - b.lo) / 255.0)) AS err
+    FROM flat f JOIN bounds b ON f.dim = b.dim
+)
+SELECT dim, MIN(lo) AS lo, MAX(hi) AS hi,
+       ROUND(AVG(err), 6) AS mae,
+       ROUND(MAX(err), 6) AS max_err
+FROM coded GROUP BY 1
+"""
+
+
+@query("emb_quantize_error", _QUANT_ORACLE)
+def q_emb_quantize(spark, sf_dir):
+    """Per-dimension int8 scalar-quantization audit over the embedding
+    table: affine min/max codes, dequantize, report mean/max absolute
+    reconstruction error — the go/no-go check before shipping 4×-smaller
+    vectors to the ANN tier. Per-dim bounds broadcast back; code/dequant
+    is per-row arithmetic with identical expression trees on both
+    engines. llm/similarity.py::quantize_embeddings_error."""
+    from rclabsapi_spark.llm.similarity import quantize_embeddings_error
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings_error(emb, bits=8)

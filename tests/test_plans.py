@@ -528,3 +528,43 @@ def test_boilerplate_single_posting_aggregate(spark):
     assert _scans(p)["documents"] == 1
     assert "TakeOrderedAndProject" in p
     assert "Join" not in p
+
+
+def test_histogram_single_global_sort(spark):
+    """Equi-depth histogram: one scan, the ntile's single-partition sort
+    plus the bucket aggregate — nothing else."""
+    p = _plan(spark, "a_histogram_equidepth")
+    assert _scans(p)["orders"] == 1
+    assert "Join" not in p
+
+
+def test_chi2_contingency_windows_only(spark):
+    """χ²: one fact aggregate to the contingency cells; margins are
+    windows over that tiny relation — no joins, no second scan."""
+    p = _plan(spark, "stat_chi2_status_priority")
+    assert _scans(p)["orders"] == 1
+    assert "Join" not in p
+
+
+def test_corr_single_scan_single_aggregate(spark):
+    """Correlation matrix: all pairwise co-moment folds in ONE scan and
+    one global aggregate — no per-pair passes."""
+    p = _plan(spark, "stat_corr_lineitem")
+    assert _scans(p)["lineitem"] == 1
+    assert p.count("Exchange") == 1  # the single global-agg exchange
+    assert "Join" not in p
+
+
+def test_entropy_single_aggregate(spark):
+    p = _plan(spark, "text_source_entropy")
+    assert _scans(p)["documents"] == 1
+    assert "Join" not in p
+
+
+def test_quantize_bounds_broadcast(spark):
+    """Quantization audit: per-dim bounds broadcast back to the flat
+    relation; no sort-merge join on the exploded fact."""
+    p = _plan(spark, "emb_quantize_error")
+    assert _scans(p)["embeddings"] == 2  # bounds pass + error pass
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
