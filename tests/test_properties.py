@@ -208,3 +208,68 @@ def test_hash_sample_is_stable_under_partitioning_and_growth(spark, keys):
     )
     s3 = {r["k"] for r in hash_sample(grown, key_col="k", pct=30).collect()}
     assert s3 & set(keys) == s1
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line concurrency vs brute force on random interval sets
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+def test_concurrency_peak_matches_bruteforce(spark, iv):
+    """Peak concurrency over arbitrary half-open integer intervals equals
+    the brute-force per-instant census (zero-length intervals invisible)."""
+    from rclabsapi_spark.operators.timeseries import concurrency_peaks
+
+    rows = [("g", s, s + d) for s, d in iv]
+    live = [r for r in rows if r[2] > r[1]]
+    df = spark.createDataFrame(rows, "g string, s long, e long")
+    got = concurrency_peaks(
+        df, group_col="g", start_col="s", end_col="e"
+    ).collect()
+    if not live:
+        # all intervals empty → peak 0 at the earliest instant
+        assert got[0]["peak"] == 0
+        return
+    instants = sorted({s for _, s, _ in live})
+    census = {
+        t: sum(1 for _, s, e in live if s <= t < e) for t in instants
+    }
+    peak = max(census.values())
+    peak_at = min(t for t, c in census.items() if c == peak)
+    assert (got[0]["peak"], got[0]["peak_at_s"]) == (peak, peak_at)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=30),
+        min_size=5,
+        max_size=200,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_cms_bound_holds_on_random_streams(spark, items):
+    """CMS contract on arbitrary item streams: exact ≤ est ≤ exact + εn."""
+    from pyspark.sql import functions as F
+
+    from rclabsapi_spark.operators.approx import cms_estimate
+
+    df = spark.createDataFrame([(i,) for i in items], "item long")
+    exact = df.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    est = {
+        r["item"]: r["cms_est"]
+        for r in cms_estimate(df, exact, item_col="item").collect()
+    }
+    bound = 2.0 * len(items) / 256.0
+    for r in exact.collect():
+        assert r["n"] <= est[r["item"]] <= r["n"] + bound
