@@ -274,3 +274,53 @@ def q_boilerplate(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return boilerplate_ngrams(docs, n=5, min_docs=2, k=20)
+
+
+# ---------------------------------------------------------------------------
+# Percentile winsorization (robust value clipping)
+# ---------------------------------------------------------------------------
+
+_WINSORIZE_ORACLE = f"""
+WITH bounds AS (
+    SELECT event_type,
+           quantile_cont(value, 0.05) AS lo,
+           quantile_cont(value, 0.95) AS hi
+    FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       COUNT(*)::BIGINT AS n,
+       SUM(CASE WHEN value < lo THEN 1 ELSE 0 END)::BIGINT AS n_clipped_lo,
+       SUM(CASE WHEN value > hi THEN 1 ELSE 0 END)::BIGINT AS n_clipped_hi,
+       ROUND(AVG(value), 6) AS mean_raw,
+       ROUND(AVG(LEAST(GREATEST(value, lo), hi)), 6) AS mean_winsorized
+FROM events e JOIN bounds b ON e.event_type = b.event_type
+GROUP BY 1
+"""
+
+
+@query("clean_winsorize_value", _WINSORIZE_ORACLE)
+def q_winsorize(spark, sf_dir):
+    """Per-type p05/p95 winsorization audit: how many values clip at
+    each tail and what the clipped mean looks like — the robust
+    preprocessing step before feeding heavy-tailed metrics to a model
+    (outliers cap instead of dominating). Exact per-group percentiles
+    broadcast back; clipping is per-row arithmetic; at scale the
+    GK-sketch percentile swap applies (operators/approx.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    j = ev.join(F.broadcast(bounds), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0)).alias(
+            "n_clipped_lo"
+        ),
+        F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0)).alias(
+            "n_clipped_hi"
+        ),
+        F.round(F.avg("value"), 6).alias("mean_raw"),
+        F.round(F.avg(clipped), 6).alias("mean_winsorized"),
+    )

@@ -429,3 +429,44 @@ def q_attr_last_touch(spark, sf_dir):
 
     ev = load_table(spark, sf_dir, "events")
     return last_touch_attribution(ev, conversion_type="purchase")
+
+
+# ---------------------------------------------------------------------------
+# Native session windows (batch) vs gaps-and-islands semantics
+# ---------------------------------------------------------------------------
+
+_SESSION_NATIVE_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                     OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTES
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTES AS session_end,
+       COUNT(*)::BIGINT AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+@query("w_session_native", _SESSION_NATIVE_ORACLE)
+def q_session_native(spark, sf_dir):
+    """Spark's NATIVE session_window operator hash-checked against the
+    gaps-and-islands SQL formulation — the cross-check that the
+    streaming-capable sessionizer (streaming/sessions.py, merge-on-
+    overlap state) and the batch window SQL agree event-for-event.
+    Boundary pinned: native splits at gap ≥ timeout, so the oracle uses
+    >= (not >); session_end is last event + gap by definition."""
+    from rclabsapi_spark.streaming.sessions import session_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_agg(ev, gap="30 minutes")

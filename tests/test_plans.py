@@ -568,3 +568,20 @@ def test_quantize_bounds_broadcast(spark):
     assert _scans(p)["embeddings"] == 2  # bounds pass + error pass
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_session_native_single_exchange(spark):
+    """Native session_window: one fact exchange on the user key; the
+    merge happens inside the session-window aggregate."""
+    p = _plan(spark, "w_session_native")
+    assert _scans(p)["events"] == 1
+    assert "Join" not in p
+
+
+def test_winsorize_bounds_broadcast(spark):
+    """Winsorization: exact per-type percentile bounds broadcast back to
+    the fact scan; no sort-merge join."""
+    p = _plan(spark, "clean_winsorize_value")
+    assert _scans(p)["events"] == 2  # bounds pass + clipping pass
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
