@@ -97,6 +97,7 @@ def asof_join(
     by: str | Sequence[str],
     right_cols: Sequence[str],
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of (backward) join: for each left row, attach the payload of the
     LATEST right row with ``right.on <= left.on`` within the same ``by``
@@ -118,6 +119,12 @@ def asof_join(
     the left at equal ``on`` either way). Both directions are ONE
     shuffle on ``by``.
 
+    ``tolerance_seconds`` (pandas ``merge_asof``'s ``tolerance``) nulls
+    the matched payload when the matched right row is further than the
+    tolerance from the left timestamp — a stale quote should not attach
+    to today's trade. Implemented as a post-fill per-row predicate on
+    the carried match timestamp: zero extra shuffles.
+
     Right rows must be unique per (by, on) — pre-aggregate if not (ASOF
     tie-break at equal timestamps is otherwise engine-defined). Left
     columns pass through; ``right_cols`` must not collide with them.
@@ -125,19 +132,27 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
     by_keys = [by] if isinstance(by, str) else list(by)
+    # carry the matched right timestamp when a tolerance must be applied
+    fill_cols = list(right_cols)
+    if tolerance_seconds is not None:
+        fill_cols.append("__asof_on")
+        right = right.withColumn("__asof_on", F.col(on))
     lhs = left.select(
         *by_keys,
         F.col(on),
         F.lit(1).alias("__tag"),
         F.struct(*left.columns).alias("__lrow"),
-        *[F.lit(None).alias(f"__r_{c}") for c in right_cols],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
+            for c in fill_cols
+        ],
     )
     rhs = right.select(
         *by_keys,
         F.col(on),
         F.lit(0).alias("__tag"),
         F.lit(None).cast(lhs.schema["__lrow"].dataType).alias("__lrow"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        *[F.col(c).alias(f"__r_{c}") for c in fill_cols],
     )
     from pyspark.sql import Window
 
@@ -152,12 +167,24 @@ def asof_join(
         "__lrow",
         *[
             F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in right_cols
+            for c in fill_cols
         ],
     )
-    return filled.filter(F.col("__tag") == 1).select(
+    matched = filled.filter(F.col("__tag") == 1)
+    if tolerance_seconds is None:
+        return matched.select(
+            *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
+            *[F.col(f"__m_{c}").alias(c) for c in right_cols],
+        )
+    l_s = F.col(f"__lrow.{on}").cast("timestamp").cast("double")
+    r_s = F.col("__m___asof_on").cast("timestamp").cast("double")
+    in_tol = F.abs(l_s - r_s) <= F.lit(float(tolerance_seconds))
+    return matched.select(
         *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__m_{c}").alias(c) for c in right_cols],
+        *[
+            F.when(in_tol, F.col(f"__m_{c}")).alias(c)
+            for c in right_cols
+        ],
     )
 
 

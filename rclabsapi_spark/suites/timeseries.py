@@ -324,3 +324,52 @@ def q_concurrency_peak(spark, sf_dir):
     return concurrency_peaks(
         iv, group_col="event_type", start_col="start_s", end_col="end_s"
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join with tolerance (stale matches nulled)
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_ORACLE = """
+WITH p AS (
+    SELECT user_id, ts, MAX(value) AS last_purchase_value
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+),
+c AS (
+    SELECT event_id, user_id, ts, value FROM events
+    WHERE event_type = 'click'
+)
+SELECT c.event_id, c.user_id, c.ts, c.value,
+       CASE WHEN abs(epoch(c.ts) - epoch(p.ts)) <= 3600.0
+            THEN p.last_purchase_value END AS last_purchase_value
+FROM c ASOF LEFT JOIN p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+"""
+
+
+@query("j_asof_tolerance", _ASOF_TOL_ORACLE)
+def q_asof_tolerance(spark, sf_dir):
+    """As-of join with a 1-hour tolerance (pandas merge_asof's
+    ``tolerance``): a purchase older than an hour is stale context and
+    must NOT attach to the click — matched payloads beyond the tolerance
+    null out. Same one-shuffle union-window plan as j_asof_clicks_
+    purchases; the tolerance is a per-row predicate on the carried match
+    timestamp (epoch-seconds arithmetic identical on both engines)."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase_value"))
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on="ts",
+        by="user_id",
+        right_cols=["last_purchase_value"],
+        direction="backward",
+        tolerance_seconds=3600.0,
+    )

@@ -147,3 +147,28 @@ def test_asof_forward_match_ties_and_groups(spark):
     assert out[3] is None  # nothing at or after
     assert out[4] is None  # isolation: other group's rights invisible
     assert len(out) == 4
+
+
+def test_asof_tolerance_boundary(spark):
+    """Tolerance is inclusive: a match exactly at the tolerance stays; a
+    second beyond it nulls out (left row itself survives)."""
+    from rclabsapi_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 1000), (1, 5000)], "user_id long, t long"
+    ).withColumn("ts", F.col("t").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, 0, 7.0)], "user_id long, t long, quote double"
+    ).withColumn("ts", F.col("t").cast("timestamp")).drop("t")
+    out = {
+        r["t"]: r["quote"]
+        for r in asof_join(
+            left.drop("t").withColumn("t", F.col("ts").cast("long")),
+            right,
+            on="ts",
+            by="user_id",
+            right_cols=["quote"],
+            tolerance_seconds=1000.0,
+        ).collect()
+    }
+    assert out == {1000: 7.0, 5000: None}
