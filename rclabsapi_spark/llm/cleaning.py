@@ -306,18 +306,18 @@ def boilerplate_ngrams(
     the spans a training-data cleaner strips before dedup, since they
     inflate near-dup similarity between unrelated pages).
 
-    Explode → one (gram) aggregate with map-side combine — the shuffle
-    carries gram strings once per partition-distinct gram, not the
-    token stream — then a TakeOrdered top-k with full tie-break. The
-    same shingle construction as the Jaccard index (llm/dedup.py::
-    shingles), so a later "strip these spans" pass composes with the
-    dedup tiering."""
-    from rclabsapi_spark.llm.dedup import shingles
+    Built on the codegen shingle path (llm/dedup.py::shingle_posting —
+    posexplode + window leads; the array-lambda ``shingles()`` variant
+    falls back to interpreted eval and measured 7× slower here at
+    sf0.1), then one gram aggregate with map-side combine and a
+    TakeOrdered top-k with full tie-break. Same shingle construction as
+    the Jaccard index, so a later "strip these spans" pass composes
+    with the dedup tiering."""
+    from rclabsapi_spark.llm.dedup import shingle_posting
 
-    posting = docs.select(
-        F.col(key_col).alias("doc"),
-        F.explode(shingles(F.col(text_col), n)).alias("gram"),
-    )
+    posting = shingle_posting(
+        docs, text_col=text_col, key_col=key_col, n=n
+    ).select(F.col(key_col).alias("doc"), F.col("shingle").alias("gram"))
     return (
         posting.groupBy("gram")
         .agg(

@@ -177,3 +177,28 @@ def test_pii_scrub_streams_identically_to_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM pii_stream").collect()
     }
     assert got == batch
+
+
+def test_shingle_lambda_mirror_matches_codegen_path(spark):
+    """`shingles()` (the array-lambda mirror of the oracle's
+    list_transform SQL) and `shingle_posting` (the codegen path every
+    operator uses) must produce the same multiset of n-grams per doc —
+    the slow mirror exists to document the oracle semantics, the fast
+    path to run them."""
+    from pyspark.sql import functions as F
+
+    from rclabsapi_spark.llm.dedup import shingle_posting, shingles
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    via_lambda = (
+        docs.select(
+            "doc_id", F.explode(shingles(F.col("text"), 5)).alias("shingle")
+        )
+        .groupBy("doc_id", "shingle")
+        .count()
+    )
+    via_window = (
+        shingle_posting(docs, n=5).groupBy("doc_id", "shingle").count()
+    )
+    assert via_lambda.exceptAll(via_window).count() == 0
+    assert via_window.exceptAll(via_lambda).count() == 0
