@@ -48,7 +48,8 @@ def extract_binary_meta(df: DataFrame, *, key_col: str = "doc_id") -> DataFrame:
 
 def decode_image_stub(payload: bytes) -> dict:
     """STUB — image decode requires PIL/libjpeg, absent in this container
-    (re-checked each round; still absent as of round 5). A real deployment
+    (re-checked each round; still absent as of round 6 — PIL, cv2,
+    soundfile all fail to import). A real deployment
     replaces this with PIL.Image.open(BytesIO(payload)); the harness
     around it (batching, schema, partitioning) is unchanged and is what
     the mm_* queries and tests exercise via ``fake_decode``."""
