@@ -472,3 +472,82 @@ def quantize_embeddings_error(
             F.round(F.max("err"), 6).alias("max_err"),
         )
     )
+
+
+def save_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    n_centroids: int = 8,
+    kmeans_iters: int = 5,
+) -> None:
+    """Persist an IVF index: trained centroids to ``<path>/centroids``
+    and vectors PARTITIONED BY their centroid assignment to
+    ``<path>/vectors`` — the layout that turns an nprobe search into
+    partition pruning (only the probed lists' files are read; the
+    parquet source skips the rest by directory). The write is the
+    expensive pass; every later search is scan-pruned."""
+    cents = kmeans_centroids(
+        embeddings,
+        vec_col=vec_col,
+        key_col=key_col,
+        k=n_centroids,
+        iters=kmeans_iters,
+    )
+    assigned = ivf_assign(
+        embeddings, vec_col=vec_col, key_col=key_col, centroids=cents
+    )
+    vecs = embeddings.join(assigned.select(key_col, "centroid_id"), key_col)
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    vecs.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/vectors"
+    )
+
+
+def search_ivf_index(
+    spark,
+    path: str,
+    query_vec: list[float],
+    *,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Top-k cosine search against a persisted IVF index: rank the K
+    stored centroids against the query DRIVER-SIDE (K×dim floats — the
+    MLlib centroid-pull pattern), then scan ONLY the ``nprobe`` nearest
+    partitions (``centroid_id IN (...)`` prunes at the directory level —
+    check ``PushedFilters``/partition count in explain) and brute-force
+    the survivors. Recall/latency trades on nprobe exactly as a FAISS
+    IVF index does."""
+    import math
+
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return d / (na * nb)
+
+    ranked = sorted(
+        cents, key=lambda r: -cos([float(x) for x in r["cvec"]], query_vec)
+    )
+    probe = [r["centroid_id"] for r in ranked[:nprobe]]
+    vecs = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("centroid_id").isin(probe)
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = _as_double(F.col(vec_col))
+    return (
+        vecs.select(
+            F.col(key_col),
+            F.col("centroid_id"),
+            cosine(v, q).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), key_col)
+        .limit(k)
+    )

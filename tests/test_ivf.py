@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from rclabsapi_spark.catalog import load_table
 from rclabsapi_spark.llm.similarity import (
     cosine_topk,
@@ -63,3 +65,40 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark):
     assert recall_full == 1.0
     # probing half the lists must retain a useful fraction of the top-k
     assert recall_half >= 0.3
+
+
+def test_persisted_ivf_index_prunes_and_recalls(spark, tmp_path):
+    """Save → search lifecycle: the partitioned layout must (a) prune to
+    the probed lists only, and (b) at full probe width reproduce the
+    brute-force top-k exactly."""
+    from rclabsapi_spark.llm.similarity import (
+        cosine_topk,
+        save_ivf_index,
+        search_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf_idx")
+    save_ivf_index(emb, path, n_centroids=4, kmeans_iters=3)
+
+    qrow = emb.filter(F.col("vec_id") == 7).collect()[0]
+    qvec = [float(x) for x in qrow["embedding"]]
+
+    # full probe width == brute force (exact recall); cosine_topk
+    # excludes the query row, the index search returns it at rank 1
+    full = search_ivf_index(spark, path, qvec, k=11, nprobe=4)
+    got = [r["vec_id"] for r in full.collect()]
+    assert got[0] == 7  # the query vector itself, cos=1
+    brute = {r["vec_id"] for r in cosine_topk(emb, 7, k=10).collect()}
+    assert set(got[1:]) == brute
+
+    # narrow probe reads a subset of partitions (pruning is real)
+    narrow = search_ivf_index(spark, path, qvec, k=10, nprobe=1)
+    probed = {r["centroid_id"] for r in narrow.collect()}
+    assert len(probed) == 1
+    plan = narrow._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "centroid_id" in plan  # partition filter present

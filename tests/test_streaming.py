@@ -830,3 +830,67 @@ def test_streaming_cms_sketch_matches_batch(spark, events_dir, tmp_path):
         for r in spark.sql("SELECT * FROM cms_out").collect()
     }
     assert got == batch
+
+
+def test_streaming_drift_counts_match_batch_and_psi_flags_shift(
+    spark, events_dir, tmp_path
+):
+    """Windowed histogram counts from the live stream must equal the
+    batch computation, and the PSI fold over them must score a shifted
+    window above an unshifted one."""
+    from rclabsapi_spark.streaming.drift import (
+        binned_window_counts,
+        psi_vs_reference,
+    )
+
+    ev = spark.read.parquet(events_dir)
+    kw = dict(value_col="value", ts_col="ts", lo=0.0, hi=500.0, n_bins=10)
+    batch = {
+        (r["window_start"], r["bin"]): r["n"]
+        for r in binned_window_counts(ev, window="1 day", **kw).collect()
+    }
+    assert batch
+
+    schema = ev.schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(events_dir)
+    )
+    q = (
+        binned_window_counts(stream, window="1 day", watermark="2 days", **kw)
+        .writeStream.format("memory")
+        .queryName("drift_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_drift"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["bin"]): r["n"]
+        for r in spark.sql("SELECT * FROM drift_out").collect()
+    }
+    assert got == batch
+
+    # reference shares from the full period; an artificially shifted copy
+    # must score higher PSI than the true data against that reference
+    total = sum(batch.values())
+    ref = {}
+    for (_, b), n in batch.items():
+        ref[b] = ref.get(b, 0) + n
+    ref_shares = {b: n / total for b, n in ref.items()}
+
+    # weekly windows for scoring: daily ones are too sparse at the
+    # smoke SF for a stable histogram
+    counts_df = binned_window_counts(ev, window="7 days", **kw)
+    honest = [r["psi"] for r in psi_vs_reference(counts_df, ref_shares).collect()]
+
+    shifted = binned_window_counts(
+        ev.withColumn("value", F.col("value") * 3 + 200), window="7 days", **kw
+    )
+    drifted = [r["psi"] for r in psi_vs_reference(shifted, ref_shares).collect()]
+    # every drifted window must outscore every honest window, decisively
+    assert min(drifted) > 4 * max(honest), (honest, drifted)
+    assert min(drifted) > 0.25
