@@ -280,3 +280,86 @@ def decode_image(payload: bytes) -> dict:
     if bytes(payload).startswith(b"P6"):
         return decode_ppm(bytes(payload))
     return decode_image_stub(bytes(payload))
+
+
+# ---------------------------------------------------------------------------
+# Real decode path: RIFF/WAVE PCM16 — pure numpy, no audio libraries
+# ---------------------------------------------------------------------------
+
+
+def encode_wav_pcm16(sample_rate: int, samples: "bytes") -> bytes:
+    """Serialize little-endian PCM16 mono samples as a minimal RIFF/WAVE
+    payload (the 44-byte canonical header)."""
+    import struct
+
+    n = len(samples)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", n)
+        + samples
+    )
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL audio decode for PCM16 RIFF/WAVE: parse the header, view the
+    sample block as int16, return duration and signal statistics (RMS,
+    peak) — the audio-quality features a speech-data pipeline filters
+    on. Raises ValueError on non-RIFF payloads (route to a codec-gated
+    stub, as decode_image does for compressed images)."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    if not (b.startswith(b"RIFF") and b[8:12] == b"WAVE"):
+        raise ValueError("not a RIFF/WAVE payload")
+    _, channels, rate = struct.unpack("<HHI", b[20:28])
+    n = struct.unpack("<I", b[40:44])[0]
+    x = np.frombuffer(b, dtype="<i2", count=n // 2, offset=44).astype(
+        "float64"
+    )
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "n_samples": len(x),
+        "duration_s": len(x) / float(rate * channels),
+        "rms": float(np.sqrt((x * x).mean())) if len(x) else 0.0,
+        "peak": float(np.abs(x).max()) if len(x) else 0.0,
+    }
+
+
+def attach_wav_payload(
+    docs: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    sample_rate: int = 8000,
+    n_samples: int = 256,
+) -> DataFrame:
+    """Fixture adapter producing VALID PCM16 WAV payloads: samples derive
+    deterministically from repeated md5 bytes of the text — every
+    payload is a real decodable waveform with reproducible RMS/peak."""
+    n_bytes = n_samples * 2
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                seed = hashlib.md5(t.encode()).digest()
+                reps = (n_bytes + len(seed) - 1) // len(seed)
+                payloads.append(
+                    encode_wav_pcm16(sample_rate, (seed * reps)[:n_bytes])
+                )
+            yield pd.DataFrame(
+                {key_col: pdf[key_col].values, "payload": payloads}
+            )
+
+    return docs.select(key_col, text_col).mapInPandas(
+        gen, schema=f"{key_col} long, payload binary"
+    ).withColumn("media_type", F.lit("audio/wav"))

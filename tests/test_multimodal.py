@@ -77,3 +77,39 @@ def test_mapinpandas_decodes_real_fixture_payloads(spark):
         assert (g["width"], g["height"]) == (8, 8)
         assert g["mean_g"] == pytest.approx(arr[:, :, 1].mean())
     assert len(got) == 50
+
+
+def test_wav_decode_matches_numpy_ground_truth(spark):
+    """Real WAV path: PCM16 payloads decode to exact duration/RMS/peak
+    through the mapInPandas harness."""
+    from rclabsapi_spark.llm.multimodal import (
+        attach_wav_payload,
+        decode_wav,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(30)
+    with_audio = attach_wav_payload(docs, sample_rate=8000, n_samples=256)
+    feats = map_binary_batches(
+        with_audio,
+        "doc_id long, sample_rate int, channels int, n_samples int,"
+        " duration_s double, rms double, peak double",
+        decode_wav,
+    )
+    got = {r["doc_id"]: r for r in feats.collect()}
+    for row in docs.select("doc_id", "text").collect():
+        seed = hashlib.md5(row["text"].encode()).digest()
+        raw = (seed * ((512 + 15) // 16))[:512]
+        x = np.frombuffer(raw, dtype="<i2").astype("float64")
+        g = got[row["doc_id"]]
+        assert g["n_samples"] == 256
+        assert g["duration_s"] == pytest.approx(256 / 8000)
+        assert g["rms"] == pytest.approx(np.sqrt((x * x).mean()))
+        assert g["peak"] == pytest.approx(np.abs(x).max())
+    assert len(got) == 30
+
+
+def test_wav_decode_rejects_non_riff():
+    from rclabsapi_spark.llm.multimodal import decode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS fake vorbis")
