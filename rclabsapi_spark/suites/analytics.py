@@ -27,7 +27,9 @@ from rclabsapi_spark.operators.analytics import (
     rfm_scores,
     transition_matrix,
 )
-from rclabsapi_spark.functions.scalars import sql_round_half_up
+from pyspark.sql.window import Window
+
+from rclabsapi_spark.functions.scalars import round_half_up, sql_round_half_up
 from rclabsapi_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -523,4 +525,85 @@ def q_corr(spark, sf_dir):
             "corr_price_discount"
         ),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov–Smirnov two-sample drift statistic
+# ---------------------------------------------------------------------------
+
+_KS_ORACLE = """
+WITH tagged AS (
+    SELECT event_type, value,
+           CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref
+    FROM events
+),
+per_value AS (
+    SELECT event_type, value,
+           SUM(is_ref)::BIGINT AS n1,
+           SUM(1 - is_ref)::BIGINT AS n2
+    FROM tagged GROUP BY 1, 2
+),
+cdf AS (
+    SELECT event_type,
+           SUM(n1) OVER (PARTITION BY event_type ORDER BY value
+                         ROWS UNBOUNDED PRECEDING)::DOUBLE
+               / (SUM(n1) OVER (PARTITION BY event_type))::DOUBLE AS f1,
+           SUM(n2) OVER (PARTITION BY event_type ORDER BY value
+                         ROWS UNBOUNDED PRECEDING)::DOUBLE
+               / (SUM(n2) OVER (PARTITION BY event_type))::DOUBLE AS f2,
+           SUM(n1) OVER (PARTITION BY event_type) AS n_ref,
+           SUM(n2) OVER (PARTITION BY event_type) AS n_cur
+    FROM per_value
+)
+SELECT event_type, MAX(n_ref)::BIGINT AS n_ref, MAX(n_cur)::BIGINT AS n_cur,
+       FLOOR(MAX(ABS(f1 - f2)) * 1000000.0 + 0.5) / 1000000.0 AS ks_d
+FROM cdf GROUP BY 1
+"""
+
+
+@query("stat_ks_value_drift", _KS_ORACLE)
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov D per event type (first half of
+    January vs second): the binning-free drift statistic — PSI asks
+    "how far apart are the histograms", KS asks "how far apart are the
+    CDFs" with no bin choice to tune. One (type, value) aggregate, two
+    prefix-sum windows over the same type clustering; every arithmetic
+    step divides exact counts, so D is bit-identical cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    is_ref = F.when(
+        F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 1
+    ).otherwise(0)
+    per_value = (
+        ev.select("event_type", "value", is_ref.alias("is_ref"))
+        .repartition(F.col("event_type"))
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum("is_ref").alias("n1"),
+            F.sum(1 - F.col("is_ref")).alias("n2"),
+        )
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cdf = per_value.select(
+        "event_type",
+        (
+            F.sum("n1").over(w_run).cast("double")
+            / F.sum("n1").over(w_all).cast("double")
+        ).alias("f1"),
+        (
+            F.sum("n2").over(w_run).cast("double")
+            / F.sum("n2").over(w_all).cast("double")
+        ).alias("f2"),
+        F.sum("n1").over(w_all).alias("n_ref"),
+        F.sum("n2").over(w_all).alias("n_cur"),
+    )
+    return cdf.groupBy("event_type").agg(
+        F.max("n_ref").cast("long").alias("n_ref"),
+        F.max("n_cur").cast("long").alias("n_cur"),
+        round_half_up(F.max(F.abs(F.col("f1") - F.col("f2")))).alias("ks_d"),
     )

@@ -885,3 +885,25 @@ def q_except(spark, sf_dir):
     a = ev.filter(F.col("event_type") == "view").select("user_id")
     b = ev.filter(F.col("event_type") == "error").select("user_id")
     return a.subtract(b)
+
+
+@query(
+    "agg_cube_status_priority",
+    "SELECT o_orderstatus, o_orderpriority, COUNT(*)::BIGINT AS cnt,"
+    " ROUND(SUM(o_totalprice), 6) AS sum_price,"
+    " GROUPING(o_orderstatus)::INT AS g_status,"
+    " GROUPING(o_orderpriority)::INT AS g_priority"
+    " FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)",
+)
+def q_cube(spark, sf_dir):
+    """Extension (SURVEY §2.4 note) — CUBE grouping sets: every margin of
+    the status × priority cross-tab in one pass (the ROLLUP sibling,
+    agg_rollup_hierarchy, covers the hierarchy shape). GROUPING flags
+    disambiguate NULL-as-total from NULL-as-value."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+    )

@@ -585,3 +585,20 @@ def test_winsorize_bounds_broadcast(spark):
     assert _scans(p)["events"] == 2  # bounds pass + clipping pass
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_ks_single_type_clustered_exchange(spark):
+    """KS drift: the explicit type repartition serves the (type, value)
+    aggregate AND both prefix-sum windows — one fact exchange."""
+    p = _plan(spark, "stat_ks_value_drift")
+    assert _scans(p)["events"] == 1
+    assert p.count("Exchange") == 1
+    assert "hashpartitioning(event_type" in p
+
+
+def test_cube_single_expand_aggregate(spark):
+    """CUBE: one scan, the grouping-sets Expand feeds one aggregate."""
+    p = _plan(spark, "agg_cube_status_priority")
+    assert _scans(p)["orders"] == 1
+    assert "Expand" in p
+    assert "Join" not in p
