@@ -557,3 +557,76 @@ def attribution_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def _heartbeat_group(
+    key,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    threshold_s: int,
+) -> Iterable[pd.DataFrame]:
+    """Dead-man detection per key: track the latest heartbeat; when the
+    EVENT-TIME timeout fires (watermark passed last_ts + threshold with
+    no new event), emit one silence row and drop the state. Deterministic
+    — driven by the watermark, not wall clock."""
+    if state.hasTimedOut:
+        (last_ms,) = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_seen": [pd.Timestamp(last_ms, unit="ms")],
+                "silent_after_s": [threshold_s],
+            }
+        )
+        return
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    last = rows["ts"].max()
+    if state.exists:
+        (prev_ms,) = state.get
+        if prev_ms > int(last.timestamp() * 1000):
+            last = pd.Timestamp(prev_ms, unit="ms")
+    last_ms = int(last.timestamp() * 1000)
+    state.update((last_ms,))
+    state.setTimeoutTimestamp(last_ms + threshold_s * 1000)
+    yield pd.DataFrame(
+        {"user_id": [], "last_seen": [], "silent_after_s": []}
+    ).astype({"user_id": "int64", "silent_after_s": "int64"})
+
+
+def heartbeat_stream(
+    events: DataFrame,
+    *,
+    threshold_s: int = 86400,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming dead-man switch — the live twin of the batch
+    ``dq_heartbeat_gaps`` trailing-silence audit and the reference's job
+    timeout sweep (job_monitor_service.cpp:876-897): a key that stops
+    heartbeating for ``threshold_s`` of EVENT time emits one silence row
+    the moment the watermark passes its deadline. EventTimeTimeout keeps
+    it deterministic (no wall-clock dependence) and state is one long
+    per key, removed on firing — the keep-recent-state discipline."""
+
+    def fn(key, pdfs, state):
+        return _heartbeat_group(key, pdfs, state, threshold_s)
+
+    return (
+        events.select(
+            events[key_col].alias("user_id"),
+            events[ts_col].cast("timestamp").alias("ts"),
+        )
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                "user_id long, last_seen timestamp, silent_after_s long"
+            ),
+            stateStructType="last_ms long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -894,3 +894,45 @@ def test_streaming_drift_counts_match_batch_and_psi_flags_shift(
     # every drifted window must outscore every honest window, decisively
     assert min(drifted) > 4 * max(honest), (honest, drifted)
     assert min(drifted) > 0.25
+
+
+def test_streaming_heartbeat_timeout_fires_on_watermark(spark, tmp_path):
+    """Event-time dead-man switch: a user who stops heartbeating emits a
+    silence row once later events advance the watermark past their
+    deadline; active users emit nothing. Deterministic — event-time
+    timeout, no wall clock."""
+    from rclabsapi_spark.streaming.stateful import heartbeat_stream
+
+    base = 1_700_000_000
+    # user 1 goes silent at t=base; user 2 keeps beating until base+10000
+    rows1 = [(1, base), (2, base)]
+    rows2 = [(2, base + 5000), (2, base + 10000)]
+    in_dir = str(tmp_path / "hb_in")
+    for i, rows in enumerate([rows1, rows2]):
+        spark.createDataFrame(rows, "user_id long, t long").withColumn(
+            "ts", F.col("t").cast("timestamp")
+        ).drop("t").coalesce(1).write.mode("append").parquet(in_dir)
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(in_dir)
+    )
+    q = (
+        heartbeat_stream(stream, threshold_s=3600)
+        .writeStream.format("memory")
+        .queryName("hb_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM hb_out").collect()
+    silent = {r["user_id"]: r for r in got}
+    # user 1's deadline (base+3600) is passed by user 2's later beats;
+    # user 2's own deadline (base+10000+3600) is never passed
+    assert set(silent) == {1}
+    assert int(silent[1]["last_seen"].timestamp()) == base
+    assert silent[1]["silent_after_s"] == 3600
