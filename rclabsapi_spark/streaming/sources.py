@@ -205,3 +205,26 @@ def ship_http_destination(
         ),
         level_col=level_col,
     )
+
+
+def idempotent_parquet_sink(
+    out_dir: str,
+) -> "Callable[[DataFrame, int], None]":
+    """Exactly-once-per-batch parquet sink for ``foreachBatch``: each
+    micro-batch writes to ``batch_id=<n>/`` with dynamic partition
+    OVERWRITE, so a batch replayed after a failure (Structured
+    Streaming's at-least-once foreachBatch contract) overwrites its own
+    partition instead of appending duplicates — the streaming analog of
+    the ETL runner's staged-commit load. Readers see exactly-once data;
+    the batch_id partition column doubles as write provenance."""
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        (
+            df.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    return write
