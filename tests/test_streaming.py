@@ -973,3 +973,62 @@ def test_idempotent_sink_replay_does_not_duplicate(spark, events_dir, tmp_path):
     sink(batch0, 0)
     replayed = spark.read.parquet(out)
     assert replayed.drop("batch_id").count() == expected  # no duplicates
+
+
+def test_stateful_state_survives_query_restart(spark, events_dir, tmp_path):
+    """State-store recovery: run the transitions stream over the first
+    half of an ordered replay, STOP the query, then start a NEW query on
+    the same checkpoint over the full input — carried per-user tails must
+    resume (not reset), so summed increments still equal the batch
+    matrix."""
+    from rclabsapi_spark.streaming.stateful import transitions_stream
+
+    ev = spark.read.parquet(events_dir)
+    in_dir = str(tmp_path / "restart_in")
+    ranked = ev.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    )
+    for i in range(1, 3):  # first half only
+        ranked.filter(F.col("slice") == i).drop("slice").coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+
+    schema = spark.read.parquet(in_dir).schema
+    ckpt = str(tmp_path / "ckpt_restart")
+    out_dir = str(tmp_path / "restart_out")
+
+    def run_stream():
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(in_dir)
+        )
+        q = (
+            transitions_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_stream()  # consumes slices 1-2, checkpoints state
+
+    for i in range(3, 5):  # second half arrives while stopped
+        ranked.filter(F.col("slice") == i).drop("slice").coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+
+    run_stream()  # NEW query, same checkpoint: resumes state
+
+    both = (
+        spark.read.parquet(out_dir)
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    got = {(r["from_type"], r["to_type"]): r["n"] for r in both}
+    expected = _batch_transitions(spark, in_dir)
+    assert got == expected
