@@ -24,7 +24,8 @@ import shutil
 import uuid
 from dataclasses import dataclass
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass(frozen=True)
@@ -103,3 +104,63 @@ def expire_partitions(
             shutil.rmtree(os.path.join(path, name))
             dropped.append(value)
     return dropped
+
+
+def merge_upsert(
+    spark,
+    target_path: str,
+    updates: DataFrame,
+    *,
+    key_cols: list[str],
+    partition_col: str,
+    delete_col: str | None = None,
+) -> dict:
+    """Partition-selective MERGE (upsert) into a partitioned parquet
+    table — the engine-side analog of the reference's ON CONFLICT
+    upserts (database_manager.cpp's unique-constraint writes), done the
+    way a 100 TB table must: only partitions that contain touched keys
+    are read, merged, and dynamically overwritten; every other
+    partition's files are left byte-for-byte untouched.
+
+    Semantics per key within affected partitions: update row fields if
+    the key exists, insert if not, and (with ``delete_col``) drop rows
+    whose update carries a true tombstone. ``updates`` must carry the
+    partition column (merge keys may not move partitions — enforce
+    upstream or run a delete+insert pair).
+
+    Returns {"partitions": touched, "upserted": n, "deleted": n}."""
+    touched = [
+        r["p"]
+        for r in updates.select(
+            F.col(partition_col).alias("p")
+        ).distinct().collect()
+    ]
+    tgt = (
+        spark.read.parquet(target_path)
+        .filter(F.col(partition_col).isin(touched))
+    )
+    upd = updates
+    tombstones = None
+    if delete_col is not None:
+        tombstones = upd.filter(F.col(delete_col)).select(*key_cols)
+        upd = upd.filter(~F.col(delete_col)).drop(delete_col)
+    merged = tgt.join(upd.select(*key_cols), key_cols, "left_anti").unionByName(
+        upd
+    )
+    n_deleted = 0
+    if tombstones is not None:
+        before = merged.count()
+        merged = merged.join(tombstones, key_cols, "left_anti")
+        n_deleted = before - merged.count()
+    n_upserted = upd.count()
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(target_path)
+    )
+    return {
+        "partitions": sorted(touched),
+        "upserted": n_upserted,
+        "deleted": n_deleted,
+    }

@@ -93,3 +93,62 @@ def test_compaction_with_zorder_reclusters(spark, tmp_path):
     assert spark.read.parquet(path).count() == 256 * 256
     y_hit1, total1 = _files_overlapping(path, "y", 0, 15)
     assert y_hit1 <= total1 // 2
+
+
+def test_merge_upsert_touches_only_affected_partitions(spark, tmp_path):
+    """MERGE semantics (update + insert + tombstone delete) with the
+    100 TB property: untouched partitions' files stay byte-identical on
+    disk."""
+    import os
+
+    from rclabsapi_spark.maintenance import merge_upsert
+
+    target = str(tmp_path / "tbl")
+    rows = [(k, f"d{k % 3}", float(k)) for k in range(30)]
+    spark.createDataFrame(rows, "id long, day string, v double").write.partitionBy(
+        "day"
+    ).parquet(target)
+
+    def files_in(day):
+        d = os.path.join(target, f"day={day}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    untouched_before = files_in("d2")
+
+    updates = spark.createDataFrame(
+        [
+            (0, "d0", 100.0, False),   # update existing
+            (999, "d0", 999.0, False), # insert new
+            (3, "d0", 0.0, True),      # tombstone delete
+            (1, "d1", 111.0, False),   # update in second partition
+        ],
+        "id long, day string, v double, deleted boolean",
+    )
+    stats = merge_upsert(
+        spark,
+        target,
+        updates,
+        key_cols=["id"],
+        partition_col="day",
+        delete_col="deleted",
+    )
+    assert stats["partitions"] == ["d0", "d1"]
+    assert stats["upserted"] == 3 and stats["deleted"] == 1
+
+    got = {
+        r["id"]: (r["day"], r["v"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got[0] == ("d0", 100.0)
+    assert got[999] == ("d0", 999.0)
+    assert 3 not in got
+    assert got[1] == ("d1", 111.0)
+    assert got[2] == ("d2", 2.0)  # untouched row intact
+    assert len(got) == 30  # 30 - 1 deleted + 1 inserted
+
+    # the d2 partition was never rewritten
+    assert files_in("d2") == untouched_before
