@@ -114,6 +114,7 @@ def merge_upsert(
     key_cols: list[str],
     partition_col: str,
     delete_col: str | None = None,
+    changes_dir: str | None = None,
 ) -> dict:
     """Partition-selective MERGE (upsert) into a partitioned parquet
     table — the engine-side analog of the reference's ON CONFLICT
@@ -127,6 +128,12 @@ def merge_upsert(
     whose update carries a true tombstone. ``updates`` must carry the
     partition column (merge keys may not move partitions — enforce
     upstream or run a delete+insert pair).
+
+    With ``changes_dir``, a change-data feed is written BEFORE the
+    overwrite (afterwards the pre-images are gone): one row per touched
+    key with op ∈ {insert, update, delete} and pre/post value structs —
+    what a downstream incremental consumer tails instead of re-scanning
+    the table.
 
     Returns {"partitions": touched, "upserted": n, "deleted": n}."""
     touched = [
@@ -144,6 +151,41 @@ def merge_upsert(
     if delete_col is not None:
         tombstones = upd.filter(F.col(delete_col)).select(*key_cols)
         upd = upd.filter(~F.col(delete_col)).drop(delete_col)
+    if changes_dir is not None:
+        val_cols = [c for c in tgt.columns if c not in key_cols]
+        t = tgt.select(
+            *key_cols, F.struct(*val_cols).alias("pre")
+        ).alias("t")
+        u_side = upd.select(
+            *key_cols, F.struct(*val_cols).alias("post")
+        )
+        if tombstones is not None:
+            u_side = u_side.unionByName(
+                tombstones.join(
+                    tgt.select(*key_cols).distinct(), key_cols
+                ).select(
+                    *key_cols,
+                    F.lit(None)
+                    .cast(u_side.schema["post"].dataType)
+                    .alias("post"),
+                )
+            )
+        u = u_side.alias("u")
+        feed = t.join(u, key_cols, "full_outer").filter(
+            F.col("post").isNotNull() | F.col("pre").isNotNull()
+        )
+        feed = feed.join(
+            u_side.select(*key_cols).distinct(), key_cols, "semi"
+        ).select(
+            *key_cols,
+            F.when(F.col("pre").isNull(), F.lit("insert"))
+            .when(F.col("post").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("op"),
+            "pre",
+            "post",
+        )
+        feed.write.mode("overwrite").parquet(changes_dir)
     merged = tgt.join(upd.select(*key_cols), key_cols, "left_anti").unionByName(
         upd
     )

@@ -152,3 +152,45 @@ def test_merge_upsert_touches_only_affected_partitions(spark, tmp_path):
 
     # the d2 partition was never rewritten
     assert files_in("d2") == untouched_before
+
+
+def test_merge_change_feed_captures_pre_and_post_images(spark, tmp_path):
+    """The change feed written before the overwrite carries correct
+    op/pre/post rows for exactly the touched keys."""
+    from rclabsapi_spark.maintenance import merge_upsert
+
+    target = str(tmp_path / "tbl_cdf")
+    changes = str(tmp_path / "cdf_out")
+    rows = [(k, f"d{k % 2}", float(k)) for k in range(10)]
+    spark.createDataFrame(rows, "id long, day string, v double").write.partitionBy(
+        "day"
+    ).parquet(target)
+
+    updates = spark.createDataFrame(
+        [
+            (0, "d0", 50.0, False),
+            (77, "d1", 77.0, False),
+            (2, "d0", 0.0, True),
+        ],
+        "id long, day string, v double, deleted boolean",
+    )
+    merge_upsert(
+        spark,
+        target,
+        updates,
+        key_cols=["id"],
+        partition_col="day",
+        delete_col="deleted",
+        changes_dir=changes,
+    )
+    feed = {
+        r["id"]: (r["op"], r["pre"], r["post"])
+        for r in spark.read.parquet(changes).collect()
+    }
+    assert set(feed) == {0, 77, 2}
+    op, pre, post = feed[0]
+    assert op == "update" and pre["v"] == 0.0 and post["v"] == 50.0
+    op, pre, post = feed[77]
+    assert op == "insert" and pre is None and post["v"] == 77.0
+    op, pre, post = feed[2]
+    assert op == "delete" and pre["v"] == 2.0 and post is None
