@@ -1032,3 +1032,48 @@ def test_stateful_state_survives_query_restart(spark, events_dir, tmp_path):
     got = {(r["from_type"], r["to_type"]): r["n"] for r in both}
     expected = _batch_transitions(spark, in_dir)
     assert got == expected
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
+    """Stream-stream watermarked interval join: the live click⋈purchase
+    pairs must equal the batch interval join over the same events."""
+    from rclabsapi_spark.streaming.joins import (
+        interval_join_clicks_to_purchases,
+    )
+
+    ev = spark.read.parquet(events_dir)
+    clicks_b = ev.filter(F.col("event_type") == "click")
+    purch_b = ev.filter(F.col("event_type") == "purchase")
+    expected = {
+        (r["click_id"], r["purchase_id"])
+        for r in interval_join_clicks_to_purchases(
+            clicks_b, purch_b, max_lag="30 minutes"
+        ).collect()
+    }
+    assert expected  # fixture has qualifying pairs
+
+    schema = ev.schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(events_dir)
+    )
+    joined = interval_join_clicks_to_purchases(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        max_lag="30 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+    assert got == expected
