@@ -343,3 +343,69 @@ def _dir_bytes(path: str) -> int:
 
 def _n_data_files(path: str) -> int:
     return sum(1 for p in _walk_files(path) if p.endswith(".parquet"))
+
+
+def run_dag(
+    manager: "ETLJobManager",
+    dependencies: dict[str, list[str]],
+    *,
+    max_concurrent: int = 5,
+) -> dict[str, str]:
+    """Dependency-aware drain: run the queued jobs in topological waves —
+    a job starts only after every job it depends on COMPLETED; jobs in
+    the same ready wave run concurrently (bounded by ``max_concurrent``).
+    A failed job marks its transitive dependents SKIPPED rather than
+    running them against missing inputs — the standard DAG-runner
+    contract the reference's linear queue (etl_job_manager.cpp) lacks
+    once loads feed transforms feed loads.
+
+    ``dependencies`` maps job_id → prerequisite job_ids (absent ⇒ no
+    prerequisites). Raises on dependency cycles. Returns
+    {job_id: final_status} with 'SKIPPED' for suppressed dependents."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with manager._lock:
+        batch, manager._queue = list(manager._queue), []
+    pending = set(batch)
+    done: dict[str, str] = {}
+
+    def runnable(j: str) -> bool:
+        return all(
+            done.get(d) == JobStatus.COMPLETED.value
+            for d in dependencies.get(j, [])
+            if d in batch
+        )
+
+    def blocked_forever(j: str) -> bool:
+        return any(
+            d in batch
+            and done.get(d) is not None
+            and done[d] != JobStatus.COMPLETED.value
+            for d in dependencies.get(j, [])
+        )
+
+    while pending:
+        wave = [j for j in pending if runnable(j)]
+        skips = [j for j in pending if blocked_forever(j)]
+        for j in skips:
+            done[j] = "SKIPPED"
+            pending.discard(j)
+        wave = [j for j in wave if j in pending]
+        if not wave:
+            if pending:
+                raise ValueError(
+                    f"dependency cycle or unknown prerequisite among {sorted(pending)}"
+                )
+            break
+
+        def one(job_id: str) -> None:
+            try:
+                manager.run_job(job_id)
+            except Exception:  # noqa: BLE001 — status captured on the row
+                pass
+            done[job_id] = manager._jobs[job_id].status
+
+        with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+            list(pool.map(one, wave))
+        pending -= set(wave)
+    return done

@@ -232,3 +232,64 @@ def test_swap_into_place_success(tmp_path):
     _swap_into_place(str(staging), str(live))
     assert (live / "part-0.parquet").read_bytes() == b"new"
     assert not list(tmp_path.glob("table.old-*"))
+
+
+def test_run_dag_orders_waves_and_skips_dependents(spark, tmp_path):
+    """DAG drain: prerequisites complete before dependents start, a
+    failed job's transitive dependents are SKIPPED (never run), and
+    independent jobs still complete."""
+    from rclabsapi_spark.etl import ETLJobConfig, JobType
+    from rclabsapi_spark.etl.runner import ETLJobManager, run_dag
+
+    mgr = ETLJobManager(spark, clock=ticking_clock())
+    order: list[str] = []
+
+    def note(job_id, pct):
+        if pct == 100:
+            order.append(job_id)
+
+    mgr.add_progress_listener(note)
+
+    a = mgr.schedule_job(full_etl_config(tmp_path / "a", job_id="dag_a"))
+    b = mgr.schedule_job(full_etl_config(tmp_path / "b", job_id="dag_b"))
+    c = mgr.schedule_job(full_etl_config(tmp_path / "c", job_id="dag_c"))
+    bad = mgr.schedule_job(
+        ETLJobConfig(
+            job_id="dag_bad",
+            job_type=JobType.EXTRACT,
+            source_config={"path": "/nonexistent.parquet"},
+        )
+    )
+    dep = mgr.schedule_job(full_etl_config(tmp_path / "d", job_id="dag_dep"))
+    grand = mgr.schedule_job(
+        full_etl_config(tmp_path / "e", job_id="dag_grand")
+    )
+
+    results = run_dag(
+        mgr,
+        {
+            "dag_c": ["dag_a", "dag_b"],   # waits for both
+            "dag_dep": ["dag_bad"],        # parent fails → skipped
+            "dag_grand": ["dag_dep"],      # transitively skipped
+        },
+        max_concurrent=3,
+    )
+    assert results[a] == results[b] == results[c] == "COMPLETED"
+    assert results[bad] == "FAILED"
+    assert results[dep] == "SKIPPED" and results[grand] == "SKIPPED"
+    # c finished after both prerequisites
+    assert order.index("dag_c") > order.index("dag_a")
+    assert order.index("dag_c") > order.index("dag_b")
+    assert "dag_dep" not in order and "dag_grand" not in order
+
+
+def test_run_dag_detects_cycles(spark, tmp_path):
+    from rclabsapi_spark.etl.runner import ETLJobManager, run_dag
+
+    mgr = ETLJobManager(spark, clock=ticking_clock())
+    mgr.schedule_job(full_etl_config(tmp_path / "x", job_id="cyc_x"))
+    mgr.schedule_job(full_etl_config(tmp_path / "y", job_id="cyc_y"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cycle"):
+        run_dag(mgr, {"cyc_x": ["cyc_y"], "cyc_y": ["cyc_x"]})
