@@ -1,0 +1,131 @@
+"""Brute-force cross-checks for the statistics operators: recompute KS,
+chi-square, entropy, and the equi-depth histogram in plain Python over
+the smoke fixture and compare. Plus degenerate-input behavior."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from rclabsapi_spark.catalog import load_table
+from rclabsapi_spark.operators.analytics import (
+    chi_square_independence,
+    entropy_by_group,
+    equidepth_histogram,
+)
+from rclabsapi_spark.registry import get_registry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_ks_matches_python_bruteforce(spark):
+    q = get_registry()["stat_ks_value_drift"].fn
+    got = {r["event_type"]: r for r in q(spark, SF_DIR).collect()}
+
+    rows = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", "ts", "value")
+        .collect()
+    )
+    import datetime as dt
+
+    cut = dt.datetime(2024, 1, 16)
+    by_type = defaultdict(lambda: ([], []))
+    for r in rows:
+        side = 0 if r["ts"] < cut else 1
+        by_type[r["event_type"]][side].append(r["value"])
+    for t, (ref, cur) in by_type.items():
+        pts = sorted(set(ref) | set(cur))
+        d = max(
+            abs(
+                sum(1 for v in ref if v <= x) / len(ref)
+                - sum(1 for v in cur if v <= x) / len(cur)
+            )
+            for x in pts
+        )
+        assert got[t]["n_ref"] == len(ref) and got[t]["n_cur"] == len(cur)
+        assert got[t]["ks_d"] == pytest.approx(d, abs=1e-6), t
+
+
+def test_chi2_matches_python_bruteforce(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    got = chi_square_independence(
+        orders, row_col="o_orderstatus", col_col="o_orderpriority"
+    ).collect()[0]
+    rows = orders.select("o_orderstatus", "o_orderpriority").collect()
+    obs = Counter((r[0], r[1]) for r in rows)
+    rt = Counter(r[0] for r in rows)
+    ct = Counter(r[1] for r in rows)
+    n = len(rows)
+    chi2 = sum(
+        (o - rt[r] * ct[c] / n) ** 2 / (rt[r] * ct[c] / n)
+        for (r, c), o in obs.items()
+    )
+    # cells with zero observed still contribute their expected mass
+    for r in rt:
+        for c in ct:
+            if (r, c) not in obs:
+                e = rt[r] * ct[c] / n
+                chi2 += e
+    assert got["chi2"] == pytest.approx(chi2, rel=1e-6)
+    assert got["dof"] == (len(rt) - 1) * (len(ct) - 1)
+
+
+def test_entropy_matches_python_and_degenerate_group(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    got = {
+        r["lang"]: r for r in entropy_by_group(
+            docs, group_col="lang", cat_col="source"
+        ).collect()
+    }
+    rows = docs.select("lang", "source").collect()
+    by_lang = defaultdict(Counter)
+    for r in rows:
+        by_lang[r["lang"]][r["source"]] += 1
+    for lang, counts in by_lang.items():
+        n = sum(counts.values())
+        h = -sum((c / n) * math.log(c / n) for c in counts.values())
+        assert got[lang]["entropy"] == pytest.approx(h, abs=1e-6)
+
+    # degenerate: one category → entropy exactly 0
+    one = spark.createDataFrame([("g", "only")] * 5, "g string, c string")
+    r = entropy_by_group(one, group_col="g", cat_col="c").collect()[0]
+    assert r["entropy"] == 0.0 and r["n_categories"] == 1
+
+
+def test_histogram_buckets_partition_everything(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    out = equidepth_histogram(
+        orders, value_col="o_totalprice", key_col="o_orderkey", n_buckets=10
+    ).collect()
+    total = orders.count()
+    assert sum(r["n"] for r in out) == total
+    assert len(out) == 10
+    by_bucket = sorted(out, key=lambda r: r["bucket"])
+    # equi-depth: bucket sizes within 1 of each other; ranges ordered
+    sizes = [r["n"] for r in by_bucket]
+    assert max(sizes) - min(sizes) <= 1
+    for a, b in zip(by_bucket, by_bucket[1:]):
+        assert a["hi"] <= b["lo"]
+
+    # degenerate: constant column still partitions (all bounds equal)
+    const = spark.createDataFrame(
+        [(i, 5.0) for i in range(20)], "id long, v double"
+    )
+    out2 = equidepth_histogram(
+        const, value_col="v", key_col="id", n_buckets=4
+    ).collect()
+    assert sum(r["n"] for r in out2) == 20
+    assert all(r["lo"] == r["hi"] == 5.0 for r in out2)
+
+
+def test_concurrency_empty_input(spark):
+    from rclabsapi_spark.operators.timeseries import concurrency_peaks
+
+    empty = spark.createDataFrame([], "g string, s long, e long")
+    assert concurrency_peaks(
+        empty, group_col="g", start_col="s", end_col="e"
+    ).count() == 0
