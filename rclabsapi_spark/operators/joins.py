@@ -233,3 +233,58 @@ def range_join_points_to_intervals(
         (F.col(point_col) >= F.col(start_col))
         & (F.col(point_col) < F.col(end_col))
     ).drop("__bucket")
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    by: str,
+    right_cols: Sequence[str],
+) -> DataFrame:
+    """Backward as-of join via ``cogroup().applyInPandas`` — the
+    two-sided Arrow escape hatch: each key's left and right rows arrive
+    together as pandas frames and ``pandas.merge_asof`` does the match.
+
+    Exists as the cross-validation twin of :func:`asof_join` (the
+    union-window formulation): identical output on identical input is
+    pinned by tests/test_timeseries_joins.py. Prefer ``asof_join`` in
+    production — it stays JVM-side — and reach for the cogroup pattern
+    when per-key logic outgrows window expressions (model scoring over
+    aligned series, custom interpolation). Same scale shape: one
+    shuffle of each side on ``by``."""
+    import pandas as pd
+
+    left_cols = list(left.columns)
+    out_schema = ", ".join(
+        [f"`{c}` {left.schema[c].dataType.simpleString()}" for c in left_cols]
+        + [
+            f"`{c}` {right.schema[c].dataType.simpleString()}"
+            for c in right_cols
+        ]
+    )
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=left_cols + list(right_cols))
+        lpdf = lpdf.sort_values(on, kind="mergesort")
+        if rpdf.empty:
+            out = lpdf.copy()
+            for c in right_cols:
+                out[c] = None
+            return out[left_cols + list(right_cols)]
+        rpdf = rpdf.sort_values(on, kind="mergesort")
+        merged = pd.merge_asof(
+            lpdf,
+            rpdf[[on, *right_cols]],
+            on=on,
+            direction="backward",
+        )
+        return merged[left_cols + list(right_cols)]
+
+    return (
+        left.groupBy(by)
+        .cogroup(right.groupBy(by))
+        .applyInPandas(lambda lp, rp: merge(lp, rp), schema=out_schema)
+    )

@@ -172,3 +172,32 @@ def test_asof_tolerance_boundary(spark):
         ).collect()
     }
     assert out == {1000: 7.0, 5000: None}
+
+
+def test_cogrouped_asof_matches_window_asof(spark):
+    """The cogroup/merge_asof escape hatch and the union-window asof_join
+    must produce identical matches on the fixture click→purchase join."""
+    from rclabsapi_spark.operators.joins import asof_join, asof_join_cogrouped
+
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pv"))
+    )
+    kw = dict(on="ts", by="user_id", right_cols=["pv"])
+    a = {
+        (r["event_id"], r["pv"])
+        for r in asof_join(clicks, purchases, **kw).collect()
+    }
+    b = {
+        (r["event_id"], r["pv"])
+        for r in asof_join_cogrouped(clicks, purchases, **kw).collect()
+    }
+    assert a == b
+    assert a  # non-trivial
