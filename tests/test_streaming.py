@@ -1077,3 +1077,50 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
         for r in spark.sql("SELECT * FROM ssj_out").collect()
     }
     assert got == expected
+
+
+def test_native_dropduplicates_within_watermark_matches_stateful(
+    spark, events_dir, tmp_path
+):
+    """Spark's native dropDuplicatesWithinWatermark and the custom
+    stateful dedup must pass the same events on a replayed-duplicate
+    stream (every event delivered twice across micro-batches)."""
+    from rclabsapi_spark.streaming.stateful import stream_exact_dedup
+
+    ev = spark.read.parquet(events_dir)
+    dup_dir = str(tmp_path / "dup_in")
+    ev.coalesce(1).write.parquet(dup_dir)
+    ev.coalesce(1).write.mode("append").parquet(dup_dir)  # full replay
+    expected = ev.count()
+
+    schema = ev.schema
+
+    def run(sink_name, transform):
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .load(dup_dir)
+        )
+        q = (
+            transform(stream)
+            .writeStream.format("memory")
+            .queryName(sink_name)
+            .option(
+                "checkpointLocation", str(tmp_path / f"ckpt_{sink_name}")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.sql(f"SELECT * FROM {sink_name}").count()
+
+    native = run(
+        "dedup_native",
+        lambda s: s.withWatermark("ts", "10 days").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        ),
+    )
+    stateful = run("dedup_stateful", lambda s: stream_exact_dedup(s))
+    assert native == expected
+    assert stateful == expected
