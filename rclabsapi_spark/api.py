@@ -186,6 +186,32 @@ class EngineAPI:
         return _to_json_rows(agg)[0]
 
 
+    # -- analytics catalog (the registry as a REST-able surface) ----------
+
+    def list_queries(self) -> list[str]:
+        """Names of every registered analytics query — the catalog
+        endpoint a UI populates its query picker from."""
+        from rclabsapi_spark.registry import get_registry
+
+        return sorted(get_registry())
+
+    def run_query(
+        self, name: str, *, sf_dir: str, limit: int = 100
+    ) -> list[str]:
+        """Run a registry query by name and return JSON rows — the same
+        whitelist-then-execute shape as the metrics endpoints: unknown
+        names are a ValidationError (maps to HTTP 400), never an
+        arbitrary-code path, and the result is limit-clamped before
+        serialization (O6)."""
+        from rclabsapi_spark.registry import get_registry
+
+        reg = get_registry()
+        if name not in reg:
+            raise ValidationError(f"unknown query {name!r}")
+        df = reg[name].fn(self.spark, sf_dir)
+        return _to_json_rows(df.limit(clamp_limit(limit)))
+
+
 def _to_json_rows(df: DataFrame) -> list[str]:
     """F22 — JSON construction via ``to_json(struct(*))``, executed on the
     executors; the driver only collects the final strings."""

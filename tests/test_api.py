@@ -122,3 +122,26 @@ def test_health_cache_ttl_and_invalidation(spark, tmp_path):
     t[0] = 31.0
     api.health()
     assert cache.misses == 3
+
+
+def test_query_catalog_endpoint(spark):
+    """The registry doubles as a REST-able catalog: list + whitelisted
+    execution with limit clamping; unknown names map to 400."""
+    import json
+
+    import pytest as _pytest
+
+    from rclabsapi_spark.api import EngineAPI, ValidationError
+
+    api = EngineAPI(spark)
+    names = api.list_queries()
+    assert "tpch_q1_pricing_summary" in names and len(names) >= 150
+
+    rows = api.run_query(
+        "a1_count_by_status", sf_dir="/root/testdata/sf0.001", limit=5
+    )
+    parsed = [json.loads(r) for r in rows]
+    assert parsed and all("cnt" in p or len(p) >= 1 for p in parsed)
+
+    with _pytest.raises(ValidationError):
+        api.run_query("__evil__", sf_dir="/root/testdata/sf0.001")

@@ -1124,3 +1124,57 @@ def test_native_dropduplicates_within_watermark_matches_stateful(
     stateful = run("dedup_stateful", lambda s: stream_exact_dedup(s))
     assert native == expected
     assert stateful == expected
+
+
+def test_kv_ttl_stream_sets_and_expires_deterministically(spark, tmp_path):
+    """Redis-SETEX semantics on the state store: refreshed keys stay
+    alive, an unrefreshed key expires exactly TTL after its last set
+    (watermark-driven, replay-deterministic)."""
+    from rclabsapi_spark.streaming.kv import kv_ttl_stream
+
+    base = 1_700_000_000
+    b1 = [("a", "v1", base), ("b", "w1", base)]
+    # a refreshes; b goes silent; later traffic pushes the watermark
+    b2 = [("a", "v2", base + 500), ("c", "x1", base + 2000)]
+    in_dir = str(tmp_path / "kv_in")
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, "key string, value string, t long").withColumn(
+            "ts", F.col("t").cast("timestamp")
+        ).drop("t").coalesce(1).write.mode("append").parquet(in_dir)
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(in_dir)
+    )
+    q = (
+        kv_ttl_stream(stream, ttl_s=1000)
+        .writeStream.format("memory")
+        .queryName("kv_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_kv"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ops = [
+        (r["key"], r["op"], r["value"])
+        for r in spark.sql("SELECT * FROM kv_out ORDER BY ts, key").collect()
+    ]
+    # b expires TTL after its only set; a's refresh moved its deadline
+    # to base+1500 — still before the final watermark (base+2000), so it
+    # expires too, carrying the REFRESHED value; c's deadline (base+3000)
+    # is never reached
+    assert ("b", "expire", "w1") in ops
+    assert ("a", "set", "v2") in ops
+    assert ("a", "expire", "v2") in ops          # refreshed value expires
+    assert ("a", "expire", "v1") not in ops      # not the stale one
+    assert not any(k == "c" and op == "expire" for k, op, _ in ops)
+    expiries = {
+        r["key"]: int(r["ts"].timestamp())
+        for r in spark.sql(
+            "SELECT key, ts FROM kv_out WHERE op='expire'"
+        ).collect()
+    }
+    assert expiries == {"b": base + 1000, "a": base + 1500}  # last_set+TTL
