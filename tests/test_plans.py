@@ -602,3 +602,49 @@ def test_cube_single_expand_aggregate(spark):
     assert _scans(p)["orders"] == 1
     assert "Expand" in p
     assert "Join" not in p
+
+
+def test_no_accidental_cartesian_anywhere(spark):
+    """Fleet-wide structural invariant: no registered query's optimized
+    plan may contain a CartesianProduct, and every
+    BroadcastNestedLoopJoin must be one of the audited 1-row/K-row
+    broadcast relations (global bounds, corpus totals, sketch scalars).
+    A new query that accidentally cross-joins two fact relations fails
+    here before it ever reaches a cluster."""
+    # queries whose plans legitimately carry a BNLJ against a ≤K-row
+    # broadcast side (global aggregates joined back); reviewed in
+    # SCALE.md — additions require the same review
+    bnlj_whitelist = {
+        # scalar/global-aggregate subquery joined back (TPC-H value
+        # threshold shapes)
+        "tpch_q11_important_parts",
+        "tpch_q22_dormant_customers",
+        # corpus totals / N broadcast (1-row)
+        "retr_bm25_topk",
+        "retr_tfidf_topk",
+        "train_unigram_lm_score",
+        "text_pmi_collocations",
+        "approx_cms_bound",
+        "approx_mg_topk_bound",
+        "mba_pair_lift",
+        # global bounds / quartiles / centroid tables (≤K rows)
+        "drift_psi_value",
+        "stat_ks_value_drift",
+        "sample_quality_curriculum",
+        "dedup_semantic",
+        "sim_bruteforce_topk",
+        "sim_ivf_assignments",
+        "sim_ivf_topk",
+        "graph_triangles_coorder",
+        "graph_pagerank_transitions",
+        # empty⇒pass-all subscription-rule relation (tiny, by contract)
+        "p9_subscription_routing",
+    }
+    offenders = {}
+    for name in sorted(_REG):
+        plan = _plan(spark, name)
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_whitelist:
+            offenders[name] = "unreviewed BroadcastNestedLoopJoin"
+    assert not offenders, offenders
