@@ -445,7 +445,7 @@ FROM (
 """
 
 
-@query("a_histogram_equidepth", _HISTOGRAM_ORACLE)
+@query("a_histogram_equidepth", _HISTOGRAM_ORACLE, bench=True)
 def q_histogram_equidepth(spark, sf_dir):
     """Equal-frequency 10-bucket histogram of o_totalprice — the
     skew-adaptive complement of drift_psi_value's equal-width bins (what
@@ -562,7 +562,7 @@ FROM cdf GROUP BY 1
 """
 
 
-@query("stat_ks_value_drift", _KS_ORACLE)
+@query("stat_ks_value_drift", _KS_ORACLE, bench=True)
 def q_ks_drift(spark, sf_dir):
     """Two-sample Kolmogorov–Smirnov D per event type (first half of
     January vs second): the binning-free drift statistic — PSI asks

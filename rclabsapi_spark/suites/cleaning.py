@@ -298,7 +298,7 @@ GROUP BY 1
 """
 
 
-@query("clean_winsorize_value", _WINSORIZE_ORACLE)
+@query("clean_winsorize_value", _WINSORIZE_ORACLE, bench=True)
 def q_winsorize(spark, sf_dir):
     """Per-type p05/p95 winsorization audit: how many values clip at
     each tail and what the clipped mean looks like — the robust

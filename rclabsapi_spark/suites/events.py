@@ -458,7 +458,7 @@ FROM sessions GROUP BY user_id, sid
 """
 
 
-@query("w_session_native", _SESSION_NATIVE_ORACLE)
+@query("w_session_native", _SESSION_NATIVE_ORACLE, bench=True)
 def q_session_native(spark, sf_dir):
     """Spark's NATIVE session_window operator hash-checked against the
     gaps-and-islands SQL formulation — the cross-check that the

@@ -373,7 +373,7 @@ FROM coded GROUP BY 1
 """
 
 
-@query("emb_quantize_error", _QUANT_ORACLE)
+@query("emb_quantize_error", _QUANT_ORACLE, bench=True)
 def q_emb_quantize(spark, sf_dir):
     """Per-dimension int8 scalar-quantization audit over the embedding
     table: affine min/max codes, dequantize, report mean/max absolute
