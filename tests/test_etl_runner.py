@@ -293,3 +293,29 @@ def test_run_dag_detects_cycles(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="cycle"):
         run_dag(mgr, {"cyc_x": ["cyc_y"], "cyc_y": ["cyc_x"]})
+
+
+def test_run_pending_stress_no_lost_updates(spark, tmp_path):
+    """Thread-safety under load: 16 concurrent jobs all complete, every
+    output lands, per-job metrics rows are all present, and progress
+    emission (shared listener list + throttle map) never drops a
+    terminal event."""
+    from rclabsapi_spark.etl.runner import ETLJobManager
+
+    mgr = ETLJobManager(spark, clock=ticking_clock())
+    terminal = []
+    mgr.add_progress_listener(
+        lambda job_id, pct: terminal.append(job_id) if pct == 100 else None
+    )
+    ids = [
+        mgr.schedule_job(
+            full_etl_config(tmp_path / f"s{i}", job_id=f"stress_{i}")
+        )
+        for i in range(16)
+    ]
+    results = mgr.run_pending(max_concurrent=8)
+    assert all(results[j] == "COMPLETED" for j in ids), results
+    assert sorted(terminal) == sorted(ids)  # exactly one terminal emit each
+    for i in range(16):
+        out = spark.read.parquet(str(tmp_path / f"s{i}" / "out"))
+        assert out.count() == 500
