@@ -570,3 +570,59 @@ def chi_square_independence(
         ).cast("long").alias("dof"),
         F.sum("o").alias("n_rows"),
     )
+
+
+def skew_report(
+    df: DataFrame,
+    *,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Join/shuffle-skew diagnostics for a prospective partitioning key:
+    one row with the key cardinality, the heaviest key's row share, the
+    top-k keys' combined share, and the Gini coefficient of the key
+    distribution — the numbers that decide between a plain hash join,
+    salting, and an AQE skew-join hint before the job ever runs at
+    scale.
+
+    One (key) aggregate; the share/Gini math runs on the per-key count
+    relation (ordered prefix sums — Gini = (2·Σ i·cᵢ/(n·Σc)) − (n+1)/n
+    over counts sorted ascending)."""
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_ord = Window.orderBy("c", "k")
+    w_all = Window.partitionBy()
+    ranked = counts.select(
+        "c",
+        F.row_number().over(w_ord).alias("i"),
+        F.sum("c").over(w_all).alias("total"),
+        F.count(F.lit(1)).over(w_all).alias("n_keys"),
+        F.max("c").over(w_all).alias("max_c"),
+    )
+    top_share = (
+        counts.orderBy(F.col("c").desc(), "k")
+        .limit(top_k)
+        .agg(F.sum("c").alias("top_c"))
+    )
+    gini = (
+        2.0 * F.sum(F.col("i") * F.col("c")).cast("double")
+        / (F.max("n_keys") * F.max("total")).cast("double")
+    ) - (F.max("n_keys") + 1).cast("double") / F.max("n_keys").cast("double")
+    agg = ranked.agg(
+        F.max("n_keys").alias("n_keys"),
+        F.max("total").alias("n_rows"),
+        (F.max("max_c").cast("double") / F.max("total").cast("double")).alias(
+            "top1_share"
+        ),
+        F.round(gini, 6).alias("gini"),
+    )
+    return agg.crossJoin(F.broadcast(top_share)).select(
+        "n_keys",
+        "n_rows",
+        F.round(F.col("top1_share"), 6).alias("top1_share"),
+        F.round(
+            F.col("top_c").cast("double") / F.col("n_rows").cast("double"), 6
+        ).alias(f"top{top_k}_share"),
+        "gini",
+    )

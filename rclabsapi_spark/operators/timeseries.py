@@ -287,3 +287,49 @@ def concurrency_peaks(
             F.col("peak_at_s").cast("long").alias("peak_at_s"),
         )
     )
+
+
+def rolling_correlation(
+    series: DataFrame,
+    *,
+    group_cols: tuple[str, ...],
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    window_rows: int = 7,
+) -> DataFrame:
+    """Rolling Pearson correlation between two aligned series per group
+    over a trailing ``window_rows`` frame — "are these two metrics still
+    moving together", the windowed version of the one-pass correlation
+    matrix (suites/analytics.py::stat_corr_lineitem).
+
+    Decomposed into the five co-moment rolling sums (Σx, Σy, Σx², Σy²,
+    Σxy) over ONE ordered window per group — five frames share the same
+    sort, no self-join, no recompute per offset. Emits NULL until the
+    frame is full and where either variance is zero (constant series
+    have no defined correlation)."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum(x).over(w)
+    sy = F.sum(y).over(w)
+    sxx = F.sum(x * x).over(w)
+    syy = F.sum(y * y).over(w)
+    sxy = F.sum(x * y).over(w)
+    cov = sxy - sx * sy / n
+    vx = sxx - sx * sx / n
+    vy = syy - sy * sy / n
+    corr = F.when(
+        (n >= float(window_rows)) & (vx > 0) & (vy > 0),
+        cov / F.sqrt(vx * vy),
+    )
+    return series.select(
+        *group_cols,
+        F.col(order_col),
+        F.round(corr, 6).alias("rolling_corr"),
+    )

@@ -129,3 +129,84 @@ def test_concurrency_empty_input(spark):
     assert concurrency_peaks(
         empty, group_col="g", start_col="s", end_col="e"
     ).count() == 0
+
+
+def test_skew_report_uniform_vs_hot_key(spark):
+    """Gini ≈ 0 and tiny top-1 share on a uniform key; a hot key drives
+    both up — the numbers that pick plain hash vs salting."""
+    from rclabsapi_spark.operators.analytics import skew_report
+
+    uniform = spark.createDataFrame(
+        [(i % 100,) for i in range(5000)], "k long"
+    )
+    u = skew_report(uniform, key_col="k").collect()[0]
+    assert u["n_keys"] == 100 and u["n_rows"] == 5000
+    assert u["gini"] == pytest.approx(0.0, abs=1e-6)
+    assert u["top1_share"] == pytest.approx(1 / 100, abs=1e-6)
+
+    hot = spark.createDataFrame(
+        [(0,)] * 4000 + [(i,) for i in range(1, 101)], "k long"
+    )
+    h = skew_report(hot, key_col="k").collect()[0]
+    assert h["top1_share"] == pytest.approx(4000 / 4100, abs=1e-4)
+    assert h["gini"] > 0.9
+
+    # python brute-force Gini parity on a mixed distribution
+    mixed = spark.createDataFrame(
+        [(i % 7,) for i in range(100)] + [(99,)] * 60, "k long"
+    )
+    m = skew_report(mixed, key_col="k").collect()[0]
+    counts = sorted([100 // 7 + (1 if i < 100 % 7 else 0) for i in range(7)] + [60])
+    n = len(counts)
+    tot = sum(counts)
+    gini = 2 * sum((i + 1) * c for i, c in enumerate(counts)) / (n * tot) - (
+        n + 1
+    ) / n
+    assert m["gini"] == pytest.approx(gini, abs=1e-6)
+
+
+def test_rolling_correlation_matches_pandas(spark):
+    """Windowed co-moment correlation equals pandas' rolling corr on a
+    deterministic two-metric series, including the NULL warmup and
+    zero-variance guards."""
+    import pandas as pd
+
+    from rclabsapi_spark.operators.timeseries import rolling_correlation
+
+    xs = [float((i * 7) % 13) for i in range(40)]
+    ys = [x * 0.5 + float((i * 3) % 5) for i, x in enumerate(xs)]
+    rows = [("g", i, xs[i], ys[i]) for i in range(40)]
+    df = spark.createDataFrame(rows, "g string, t long, x double, y double")
+    got = {
+        r["t"]: r["rolling_corr"]
+        for r in rolling_correlation(
+            df,
+            group_cols=("g",),
+            order_col="t",
+            x_col="x",
+            y_col="y",
+            window_rows=7,
+        ).collect()
+    }
+    expect = (
+        pd.Series(xs).rolling(7).corr(pd.Series(ys)).tolist()
+    )
+    for t in range(40):
+        if t < 6:
+            assert got[t] is None
+        else:
+            assert got[t] == pytest.approx(expect[t], abs=1e-6), t
+
+    # constant series → NULL everywhere (zero variance)
+    const = spark.createDataFrame(
+        [("g", i, 1.0, float(i)) for i in range(10)],
+        "g string, t long, x double, y double",
+    )
+    vals = [
+        r["rolling_corr"]
+        for r in rolling_correlation(
+            const, group_cols=("g",), order_col="t",
+            x_col="x", y_col="y", window_rows=3,
+        ).collect()
+    ]
+    assert all(v is None for v in vals)
