@@ -1,0 +1,123 @@
+"""Feature-engineering transforms for model-ready tables: column
+standardization (z-score and robust median/MAD), explicit-vocabulary
+one-hot encoding, the feature-hashing trick, and rank/quantile
+normalization.
+
+These are the last-mile transforms between the engine's analytics
+output and a trainer's input matrix. All are one-aggregate-then-
+broadcast or pure-Column shapes:
+
+- ``standardize`` / ``robust_scale``: ONE global aggregate produces the
+  per-column location/scale scalars (mean/stddev or median/MAD); the
+  transform itself is per-row codegen arithmetic after a 1-row
+  broadcast. No per-column passes.
+- ``one_hot``: explicit vocabulary ⇒ a CASE column per value — no
+  distinct-values job, no pivot shuffle, stable column order for the
+  trainer.
+- ``hash_feature``: md5-derived bucket index (the hashing trick) — the
+  unbounded-vocabulary escape: memoryless, deterministic across engines
+  and runs, collisions bounded by dims.
+- ``quantile_transform``: maps values to their empirical CDF position
+  via one ranking window per column — the heavy global-sort variant;
+  use the percentile-threshold join at extreme scale (same contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def standardize(
+    df: DataFrame, cols: list[str], *, suffix: str = "_z"
+) -> DataFrame:
+    """z-score columns: (x − mean)/stddev, NULL when stddev is 0."""
+    stats = df.agg(
+        *[F.avg(F.col(c)).alias(f"__mu_{c}") for c in cols],
+        *[F.stddev_samp(F.col(c)).alias(f"__sd_{c}") for c in cols],
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        z = F.when(
+            F.col(f"__sd_{c}") > 0,
+            (F.col(c) - F.col(f"__mu_{c}")) / F.col(f"__sd_{c}"),
+        )
+        out = out.withColumn(c + suffix, z)
+    return out.drop(
+        *[f"__mu_{c}" for c in cols], *[f"__sd_{c}" for c in cols]
+    )
+
+
+def robust_scale(
+    df: DataFrame, cols: list[str], *, suffix: str = "_r"
+) -> DataFrame:
+    """Median/MAD scaling: (x − median)/MAD — outlier-insensitive (the
+    scaling twin of mad_anomalies); NULL when MAD is 0."""
+    med = df.agg(
+        *[F.median(F.col(c)).alias(f"__med_{c}") for c in cols]
+    )
+    with_med = df.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        *[
+            F.median(F.abs(F.col(c) - F.col(f"__med_{c}"))).alias(
+                f"__mad_{c}"
+            )
+            for c in cols
+        ]
+    )
+    out = with_med.crossJoin(F.broadcast(mad))
+    for c in cols:
+        r = F.when(
+            F.col(f"__mad_{c}") > 0,
+            (F.col(c) - F.col(f"__med_{c}")) / F.col(f"__mad_{c}"),
+        )
+        out = out.withColumn(c + suffix, r)
+    return out.drop(
+        *[f"__med_{c}" for c in cols], *[f"__mad_{c}" for c in cols]
+    )
+
+
+def one_hot(
+    df: DataFrame, col: str, values: list[str], *, other: bool = True
+) -> DataFrame:
+    """Explicit-vocabulary one-hot: one 0/1 int column per value plus an
+    optional catch-all — no distinct pass, deterministic column order."""
+    out = df
+    for v in values:
+        out = out.withColumn(
+            f"{col}__{v}", (F.col(col) == v).cast("int")
+        )
+    if other:
+        out = out.withColumn(
+            f"{col}__other",
+            (~F.col(col).isin(*values)).cast("int"),
+        )
+    return out
+
+
+def hash_feature(col, *, dims: int = 1024, salt: str = ""):
+    """Hashing-trick feature index: first 8 md5 hex chars mod dims —
+    deterministic across engines/runs, memoryless, unbounded vocab."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % dims
+    )
+
+
+def quantile_transform(
+    df: DataFrame, cols: list[str], *, key_col: str, suffix: str = "_q"
+) -> DataFrame:
+    """Empirical-CDF normalization: each value maps to its percent rank
+    (0..1) — the distribution-free feature scaling. One ranking window
+    per column over the (value, key) order; deterministic ties."""
+    out = df
+    for c in cols:
+        w = Window.orderBy(F.col(c), F.col(key_col))
+        out = out.withColumn(c + suffix, F.percent_rank().over(w))
+    return out

@@ -1,0 +1,92 @@
+"""Feature transforms (llm/features.py): numpy/python parity, NULL
+guards, determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rclabsapi_spark.llm.features import (
+    hash_feature,
+    one_hot,
+    quantile_transform,
+    robust_scale,
+    standardize,
+)
+
+
+def _df(spark, xs):
+    return spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(xs)], "id long, x double"
+    )
+
+
+def test_standardize_matches_numpy(spark):
+    xs = [(i * 17) % 23 for i in range(50)]
+    got = {
+        r["id"]: r["x_z"]
+        for r in standardize(_df(spark, xs), ["x"]).collect()
+    }
+    arr = np.array(xs, dtype="float64")
+    mu, sd = arr.mean(), arr.std(ddof=1)
+    for i, x in enumerate(xs):
+        assert got[i] == pytest.approx((x - mu) / sd, abs=1e-9)
+
+    # constant column → NULL (zero stddev guard)
+    const = standardize(_df(spark, [5.0] * 10), ["x"]).collect()
+    assert all(r["x_z"] is None for r in const)
+
+
+def test_robust_scale_matches_python(spark):
+    xs = [1.0, 2.0, 3.0, 4.0, 100.0]  # outlier
+    got = {
+        r["id"]: r["x_r"]
+        for r in robust_scale(_df(spark, xs), ["x"]).collect()
+    }
+    med = 3.0
+    mad = float(np.median([abs(x - med) for x in xs]))
+    for i, x in enumerate(xs):
+        assert got[i] == pytest.approx((x - med) / mad, abs=1e-9)
+    # the outlier lands far out while the bulk stays near 0 — unlike
+    # z-scoring, where the outlier would compress the bulk
+    assert abs(got[4]) > 50 and abs(got[1]) <= 1
+
+
+def test_one_hot_explicit_vocab(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "zzz")], "id long, c string"
+    )
+    out = {r["id"]: r for r in one_hot(df, "c", ["a", "b"]).collect()}
+    assert (out[1]["c__a"], out[1]["c__b"], out[1]["c__other"]) == (1, 0, 0)
+    assert (out[2]["c__a"], out[2]["c__b"], out[2]["c__other"]) == (0, 1, 0)
+    assert (out[3]["c__a"], out[3]["c__b"], out[3]["c__other"]) == (0, 0, 1)
+
+
+def test_hash_feature_deterministic_and_bounded(spark):
+    df = spark.createDataFrame(
+        [(f"tok{i}",) for i in range(500)], "w string"
+    )
+    out = df.select(hash_feature(F.col("w"), dims=64).alias("h"))
+    vals = [r["h"] for r in out.collect()]
+    assert all(0 <= v < 64 for v in vals)
+    # deterministic across evaluations
+    assert vals == [r["h"] for r in out.collect()]
+    # decent spread: ≥half the buckets hit with 500 tokens
+    assert len(set(vals)) > 32
+
+
+def test_quantile_transform_uniformizes(spark):
+    xs = [float(x) for x in np.random.RandomState(7).lognormal(0, 1, 200)]
+    out = quantile_transform(
+        _df(spark, xs), ["x"], key_col="id"
+    ).collect()
+    pairs = sorted((r["x"], r["x_q"]) for r in out)
+    qs = [q for _, q in pairs]
+    assert qs[0] == 0.0 and qs[-1] == 1.0
+    assert all(a <= b for a, b in zip(qs, qs[1:]))  # monotone in value
+    # ranks are uniform by construction: quartile counts equal ±1
+    import collections
+
+    quart = collections.Counter(int(min(q * 4, 3)) for q in qs)
+    assert max(quart.values()) - min(quart.values()) <= 2
