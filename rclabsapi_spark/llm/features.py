@@ -121,3 +121,75 @@ def quantile_transform(
         w = Window.orderBy(F.col(c), F.col(key_col))
         out = out.withColumn(c + suffix, F.percent_rank().over(w))
     return out
+
+
+def target_encode(
+    df: DataFrame,
+    *,
+    cat_col: str,
+    target_col: str,
+    key_col: str,
+    n_folds: int = 5,
+    salt: str = "te:",
+    prior_weight: float = 10.0,
+) -> DataFrame:
+    """Leakage-safe (out-of-fold) target encoding: each row's category
+    is encoded with the target mean computed from the OTHER hash-folds,
+    smoothed toward the global mean — the standard high-cardinality
+    categorical encoder, with the subtlety that makes it safe: a row
+    never contributes to its own encoding, so the feature can't memorize
+    its own label.
+
+    Folds are deterministic md5 buckets of the key (same fold on every
+    engine/run — composes with split_assign's guarantees). One
+    (category, fold) aggregate; per-row encoding is
+    (Σ_cat − Σ_fold + prior·μ) / (n_cat − n_fold + prior), pure
+    arithmetic after a broadcast join of the fold-stats relation.
+    Unseen-at-encode categories fall back to the smoothed prior."""
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_folds
+    )
+    with_fold = df.withColumn("__fold", fold)
+    per_fold = with_fold.groupBy(
+        F.col(cat_col).alias("__cat"), F.col("__fold").alias("__f")
+    ).agg(
+        F.sum(F.col(target_col)).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    w_cat = Window.partitionBy("__cat")
+    fold_stats = per_fold.select(
+        "__cat",
+        "__f",
+        (F.sum("__s").over(w_cat) - F.col("__s")).alias("__s_oof"),
+        (F.sum("__n").over(w_cat) - F.col("__n")).alias("__n_oof"),
+    )
+    glob = df.agg(F.avg(F.col(target_col)).alias("__mu"))
+    enc = (
+        F.col("__s_oof") + F.lit(prior_weight) * F.col("__mu")
+    ) / (F.col("__n_oof") + F.lit(prior_weight))
+    return (
+        with_fold.join(
+            F.broadcast(fold_stats),
+            (F.col(cat_col) == F.col("__cat"))
+            & (F.col("__fold") == F.col("__f")),
+            "left",
+        )
+        .crossJoin(F.broadcast(glob))
+        .withColumn(
+            f"{cat_col}__te",
+            F.coalesce(
+                enc,
+                F.col("__mu"),  # category entirely inside own fold
+            ),
+        )
+        .drop("__cat", "__f", "__s_oof", "__n_oof", "__mu", "__fold")
+    )

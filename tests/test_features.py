@@ -90,3 +90,64 @@ def test_quantile_transform_uniformizes(spark):
 
     quart = collections.Counter(int(min(q * 4, 3)) for q in qs)
     assert max(quart.values()) - min(quart.values()) <= 2
+
+
+def test_target_encode_out_of_fold_no_leakage(spark):
+    """Parity with a python brute force AND the leakage property: a
+    row's own fold's targets never enter its encoding."""
+    import hashlib
+
+    from rclabsapi_spark.llm.features import target_encode
+
+    rows = [
+        (i, ["u", "v", "w"][i % 3], float((i * 7) % 5)) for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "id long, c string, y double")
+    got = {
+        r["id"]: r["c__te"]
+        for r in target_encode(
+            df, cat_col="c", target_col="y", key_col="id", n_folds=5,
+            salt="te:", prior_weight=10.0,
+        ).collect()
+    }
+
+    def fold(i):
+        return int(hashlib.md5(f"te:{i}".encode()).hexdigest()[:8], 16) % 5
+
+    mu = sum(y for _, _, y in rows) / len(rows)
+    for i, c, _y in rows:
+        oof = [
+            y for j, cc, y in rows if cc == c and fold(j) != fold(i)
+        ]
+        expect = (sum(oof) + 10.0 * mu) / (len(oof) + 10.0)
+        assert got[i] == pytest.approx(expect, abs=1e-9), i
+
+    # leakage check: perturbing ONLY rows in the same (category, fold)
+    # must not change this row's encoding
+    probe = 0
+    same_cell = [
+        j for j, cc, _ in rows
+        if cc == rows[probe][1] and fold(j) == fold(probe) and j != probe
+    ]
+    assert same_cell  # cell is populated
+    bumped = [
+        (i, c, y + 1000.0 if i in same_cell else y) for i, c, y in rows
+    ]
+    # global mean shifts slightly; isolate by prior_weight=0
+    got0 = {
+        r["id"]: r["c__te"]
+        for r in target_encode(
+            spark.createDataFrame(rows, "id long, c string, y double"),
+            cat_col="c", target_col="y", key_col="id", n_folds=5,
+            salt="te:", prior_weight=0.0,
+        ).collect()
+    }
+    got_bumped = {
+        r["id"]: r["c__te"]
+        for r in target_encode(
+            spark.createDataFrame(bumped, "id long, c string, y double"),
+            cat_col="c", target_col="y", key_col="id", n_folds=5,
+            salt="te:", prior_weight=0.0,
+        ).collect()
+    }
+    assert got0[probe] == pytest.approx(got_bumped[probe], abs=1e-9)
