@@ -234,3 +234,125 @@ def cross_source_leakage(
         F.sum(leaked).alias("n_leaked"),
         F.round(F.sum(leaked) / F.count(F.lit(1)), 6).alias("leak_ratio"),
     )
+
+
+def span_corruption(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    span_len: int = 3,
+    start_rate: float = 0.05,
+    sentinel: str = "<X>",
+    salt: str = "span:",
+) -> DataFrame:
+    """T5-style span corruption: deterministically mask contiguous token
+    spans and emit (masked input, target spans) pairs — the denoising
+    pretraining objective's data side.
+
+    Span STARTS are hash-chosen positions (md5(salt, key, pos) below the
+    rate threshold — a pure function of the key, so every engine, run,
+    and partitioning corrupts identically); a token is masked when any
+    start falls within the trailing ``span_len`` window, which is a
+    windowed MAX over the start indicator — whole-stage codegen, no
+    per-row Python, no array lambdas. Consecutive masked tokens collapse
+    to ONE sentinel in the input (run-length via lag); targets carry
+    (span_id, span_text). One doc-key shuffle; collect_list reassembles
+    under the same partitioning."""
+    toks = docs.repartition(F.col(key_col)).select(
+        F.col(key_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    thr = format(int(65536 * start_rate), "04x")
+    is_start = (
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt),
+                    F.col("doc").cast("string"),
+                    F.lit(":"),
+                    F.col("pos").cast("string"),
+                )
+            ),
+            1,
+            4,
+        )
+        < thr
+    ).cast("int")
+    w = Window.partitionBy("doc").orderBy("pos")
+    w_span = w.rowsBetween(-(span_len - 1), Window.currentRow)
+    flagged = toks.select(
+        "doc",
+        "pos",
+        "tok",
+        F.max(is_start).over(w_span).alias("masked"),
+    )
+    runs = flagged.select(
+        "doc",
+        "pos",
+        "tok",
+        "masked",
+        (
+            (F.col("masked") == 1)
+            & (F.coalesce(F.lag("masked").over(w), F.lit(0)) == 0)
+        ).cast("int").alias("span_begin"),
+    ).withColumn(
+        "span_id",
+        F.when(
+            F.col("masked") == 1,
+            F.sum("span_begin").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        ),
+    )
+    # masked input: keep visible tokens; emit ONE sentinel per span
+    input_tok = F.when(F.col("masked") == 0, F.col("tok")).when(
+        F.col("span_begin") == 1, F.lit(sentinel)
+    )
+    inputs = (
+        runs.withColumn("itok", input_tok)
+        .filter(F.col("itok").isNotNull())
+        .groupBy("doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "itok"))
+                    ),
+                    lambda s: s["itok"],
+                ),
+                " ",
+            ).alias("masked_input"),
+        )
+    )
+    targets = (
+        runs.filter(F.col("masked") == 1)
+        .groupBy("doc", "span_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("span_text"),
+            F.count(F.lit(1)).alias("span_tokens"),
+        )
+    )
+    return inputs.join(
+        targets.groupBy("doc").agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("span_tokens").alias("n_masked_tokens"),
+            F.array_sort(
+                F.collect_list(F.struct("span_id", "span_text"))
+            ).alias("targets"),
+        ),
+        "doc",
+        "left",
+    ).select(
+        F.col("doc").alias(key_col),
+        "masked_input",
+        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        F.coalesce("n_masked_tokens", F.lit(0)).alias("n_masked_tokens"),
+        "targets",
+    )

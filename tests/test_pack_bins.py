@@ -66,3 +66,50 @@ def test_salted_bin_boundary_straddle(spark):
         ).collect()
     }
     assert out == {i: (i * 11) // 25 for i in range(10)}
+
+
+# ---------------------------------------------------------------------------
+# Span corruption (T5-style denoising data)
+# ---------------------------------------------------------------------------
+
+
+def test_span_corruption_reconstructs_and_is_deterministic(spark):
+    """Masked input + targets must reconstruct the original text exactly
+    (sentinels splice back span-for-span), the mask rate lands near
+    start_rate·span_len, and the corruption is identical under
+    repartitioning."""
+    from pyspark.sql import functions as F
+
+    from rclabsapi_spark.llm.training import span_corruption
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(80)
+    out = span_corruption(
+        docs, span_len=3, start_rate=0.05, sentinel="<X>"
+    ).collect()
+    originals = {
+        r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()
+    }
+    total_tokens = 0
+    total_masked = 0
+    for r in out:
+        words = r["masked_input"].split(" ")
+        spans = [t["span_text"] for t in (r["targets"] or [])]
+        assert words.count("<X>") == len(spans) == r["n_spans"]
+        it = iter(spans)
+        rebuilt = " ".join(
+            next(it) if w == "<X>" else w for w in words
+        )
+        assert rebuilt == originals[r["doc_id"]], r["doc_id"]
+        total_tokens += len(originals[r["doc_id"]].split(" "))
+        total_masked += r["n_masked_tokens"]
+    rate = total_masked / total_tokens
+    assert 0.05 <= rate <= 0.25, rate  # ≈ start_rate·span_len with overlap
+
+    again = span_corruption(
+        docs.repartition(7), span_len=3, start_rate=0.05, sentinel="<X>"
+    ).collect()
+    assert {(r["doc_id"], r["masked_input"]) for r in again} == {
+        (r["doc_id"], r["masked_input"]) for r in out
+    }
