@@ -206,3 +206,45 @@ def merge_upsert(
         "upserted": n_upserted,
         "deleted": n_deleted,
     }
+
+
+def dataset_manifest(
+    df: DataFrame,
+    *,
+    cols: list[str] | None = None,
+) -> dict:
+    """Content-addressed dataset manifest: row count, per-column
+    null/distinct profile, and an ORDER-INSENSITIVE content digest —
+    the reproducibility record a training run pins so "the same
+    dataset" is a checkable claim, not a path name.
+
+    The digest sums per-row 64-bit hashes of the selected columns
+    (xxhash64 over the concatenated canonical string) in a single
+    aggregate: commutative, so any partitioning/ordering of identical
+    rows yields the identical digest, and any changed/added/dropped row
+    changes it. Computed in ONE pass alongside the profile aggregates."""
+    cols = cols or df.columns
+    canon = F.concat_ws(
+        "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]
+    )
+    row_hash = F.xxhash64(canon)
+    # decimal accumulation: ANSI mode rejects overflowing long sums,
+    # and the digest must survive any row count
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_hash.cast("decimal(38,0)")).alias("content_sum"),
+        F.sum((F.abs(row_hash) % 1000003).cast("decimal(38,0)")).alias(
+            "content_check"
+        ),
+        *[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"n_null_{c}")
+            for c in cols
+        ],
+    ).collect()[0]
+    return {
+        "n_rows": agg["n_rows"],
+        "columns": cols,
+        "content_digest": f"{int(agg['content_sum'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}"
+        f"-{int(agg['content_check'] or 0) % 1000003:06d}",
+        "null_counts": {c: agg[f"n_null_{c}"] for c in cols},
+    }

@@ -194,3 +194,27 @@ def test_merge_change_feed_captures_pre_and_post_images(spark, tmp_path):
     assert op == "insert" and pre is None and post["v"] == 77.0
     op, pre, post = feed[2]
     assert op == "delete" and pre["v"] == 2.0 and post is None
+
+
+def test_dataset_manifest_order_insensitive_and_change_sensitive(spark):
+    """The content digest is identical under any partitioning/ordering of
+    the same rows and changes on any single-row edit, insert, or drop."""
+    from rclabsapi_spark.maintenance import dataset_manifest
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    m1 = dataset_manifest(df)
+    m2 = dataset_manifest(df.repartition(17).orderBy(F.rand(42)))
+    assert m1 == m2
+    assert m1["n_rows"] == df.count()
+
+    edited = df.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") == 1, F.col("o_totalprice") + 0.01).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    assert dataset_manifest(edited)["content_digest"] != m1["content_digest"]
+    dropped = df.filter(F.col("o_orderkey") != 1)
+    assert dataset_manifest(dropped)["content_digest"] != m1["content_digest"]
+    doubled = df.unionAll(df.limit(1))
+    assert dataset_manifest(doubled)["content_digest"] != m1["content_digest"]
