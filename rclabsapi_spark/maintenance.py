@@ -248,3 +248,27 @@ def dataset_manifest(
         f"-{int(agg['content_check'] or 0) % 1000003:06d}",
         "null_counts": {c: agg[f"n_null_{c}"] for c in cols},
     }
+
+
+def missing_partitions(
+    spark: SparkSession,
+    path: str,
+    *,
+    partition_col: str,
+    expected: list[str],
+) -> dict:
+    """Backfill planner: which expected partition values are absent from
+    a partitioned table's directory layout (O(1) metadata listing — the
+    data is never read), plus unexpected extras. Feeds run_dag: each
+    missing partition becomes a backfill job."""
+    present = {
+        d.split("=", 1)[1]
+        for d in os.listdir(path)
+        if d.startswith(f"{partition_col}=")
+    }
+    exp = set(expected)
+    return {
+        "missing": sorted(exp - present),
+        "present": sorted(present & exp),
+        "unexpected": sorted(present - exp),
+    }

@@ -218,3 +218,37 @@ def test_dataset_manifest_order_insensitive_and_change_sensitive(spark):
     assert dataset_manifest(dropped)["content_digest"] != m1["content_digest"]
     doubled = df.unionAll(df.limit(1))
     assert dataset_manifest(doubled)["content_digest"] != m1["content_digest"]
+
+
+def test_missing_partitions_backfill_plan(spark, tmp_path):
+    from rclabsapi_spark.maintenance import missing_partitions
+
+    target = str(tmp_path / "backfill_tbl")
+    rows = [(k, d) for k in range(10) for d in ("d1", "d2", "d4")]
+    spark.createDataFrame(rows, "id long, day string").write.partitionBy(
+        "day"
+    ).parquet(target)
+    plan = missing_partitions(
+        spark, target, partition_col="day",
+        expected=["d1", "d2", "d3", "d4", "d5"],
+    )
+    assert plan["missing"] == ["d3", "d5"]
+    assert plan["present"] == ["d1", "d2", "d4"]
+    assert plan["unexpected"] == []
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Readers tolerate appended columns: v2 files add a column, a
+    mergeSchema read unifies with NULLs for v1 rows — the schema-drift
+    path a long-lived table hits."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "id long, x string"
+    ).write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, x string, score double"
+    ).write.mode("append").parquet(p)
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "x", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
