@@ -512,7 +512,9 @@ def q_corr(spark, sf_dir):
     """Pairwise Pearson correlations among the lineitem measures in ONE
     single-scan aggregate (each corr is a mergeable co-moment fold —
     map-side partials merge exactly like sum/count, so one pass covers
-    all pairs at any scale)."""
+    all pairs at any scale). Extends the reference's derived indicators
+    (A11, job_monitoring_models.cpp:160-209) from ratios to
+    relationships."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
@@ -567,7 +569,9 @@ def q_ks_drift(spark, sf_dir):
     """Two-sample Kolmogorov–Smirnov D per event type (first half of
     January vs second): the binning-free drift statistic — PSI asks
     "how far apart are the histograms", KS asks "how far apart are the
-    CDFs" with no bin choice to tune. One (type, value) aggregate, two
+    CDFs" with no bin choice to tune (the distributional upgrade of the
+    reference's baseline deviation alerts, A14/ST6,
+    job_monitoring_models.cpp:226-258). One (type, value) aggregate, two
     prefix-sum windows over the same type clustering; every arithmetic
     step divides exact counts, so D is bit-identical cross-engine."""
     ev = load_table(spark, sf_dir, "events")

@@ -350,7 +350,9 @@ FROM c ASOF LEFT JOIN p
 @query("j_asof_tolerance", _ASOF_TOL_ORACLE)
 def q_asof_tolerance(spark, sf_dir):
     """As-of join with a 1-hour tolerance (pandas merge_asof's
-    ``tolerance``): a purchase older than an hour is stale context and
+    ``tolerance``; same staleness contract as the reference's session
+    expiry checks, auth/session validation in request_handler.cpp):
+    a purchase older than an hour is stale context and
     must NOT attach to the click — matched payloads beyond the tolerance
     null out. Same one-shuffle union-window plan as j_asof_clicks_
     purchases; the tolerance is a per-row predicate on the carried match
