@@ -17,7 +17,7 @@ evaluation of the same expression order.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -667,3 +667,45 @@ def pq_adc_topk(
         .orderBy(F.col("adc_score").desc(), key_col)
         .limit(k)
     )
+
+
+def ann_recall_at_k(
+    candidates: DataFrame,
+    truth: DataFrame,
+    *,
+    query_col: str = "query_id",
+    item_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Recall@k of an ANN tier against exact ground truth: per query,
+    |top-k(candidates) ∩ top-k(truth)| / k, plus the macro average as a
+    1-row summary — the quality gate every approximate tier (sign-LSH,
+    IVF, PQ) reports before it replaces the exact path.
+
+    Both inputs are (query, item, score) relations; top-k is taken by
+    (score desc, item) per side so ties are deterministic. One ranking
+    window per side over the query key, one equi-join on (query, item) —
+    all |queries|·k sized."""
+
+    def topk(df: DataFrame, tag: str) -> DataFrame:
+        w = Window.partitionBy(query_col).orderBy(
+            F.col("score").desc(), F.col(item_col)
+        )
+        return (
+            df.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= k)
+            .select(query_col, item_col, F.lit(1).alias(tag))
+        )
+
+    c = topk(candidates, "__c")
+    t = topk(truth, "__t")
+    per_query = (
+        t.join(c, [query_col, item_col], "left")
+        .groupBy(query_col)
+        .agg(
+            (F.sum(F.coalesce(F.col("__c"), F.lit(0))) / float(k)).alias(
+                "recall_at_k"
+            )
+        )
+    )
+    return per_query

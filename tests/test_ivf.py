@@ -147,3 +147,55 @@ def test_pq_encode_decode_recall(spark):
     assert exact[0] == 3  # self-match sanity on the exact side
     assert got[0] == 3  # 32x-compressed codes still find the query itself
     assert overlap >= 0.4, (overlap, got, exact)
+
+
+def test_ann_recall_evaluator_on_lsh_and_exact(spark):
+    """The evaluator scores the exact tier at recall 1.0 by construction
+    and produces a sane (0,1] macro recall for the LSH tier on multiple
+    queries."""
+    from rclabsapi_spark.llm.similarity import (
+        _as_double,
+        ann_recall_at_k,
+        dot,
+        sign_bucket,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = [1, 5, 9]
+    v = _as_double(F.col("embedding"))
+
+    def scored(filtered, qid, qvec):
+        q = F.array(*[F.lit(float(x)) for x in qvec])
+        return filtered.select(
+            F.lit(qid).alias("query_id"),
+            F.col("vec_id"),
+            dot(v, q).alias("score"),
+        )
+
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(queries)).collect()
+    }
+    exact = None
+    lsh = None
+    emb_b = emb.withColumn("bucket", sign_bucket(v, 6))
+    bucket_of = {
+        r["vec_id"]: r["bucket"]
+        for r in emb_b.filter(F.col("vec_id").isin(queries)).collect()
+    }
+    for qid in queries:
+        e = scored(emb, qid, qvecs[qid])
+        l = scored(
+            emb_b.filter(F.col("bucket") == bucket_of[qid]), qid, qvecs[qid]
+        )
+        exact = e if exact is None else exact.unionByName(e)
+        lsh = l if lsh is None else lsh.unionByName(l)
+
+    perfect = ann_recall_at_k(exact, exact, k=10).collect()
+    assert all(r["recall_at_k"] == 1.0 for r in perfect)
+    approx = {
+        r["query_id"]: r["recall_at_k"]
+        for r in ann_recall_at_k(lsh, exact, k=10).collect()
+    }
+    assert set(approx) == set(queries)
+    assert all(0.0 <= v <= 1.0 for v in approx.values())
