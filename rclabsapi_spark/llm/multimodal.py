@@ -363,3 +363,52 @@ def attach_wav_payload(
     return docs.select(key_col, text_col).mapInPandas(
         gen, schema=f"{key_col} long, payload binary"
     ).withColumn("media_type", F.lit("audio/wav"))
+
+
+def wav_frames(
+    df: DataFrame,
+    *,
+    frame: int = 64,
+    hop: int = 32,
+    key_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Spectrogram-prep framing over decoded PCM16 audio: slice each
+    payload's samples into overlapping windows (``frame`` samples every
+    ``hop``) and emit per-frame energy (RMS) and zero-crossing counts —
+    the feature frames a speech-quality filter or VAD consumes. REAL
+    signal math (numpy strided views), same mapInPandas harness as the
+    decoders; one input row fans out to its frame rows."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            keys, idxs, energy, zc = [], [], [], []
+            for key, payload in zip(pdf[key_col], pdf[payload_col]):
+                b = bytes(payload)
+                if not (b.startswith(b"RIFF") and b[8:12] == b"WAVE"):
+                    continue
+                n = int.from_bytes(b[40:44], "little")
+                x = np.frombuffer(
+                    b, dtype="<i2", count=n // 2, offset=44
+                ).astype("float64")
+                for i, start in enumerate(range(0, len(x) - frame + 1, hop)):
+                    w = x[start : start + frame]
+                    keys.append(key)
+                    idxs.append(i)
+                    energy.append(float(np.sqrt((w * w).mean())))
+                    zc.append(int(((w[:-1] * w[1:]) < 0).sum()))
+            yield pd.DataFrame(
+                {
+                    key_col: keys,
+                    "frame_idx": idxs,
+                    "rms": energy,
+                    "zero_crossings": zc,
+                }
+            )
+
+    return df.select(key_col, payload_col).mapInPandas(
+        process,
+        schema=f"{key_col} long, frame_idx int, rms double, zero_crossings int",
+    )

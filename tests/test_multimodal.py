@@ -113,3 +113,28 @@ def test_wav_decode_rejects_non_riff():
 
     with pytest.raises(ValueError):
         decode_wav(b"OggS fake vorbis")
+
+
+def test_wav_framing_matches_numpy(spark):
+    """Frame RMS and zero-crossings equal a manual numpy recompute for
+    every frame of every fixture payload."""
+    from rclabsapi_spark.llm.multimodal import attach_wav_payload, wav_frames
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(10)
+    with_audio = attach_wav_payload(docs, sample_rate=8000, n_samples=256)
+    got = {}
+    for r in wav_frames(with_audio, frame=64, hop=32).collect():
+        got[(r["doc_id"], r["frame_idx"])] = (r["rms"], r["zero_crossings"])
+
+    for row in docs.select("doc_id", "text").collect():
+        seed = hashlib.md5(row["text"].encode()).digest()
+        raw = (seed * ((512 + 15) // 16))[:512]
+        x = np.frombuffer(raw, dtype="<i2").astype("float64")
+        n_frames = (len(x) - 64) // 32 + 1
+        for i in range(n_frames):
+            w = x[i * 32 : i * 32 + 64]
+            rms = float(np.sqrt((w * w).mean()))
+            zc = int(((w[:-1] * w[1:]) < 0).sum())
+            g = got[(row["doc_id"], i)]
+            assert g[0] == pytest.approx(rms)
+            assert g[1] == zc
