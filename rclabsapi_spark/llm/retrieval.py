@@ -159,3 +159,46 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), key_col)
         .limit(k)
     )
+
+
+def mmr_rerank(
+    candidates,
+    *,
+    lambda_relevance: float = 0.7,
+    k: int = 10,
+) -> list:
+    """Maximal-marginal-relevance re-ranking of a COLLECTED candidate
+    list: greedily pick argmax λ·rel(d) − (1−λ)·max_sim(d, chosen).
+    Driver-side by design — the input is the retrieval tier's top-N
+    (N ≈ 100 rows), not a corpus; Spark's job ended when the candidates
+    were scored. ``candidates`` is [(id, relevance, vector)]; returns
+    the re-ranked id list.
+
+    The standard diversity fix for near-duplicate-heavy corpora: pure
+    relevance top-k returns ten copies of the same boilerplate page;
+    MMR trades a little relevance for coverage."""
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(x * x for x in b)) or 1.0
+        return d / (na * nb)
+
+    remaining = {cid: (rel, vec) for cid, rel, vec in candidates}
+    chosen: list = []
+    chosen_vecs: dict = {}
+    while remaining and len(chosen) < k:
+        best, best_score = None, None
+        for cid in sorted(remaining):
+            rel, vec = remaining[cid]
+            penalty = max(
+                (cos(vec, cv) for cv in chosen_vecs.values()), default=0.0
+            )
+            score = lambda_relevance * rel - (1 - lambda_relevance) * penalty
+            if best_score is None or score > best_score:
+                best, best_score = cid, score
+        chosen.append(best)
+        chosen_vecs[best] = remaining[best][1]
+        del remaining[best]
+    return chosen

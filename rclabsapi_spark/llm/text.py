@@ -253,3 +253,51 @@ def pmi_collocations(
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(k)
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    max_rank: int = 10000,
+) -> DataFrame:
+    """Zipf-law fit of the corpus token distribution: least-squares
+    slope of log(freq) on log(rank) over the top ``max_rank`` types —
+    natural corpora fit α ≈ −1; a corpus of templated/generated text
+    skews shallow, heavy boilerplate skews steep, making the exponent a
+    one-number corpus-health audit.
+
+    One token aggregate to the vocabulary, one ranking window over the
+    (tiny) type relation, and the regression reduces to the five
+    classic sums — a single aggregate, no driver math beyond the
+    closed form."""
+    toks = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    w_rank = Window.orderBy(F.col("n").desc(), "w")
+    ranked = (
+        vocab.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= max_rank)
+        .select(
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("n").cast("double")).alias("y"),
+        )
+    )
+    n = F.count(F.lit(1)).cast("double")
+    agg = ranked.agg(
+        n.alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("k")
+    return agg.select(
+        F.col("k").cast("long").alias("n_types"),
+        F.round(slope, 6).alias("zipf_alpha"),
+        F.round(intercept, 6).alias("log_c"),
+    )

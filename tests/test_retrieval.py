@@ -51,3 +51,26 @@ def test_topk_limit_and_tiebreak(spark):
     rows = tfidf_topk(dup, ["spark"], k=4).collect()
     # identical scores -> doc_id ascending tie-break, limit respected
     assert [r.doc_id for r in rows] == [0, 1, 2, 3]
+
+
+def test_mmr_rerank_trades_relevance_for_diversity():
+    """Three near-identical top candidates + two distinct ones: pure
+    relevance keeps the clones; MMR at λ=0.5 interleaves the distinct
+    vectors into the top 3. Deterministic (sorted-candidate greedy)."""
+    from rclabsapi_spark.llm.retrieval import mmr_rerank
+
+    clone = [1.0, 0.0, 0.0]
+    cands = [
+        (1, 1.00, clone),
+        (2, 0.99, clone),
+        (3, 0.98, clone),
+        (4, 0.80, [0.0, 1.0, 0.0]),
+        (5, 0.70, [0.0, 0.0, 1.0]),
+    ]
+    pure = [c[0] for c in sorted(cands, key=lambda c: -c[1])][:3]
+    assert pure == [1, 2, 3]
+    diverse = mmr_rerank(cands, lambda_relevance=0.5, k=3)
+    assert diverse[0] == 1            # most relevant always first
+    assert set(diverse) == {1, 4, 5}  # clones displaced by distinct vecs
+    # λ=1 reduces to pure relevance
+    assert mmr_rerank(cands, lambda_relevance=1.0, k=3) == [1, 2, 3]

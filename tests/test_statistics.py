@@ -7,6 +7,8 @@ from __future__ import annotations
 import math
 from collections import Counter, defaultdict
 
+import numpy as np
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -210,3 +212,29 @@ def test_rolling_correlation_matches_pandas(spark):
         ).collect()
     ]
     assert all(v is None for v in vals)
+
+
+def test_zipf_fit_matches_numpy_polyfit(spark):
+    from rclabsapi_spark.llm.text import zipf_fit
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = zipf_fit(docs).collect()[0]
+
+    words = [
+        w
+        for r in docs.select("text").collect()
+        for w in r["text"].split(" ")
+        if w
+    ]
+    import collections
+
+    counts = sorted(
+        collections.Counter(words).items(), key=lambda kv: (-kv[1], kv[0])
+    )
+    xs = np.log(np.arange(1, len(counts) + 1))
+    ys = np.log(np.array([c for _, c in counts], dtype="float64"))
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert got["n_types"] == len(counts)
+    assert got["zipf_alpha"] == pytest.approx(slope, abs=1e-6)
+    assert got["log_c"] == pytest.approx(intercept, abs=1e-6)
+    assert got["zipf_alpha"] < 0  # frequency decays with rank
