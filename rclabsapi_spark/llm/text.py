@@ -301,3 +301,38 @@ def zipf_fit(
         F.round(slope, 6).alias("zipf_alpha"),
         F.round(intercept, 6).alias("log_c"),
     )
+
+
+def lang_id_evaluation(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    truth_col: str = "lang",
+) -> DataFrame:
+    """Evaluate the marker-token language identifier against labeled
+    ground truth: the (true, predicted, n) confusion matrix with
+    per-true-language recall — the audit that decides whether the
+    heuristic is good enough to gate corpus routing, and which language
+    pairs it confuses when it isn't.
+
+    One scan scores and predicts; the confusion matrix is a
+    |langs|²-sized aggregate with the recall share divided from exact
+    counts."""
+    pred = lang_id(docs, text_col=text_col, key_col=key_col).select(
+        key_col, "predicted_lang"
+    )
+    joined = docs.select(key_col, F.col(truth_col).alias("true_lang")).join(
+        pred, key_col
+    )
+    cm = joined.groupBy("true_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_true = Window.partitionBy("true_lang")
+    return cm.select(
+        "true_lang",
+        "predicted_lang",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w_true).cast("double"))
+        .alias("share_of_true"),
+    )

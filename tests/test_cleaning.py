@@ -202,3 +202,40 @@ def test_shingle_lambda_mirror_matches_codegen_path(spark):
     )
     assert via_lambda.exceptAll(via_window).count() == 0
     assert via_window.exceptAll(via_lambda).count() == 0
+
+
+def test_lang_id_evaluation_confusion_matrix(spark):
+    """The confusion matrix sums to the corpus, per-true shares sum to 1,
+    diagonal recall is reported honestly, and the matrix matches a
+    python recompute of the marker heuristic."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from rclabsapi_spark.llm.text import LANG_MARKERS, lang_id_evaluation
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = lang_id_evaluation(docs).collect()
+    total = sum(r["n"] for r in rows)
+    assert total == docs.count()
+
+    shares = {}
+    for r in rows:
+        shares.setdefault(r["true_lang"], 0.0)
+        shares[r["true_lang"]] += r["share_of_true"]
+    assert all(abs(s - 1.0) < 1e-9 for s in shares.values())
+
+    # python recompute of the same heuristic (declaration-order ties)
+    langs = list(LANG_MARKERS)
+    markers = {l: set(m) for l, m in LANG_MARKERS.items()}
+    expect = Counter()
+    for r in docs.select("lang", "text").collect():
+        toks = r["text"].split(" ")
+        scores = {l: sum(1 for t in toks if t in markers[l]) for l in langs}
+        best = langs[0]
+        for l in langs[1:]:
+            if scores[l] > scores[best]:
+                best = l
+        expect[(r["lang"], best)] += 1
+    got = {(r["true_lang"], r["predicted_lang"]): r["n"] for r in rows}
+    assert got == dict(expect)
