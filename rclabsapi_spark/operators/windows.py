@@ -95,3 +95,65 @@ def delta_vs_previous(
     job_monitor_service.hpp:167-168)."""
     w = entity_window(key, ts, tiebreak)
     return df.withColumn(out, F.col(value) - F.lag(value).over(w))
+
+
+def ew_stats_per_key(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    tiebreak: str,
+    value: str,
+    alpha: float = 0.1,
+    max_history: int = 1000,
+) -> DataFrame:
+    """EWMA + exponentially-weighted VARIANCE per key (West 1979 update:
+    μ_i = μ_{i−1} + α·δ, σ²_i = (1−α)(σ²_{i−1} + α·δ²), δ = x_i −
+    μ_{i−1}) — the pair that turns the reference's smoothed mean
+    (performance_monitor.hpp:378-392) into an ADAPTIVE alert band:
+    flag when |x − ewma| > k·ewstd instead of a hand-tuned absolute
+    threshold (ST6's fixed limits).
+
+    Same shape as ewma_per_key: ordered per-key series (bounded by the
+    reference's own ``max_history`` ring-buffer cap), one struct-state
+    fold per key, fully distributed across keys. Returns one row per
+    key with (ewma, ewvar, ewstd)."""
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts).alias("t"),
+                F.col(tiebreak).alias("k"),
+                F.col(value).alias("v"),
+            )
+        )
+    )
+    recent = F.slice(
+        ordered,
+        F.greatest(F.size(ordered) - F.lit(max_history - 1), F.lit(1)),
+        F.lit(max_history),
+    )
+    a = F.lit(float(alpha))
+    init = F.struct(
+        F.element_at(recent, 1)["v"].cast("double").alias("mu"),
+        F.lit(0.0).alias("var"),
+    )
+    folded = F.aggregate(
+        F.slice(recent, 2, F.greatest(F.size(recent) - 1, F.lit(0))),
+        init,
+        lambda acc, x: F.struct(
+            (acc["mu"] + a * (x["v"].cast("double") - acc["mu"])).alias("mu"),
+            (
+                (F.lit(1.0) - a)
+                * (
+                    acc["var"]
+                    + a
+                    * (x["v"].cast("double") - acc["mu"])
+                    * (x["v"].cast("double") - acc["mu"])
+                )
+            ).alias("var"),
+        ),
+    )
+    return df.groupBy(key).agg(
+        F.round(folded["mu"], 6).alias("ewma"),
+        F.round(folded["var"], 6).alias("ewvar"),
+        F.round(F.sqrt(folded["var"]), 6).alias("ewstd"),
+    )

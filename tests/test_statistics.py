@@ -238,3 +238,32 @@ def test_zipf_fit_matches_numpy_polyfit(spark):
     assert got["zipf_alpha"] == pytest.approx(slope, abs=1e-6)
     assert got["log_c"] == pytest.approx(intercept, abs=1e-6)
     assert got["zipf_alpha"] < 0  # frequency decays with rank
+
+
+def test_ew_stats_match_python_recursion(spark):
+    """EWMA/EWVar fold equals the sequential West-update recursion, per
+    key, on the fixture event stream."""
+    from collections import defaultdict
+
+    from rclabsapi_spark.operators.windows import ew_stats_per_key
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {
+        r["user_id"]: (r["ewma"], r["ewvar"])
+        for r in ew_stats_per_key(
+            ev, "user_id", "ts", "event_id", "value", alpha=0.1
+        ).collect()
+    }
+    series = defaultdict(list)
+    for r in ev.select("user_id", "ts", "event_id", "value").collect():
+        series[r["user_id"]].append((r["ts"], r["event_id"], r["value"]))
+    for uid, rows in series.items():
+        rows.sort()
+        mu, var = float(rows[0][2]), 0.0
+        for _, _, v in rows[1:]:
+            d = float(v) - mu
+            mu = mu + 0.1 * d
+            var = 0.9 * (var + 0.1 * d * d)
+        g = got[uid]
+        assert g[0] == pytest.approx(mu, abs=1e-6), uid
+        assert g[1] == pytest.approx(var, abs=1e-6), uid
