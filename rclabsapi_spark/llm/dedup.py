@@ -764,3 +764,53 @@ def simhash_near_dup_pairs(
     return pairs.select(
         "doc_a", "doc_b", hamming.cast("int").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def cluster_quality_audit(
+    pairs: DataFrame,
+    clusters: DataFrame,
+    *,
+    sim_col: str = "jaccard",
+    key_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Audit near-dup clusters against the pair evidence that built
+    them: per cluster, the member count, how many candidate pairs fall
+    inside it, their mean similarity, and the weakest in-cluster link —
+    the numbers that expose chain-collapse (a giant cluster glued
+    together by a few borderline pairs) before a dedup pass deletes half
+    a corpus on transitive faith.
+
+    Two broadcast joins map pair endpoints to clusters (the cluster
+    relation is keys→ids, small relative to the corpus); aggregates run
+    per cluster. Cross-cluster pairs (evidence the clustering REJECTED)
+    are reported under cluster_id = NULL so reviewers see both sides."""
+    ca = clusters.select(
+        F.col(key_col).alias("doc_a"), F.col(cluster_col).alias("__ca")
+    )
+    cb = clusters.select(
+        F.col(key_col).alias("doc_b"), F.col(cluster_col).alias("__cb")
+    )
+    tagged = (
+        pairs.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .withColumn(
+            "__cluster",
+            F.when(F.col("__ca") == F.col("__cb"), F.col("__ca")),
+        )
+    )
+    pair_stats = tagged.groupBy(F.col("__cluster").alias(cluster_col)).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg(F.col(sim_col)), 6).alias("mean_sim"),
+        F.round(F.min(F.col(sim_col)), 6).alias("weakest_link"),
+    )
+    sizes = clusters.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return pair_stats.join(F.broadcast(sizes), cluster_col, "left").select(
+        cluster_col,
+        F.coalesce("n_members", F.lit(0)).alias("n_members"),
+        "n_pairs",
+        "mean_sim",
+        "weakest_link",
+    )

@@ -59,3 +59,36 @@ def test_star_raises_when_rounds_exhausted(spark):
     pairs = _pairs(spark, [(i, i + 1) for i in range(63)])
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_clusters_star(pairs, max_iters=2)
+
+
+def test_cluster_quality_audit_flags_weak_links(spark):
+    """Synthetic clusters: a tight pair-rich cluster scores high mean
+    similarity; a chain glued by one borderline link surfaces it as the
+    weakest_link; rejected cross-cluster evidence lands under NULL."""
+    from pyspark.sql import functions as F
+
+    from rclabsapi_spark.llm.dedup import cluster_quality_audit
+
+    pairs = spark.createDataFrame(
+        [
+            # tight cluster A = {1,2,3}: all pairs strong
+            (1, 2, 0.95), (1, 3, 0.92), (2, 3, 0.97),
+            # chain cluster B = {4,5,6}: 4-5 strong, 5-6 borderline
+            (4, 5, 0.90), (5, 6, 0.21),
+            # rejected evidence across clusters
+            (3, 4, 0.25),
+        ],
+        "doc_a long, doc_b long, jaccard double",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 200), (5, 200), (6, 200)],
+        "doc_id long, cluster_id long",
+    )
+    out = {
+        r["cluster_id"]: r
+        for r in cluster_quality_audit(pairs, clusters).collect()
+    }
+    assert out[100]["n_members"] == 3 and out[100]["n_pairs"] == 3
+    assert out[100]["mean_sim"] > 0.9
+    assert out[200]["weakest_link"] == 0.21  # the chain's glue exposed
+    assert out[None]["n_pairs"] == 1  # rejected cross-cluster pair
