@@ -630,3 +630,69 @@ def heartbeat_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def _ew_stats_group(
+    key,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+    alpha: float,
+) -> Iterable[pd.DataFrame]:
+    """EWMA + West-update EW variance across micro-batches — two doubles
+    of state per key; each event emits its running (ewma, ewstd) so the
+    adaptive band |x − ewma| > k·ewstd evaluates inline."""
+    mu, var = state.get if state.exists else (None, 0.0)
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for _, row in pdf.iterrows():
+            val = float(row["value"])
+            if mu is None:
+                mu, var = val, 0.0
+            else:
+                d = val - mu
+                mu = mu + alpha * d
+                var = (1 - alpha) * (var + alpha * d * d)
+            out.append((key[0], row["ts"], val, mu, var ** 0.5))
+    state.update((mu, var))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "ts", "value", "ewma", "ewstd"]
+        )
+
+
+def ew_stats_stream(
+    events: DataFrame,
+    *,
+    alpha: float = 0.1,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of operators/windows.py::ew_stats_per_key: per-key
+    EWMA and exponentially-weighted std as running state (two doubles per
+    key), replay-deterministic under the in-order feed contract."""
+
+    def fn(key, pdfs, state):
+        return _ew_stats_group(key, pdfs, state, alpha)
+
+    return (
+        events.select(
+            events[key_col].alias("user_id"),
+            events[ts_col].cast("timestamp").alias("ts"),
+            events[id_col].alias("event_id"),
+            events[value_col].cast("double").alias("value"),
+        )
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                "user_id long, ts timestamp, value double,"
+                " ewma double, ewstd double"
+            ),
+            stateStructType="mu double, var double",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1178,3 +1178,54 @@ def test_kv_ttl_stream_sets_and_expires_deterministically(spark, tmp_path):
         ).collect()
     }
     assert expiries == {"b": base + 1000, "a": base + 1500}  # last_set+TTL
+
+
+def test_streaming_ew_stats_match_batch_fold(spark, events_dir, tmp_path):
+    """The stream's FINAL per-key (ewma, ewstd) equals the batch
+    struct-fold operator on the same events replayed in order."""
+    from rclabsapi_spark.operators.windows import ew_stats_per_key
+    from rclabsapi_spark.streaming.stateful import ew_stats_stream
+
+    ev = spark.read.parquet(events_dir)
+    expected = {
+        r["user_id"]: (r["ewma"], r["ewstd"])
+        for r in ew_stats_per_key(
+            ev, "user_id", "ts", "event_id", "value", alpha=0.1
+        ).collect()
+    }
+
+    in_dir = str(tmp_path / "ews_in")
+    ranked = ev.withColumn(
+        "slice", F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    )
+    for i in range(1, 4):
+        ranked.filter(F.col("slice") == i).drop("slice").coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(in_dir)
+    )
+    q = (
+        ew_stats_stream(stream, alpha=0.1)
+        .writeStream.format("memory")
+        .queryName("ews_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ews"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT user_id, ewma, ewstd FROM ("
+        " SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id"
+        " ORDER BY ts DESC) AS rn FROM ews_out) WHERE rn = 1"
+    ).collect()
+    got = {r["user_id"]: (r["ewma"], r["ewstd"]) for r in rows}
+    assert set(got) == set(expected)
+    for uid, (m, s) in expected.items():
+        assert got[uid][0] == pytest.approx(m, abs=1e-6), uid
+        assert got[uid][1] == pytest.approx(s, abs=1e-6), uid
