@@ -35,6 +35,7 @@ from collections.abc import Callable, Iterator
 from dataclasses import asdict
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from rclabsapi_spark.etl.models import (
     ETL_JOBS_SCHEMA,
@@ -47,7 +48,7 @@ from rclabsapi_spark.etl.models import (
 )
 from rclabsapi_spark.functions.transformer import (
     apply_rules,
-    required_field_errors,
+    required_field_flag,
     rules_from_dicts,
 )
 
@@ -235,22 +236,32 @@ class ETLJobManager:
             return
         self._progress(job, MILESTONES["extracted"])
 
+        obs = None
         if kind in (JobType.TRANSFORM, JobType.FULL_ETL):
-            df, n_ok, n_err = self._transform(df, config)
-            job.records_processed = n_ok + n_err
-            job.records_successful = n_ok
-            job.records_failed = n_err
+            df, obs = self._transform(df, config)
             self._progress(job, MILESTONES["transformed"])
             if kind is JobType.TRANSFORM:
+                df.count()  # the single materializing action
+                self._record_observed(job, obs)
                 self._progress(job, 100)
                 return
 
         self._progress(job, MILESTONES["loading"])
         written, n_files = self._load(df, config)
+        if obs is not None:
+            self._record_observed(job, obs)  # metrics rode the write
         if kind is JobType.LOAD:
             job.records_processed = job.records_successful = df.count()
         job.total_bytes_written = written
         job.total_batches = n_files
+
+    def _record_observed(self, job: ETLJob, obs) -> None:
+        got = obs.get
+        n_total = got["n_total"] or 0
+        n_err = got["n_err"] or 0
+        job.records_processed = n_total
+        job.records_successful = n_total - n_err
+        job.records_failed = n_err
 
     def _extract(self, config: ETLJobConfig) -> DataFrame:
         """S1 — any Spark reader: path-based (parquet/csv/json…) or
@@ -267,12 +278,25 @@ class ETLJobManager:
 
     def _transform(
         self, df: DataFrame, config: ETLJobConfig
-    ) -> tuple[DataFrame, int, int]:
+    ) -> tuple[DataFrame, "Observation"]:
+        """Single-pass validation accounting: the required-field flag is
+        summed by an ``Observation`` attached BEFORE the error filter, so
+        the one action that materializes the output (the load's write,
+        or one count for transform-only jobs) also yields
+        (rows_in, rows_failed) — previously two extra full scans
+        (errors.count + out.count) ran before the write ever started."""
+        from pyspark.sql import Observation
+
         rules = rules_from_dicts(config.transformation_rules)
-        good, errors = required_field_errors(df, rules)
-        n_err = errors.count()
-        out = apply_rules(good, rules)
-        return out, out.count(), n_err
+        bad = required_field_flag(df, rules)
+        obs = Observation()
+        base = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(bad.cast("long")).alias("n_err"),
+        )
+        out = apply_rules(base.filter(~required_field_flag(base, rules)), rules)
+        return out, obs
 
     def _load(self, df: DataFrame, config: ETLJobConfig) -> tuple[int, int]:
         """Staged-commit write: parquet into ``<path>.staging``, then swap —
