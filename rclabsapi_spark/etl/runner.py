@@ -393,6 +393,28 @@ def run_dag(
     pending = set(batch)
     done: dict[str, str] = {}
 
+    # A prerequisite must be either in this batch or already completed
+    # in a previous run; anything else is a typo'd/unsubmitted job id
+    # that would otherwise be silently treated as satisfied.
+    satisfied_outside = {
+        jid
+        for jid, job in manager._jobs.items()
+        if job.status == JobStatus.COMPLETED.value
+    }
+    unknown = {
+        j: missing
+        for j in batch
+        if (
+            missing := [
+                d
+                for d in dependencies.get(j, [])
+                if d not in pending and d not in satisfied_outside
+            ]
+        )
+    }
+    if unknown:
+        raise ValueError(f"unknown prerequisite(s): {unknown}")
+
     def runnable(j: str) -> bool:
         return all(
             done.get(d) == JobStatus.COMPLETED.value

@@ -781,10 +781,15 @@ def cluster_quality_audit(
     together by a few borderline pairs) before a dedup pass deletes half
     a corpus on transitive faith.
 
-    Two broadcast joins map pair endpoints to clusters (the cluster
-    relation is keys→ids, small relative to the corpus); aggregates run
-    per cluster. Cross-cluster pairs (evidence the clustering REJECTED)
-    are reported under cluster_id = NULL so reviewers see both sides."""
+    Two equi-joins map pair endpoints to clusters; the cluster relation
+    is one row per clustered doc — unbounded at corpus scale — so the
+    join strategy is left to AQE (it broadcasts when the map is actually
+    small, shuffles when it isn't; a forced broadcast would OOM at ~10⁹
+    near-dup docs). Aggregates run per cluster. Cross-cluster pairs
+    (evidence the clustering REJECTED) are reported under
+    cluster_id = NULL so reviewers see both sides."""
+    from rclabsapi_spark.functions.scalars import round_half_up
+
     ca = clusters.select(
         F.col(key_col).alias("doc_a"), F.col(cluster_col).alias("__ca")
     )
@@ -792,8 +797,8 @@ def cluster_quality_audit(
         F.col(key_col).alias("doc_b"), F.col(cluster_col).alias("__cb")
     )
     tagged = (
-        pairs.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
+        pairs.join(ca, "doc_a")
+        .join(cb, "doc_b")
         .withColumn(
             "__cluster",
             F.when(F.col("__ca") == F.col("__cb"), F.col("__ca")),
@@ -801,13 +806,13 @@ def cluster_quality_audit(
     )
     pair_stats = tagged.groupBy(F.col("__cluster").alias(cluster_col)).agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.avg(F.col(sim_col)), 6).alias("mean_sim"),
-        F.round(F.min(F.col(sim_col)), 6).alias("weakest_link"),
+        round_half_up(F.avg(F.col(sim_col)), 6).alias("mean_sim"),
+        round_half_up(F.min(F.col(sim_col)), 6).alias("weakest_link"),
     )
     sizes = clusters.groupBy(cluster_col).agg(
         F.count(F.lit(1)).alias("n_members")
     )
-    return pair_stats.join(F.broadcast(sizes), cluster_col, "left").select(
+    return pair_stats.join(sizes, cluster_col, "left").select(
         cluster_col,
         F.coalesce("n_members", F.lit(0)).alias("n_members"),
         "n_pairs",

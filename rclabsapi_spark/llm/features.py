@@ -215,12 +215,18 @@ def sample_negatives(
     runs pair identically. With 2k candidates the only shortfall case is
     a run of ≥k same-label neighbors on the ring — vanishingly rare for
     mixed corpora and surfaced by the per-anchor ``n_negatives`` count
-    rather than silently padded."""
+    rather than silently padded. When 2k candidates wrap the ring
+    (N ≤ 2k) the same neighbor can land at two offsets; candidates
+    dedupe on (anchor, negative) before the rank filter.
+
+    ``ranked`` appears twice in the final plan (anchor side + candidate
+    side); Spark's ReusedExchange computes the hash-rank shuffle once,
+    so no cache is held across the call."""
     h = F.md5(F.concat(F.lit(salt), F.col("k_").cast("string")))
     w = Window.orderBy(h, F.col("k_"))
     ranked = df.select(
         F.col(key_col).alias("k_"), F.col(label_col).alias("l_")
-    ).withColumn("pos", F.row_number().over(w)).cache()
+    ).withColumn("pos", F.row_number().over(w))
     n_rows = ranked.agg(F.max("pos").alias("n"))
     anchors = ranked.select(
         F.col("k_").alias("anchor"),
@@ -246,6 +252,15 @@ def sample_negatives(
             "cpos",
         )
         .filter(F.col("neg_label") != F.col("anchor_label"))
+        # ring wrap (N <= 2k): the same candidate appears at two
+        # offsets — keep its first occurrence only
+        .withColumn(
+            "dup",
+            F.row_number().over(
+                Window.partitionBy("anchor", "negative").orderBy("offset")
+            ),
+        )
+        .filter(F.col("dup") == 1)
         .withColumn(
             "rk",
             F.row_number().over(
@@ -253,6 +268,12 @@ def sample_negatives(
             ),
         )
         .filter(F.col("rk") <= k)
-        .select("anchor", "anchor_label", "negative", "neg_label")
+        .withColumn(
+            "n_negatives",
+            F.count(F.lit(1)).over(Window.partitionBy("anchor")),
+        )
+        .select(
+            "anchor", "anchor_label", "negative", "neg_label", "n_negatives"
+        )
     )
     return picked

@@ -459,8 +459,15 @@ def quantize_embeddings_error(
     )
     j = flat.join(F.broadcast(bounds), "dim")
     width = F.col("hi") - F.col("lo")
-    code = F.floor((F.col("v") - F.col("lo")) / width * levels + 0.5)
-    deq = F.col("lo") + code * width / levels
+    # constant dimension (width == 0): every value maps to code 0 and
+    # dequantizes to lo exactly — without the guard Spark's non-ANSI
+    # x/0 → NULL would poison mae/max_err for that dimension.
+    code = F.when(
+        width > 0, F.floor((F.col("v") - F.col("lo")) / width * levels + 0.5)
+    ).otherwise(F.lit(0))
+    deq = F.when(
+        width > 0, F.col("lo") + code * width / levels
+    ).otherwise(F.col("lo"))
     err = F.abs(F.col("v") - deq)
     return (
         j.select("dim", "lo", "hi", err.alias("err"))
@@ -708,4 +715,10 @@ def ann_recall_at_k(
             )
         )
     )
-    return per_query
+    # macro average as the documented 1-row summary (query key NULL)
+    qtype = per_query.schema[query_col].dataType
+    macro = per_query.agg(
+        F.lit(None).cast(qtype).alias(query_col),
+        F.avg("recall_at_k").alias("recall_at_k"),
+    )
+    return per_query.unionByName(macro)

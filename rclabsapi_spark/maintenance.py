@@ -195,12 +195,48 @@ def merge_upsert(
         merged = merged.join(tombstones, key_cols, "left_anti")
         n_deleted = before - merged.count()
     n_upserted = upd.count()
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partition_col)
-        .parquet(target_path)
-    )
+    # Staged commit (the compact_parquet pattern): the merge plan lazily
+    # reads the target's parquet files, so writing over them in place
+    # would race the read — and a dynamic-overwrite commit that dies
+    # between delete-matched-partitions and rename loses the only copy.
+    # Instead: write the merged partitions to a sibling .staging dir,
+    # then swap each touched partition dir in, keeping every pre-image
+    # until the whole swap succeeds (rollback restores them on failure).
+    import uuid as _uuid
+
+    suffix = _uuid.uuid4().hex[:8]
+    staging = f"{target_path}.staging-{suffix}"
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(
+            staging
+        )
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    swapped: list[tuple[str | None, str]] = []
+    try:
+        for v in sorted(touched, key=str):
+            name = f"{partition_col}={v}"
+            tdir = os.path.join(target_path, name)
+            sdir = os.path.join(staging, name)
+            odir = f"{tdir}.old-{suffix}" if os.path.exists(tdir) else None
+            if odir is not None:
+                os.rename(tdir, odir)
+            swapped.append((odir, tdir))
+            # absent staged dir = every row of the partition was deleted
+            if os.path.exists(sdir):
+                os.rename(sdir, tdir)
+    except Exception:
+        for odir, tdir in reversed(swapped):
+            shutil.rmtree(tdir, ignore_errors=True)
+            if odir is not None and os.path.exists(odir):
+                os.rename(odir, tdir)
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    for odir, _ in swapped:
+        if odir is not None:
+            shutil.rmtree(odir, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
     return {
         "partitions": sorted(touched),
         "upserted": n_upserted,

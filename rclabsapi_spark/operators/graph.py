@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rclabsapi_spark.functions.scalars import round_half_up
+
 
 def triangle_count(
     edges: DataFrame, *, src_col: str = "src", dst_col: str = "dst"
@@ -85,9 +87,15 @@ def triangle_count(
     stats = e.agg(
         F.count(F.lit(1)).alias("n_edges"),
     ).crossJoin(deg.agg(F.count(F.lit(1)).alias("n_vertices")))
-    return stats.crossJoin(F.broadcast(tri)).select(
+    out = stats.crossJoin(F.broadcast(tri)).select(
         "n_vertices", "n_edges", "n_triangles"
     )
+    # 1-row result: materialize eagerly, then release the intermediate
+    # caches so long-lived EngineAPI sessions don't accumulate storage.
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    oriented.unpersist()
+    return out
 
 
 def pagerank(
@@ -143,4 +151,13 @@ def pagerank(
                 ).alias("r"),
             )
         )
-    return ranks.select("node", F.round(F.col("r"), 6).alias("pagerank"))
+    # round_half_up, not F.round: PageRank values land on representable
+    # decimal ties often enough that shortest-repr rounding diverges from
+    # the oracle's binary rounding (registry.py float rules).
+    out = ranks.select("node", round_half_up(F.col("r"), 6).alias("pagerank"))
+    # |nodes|-sized result: materialize eagerly so the loop caches can be
+    # released without recomputation in service-mode sessions.
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    nodes.unpersist()
+    return out

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from rclabsapi_spark.catalog import load_table
+from rclabsapi_spark.functions.scalars import sql_round_half_up
 from rclabsapi_spark.operators.graph import pagerank, triangle_count
 from rclabsapi_spark.registry import query
 
@@ -129,7 +130,7 @@ c3 AS (SELECT to_type AS node, SUM(r * w) AS s
        FROM p JOIN r2 ON p.from_type = r2.node GROUP BY 1),
 r3 AS (SELECT nodes.node, 0.15 / nn + 0.85 * COALESCE(s, 0.0) AS r
        FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.node = nodes.node)
-SELECT node, ROUND(r, 6) AS pagerank FROM r3
+SELECT node, {sql_round_half_up("r", 6)} AS pagerank FROM r3
 """
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from rclabsapi_spark.catalog import load_table
@@ -197,5 +198,10 @@ def test_ann_recall_evaluator_on_lsh_and_exact(spark):
         r["query_id"]: r["recall_at_k"]
         for r in ann_recall_at_k(lsh, exact, k=10).collect()
     }
-    assert set(approx) == set(queries)
-    assert all(0.0 <= v <= 1.0 for v in approx.values())
+    # per-query rows plus the macro-average summary row (query_id NULL)
+    per_query = {q: v for q, v in approx.items() if q is not None}
+    assert set(per_query) == set(queries)
+    assert all(0.0 <= v <= 1.0 for v in per_query.values())
+    assert approx[None] == pytest.approx(
+        sum(per_query.values()) / len(per_query)
+    )
