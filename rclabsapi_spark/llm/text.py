@@ -298,8 +298,8 @@ def zipf_fit(
     intercept = (F.col("sy") - slope * F.col("sx")) / F.col("k")
     return agg.select(
         F.col("k").cast("long").alias("n_types"),
-        F.round(slope, 6).alias("zipf_alpha"),
-        F.round(intercept, 6).alias("log_c"),
+        round_half_up(slope, 6).alias("zipf_alpha"),
+        round_half_up(intercept, 6).alias("log_c"),
     )
 
 

@@ -605,6 +605,8 @@ def skew_report(
         .limit(top_k)
         .agg(F.sum("c").alias("top_c"))
     )
+    from rclabsapi_spark.functions.scalars import round_half_up
+
     gini = (
         2.0 * F.sum(F.col("i") * F.col("c")).cast("double")
         / (F.max("n_keys") * F.max("total")).cast("double")
@@ -615,13 +617,13 @@ def skew_report(
         (F.max("max_c").cast("double") / F.max("total").cast("double")).alias(
             "top1_share"
         ),
-        F.round(gini, 6).alias("gini"),
+        round_half_up(gini, 6).alias("gini"),
     )
     return agg.crossJoin(F.broadcast(top_share)).select(
         "n_keys",
         "n_rows",
-        F.round(F.col("top1_share"), 6).alias("top1_share"),
-        F.round(
+        round_half_up(F.col("top1_share"), 6).alias("top1_share"),
+        round_half_up(
             F.col("top_c").cast("double") / F.col("n_rows").cast("double"), 6
         ).alias(f"top{top_k}_share"),
         "gini",

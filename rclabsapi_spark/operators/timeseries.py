@@ -331,5 +331,5 @@ def rolling_correlation(
     return series.select(
         *group_cols,
         F.col(order_col),
-        F.round(corr, 6).alias("rolling_corr"),
+        round_half_up(corr, 6).alias("rolling_corr"),
     )

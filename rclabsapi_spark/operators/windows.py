@@ -12,6 +12,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window, WindowSpec
 
+from rclabsapi_spark.functions.scalars import round_half_up
+
 
 def entity_window(key: str, order: str | Column, *extra_order: str | Column) -> WindowSpec:
     return Window.partitionBy(key).orderBy(order, *extra_order)
@@ -152,8 +154,11 @@ def ew_stats_per_key(
             ).alias("var"),
         ),
     )
+    # round_half_up: the fold is deterministic ordered arithmetic, so the
+    # inputs are bit-identical across engines and shortest-repr F.round
+    # would diverge from the oracle exactly at representable ties.
     return df.groupBy(key).agg(
-        F.round(folded["mu"], 6).alias("ewma"),
-        F.round(folded["var"], 6).alias("ewvar"),
-        F.round(F.sqrt(folded["var"]), 6).alias("ewstd"),
+        round_half_up(folded["mu"], 6).alias("ewma"),
+        round_half_up(folded["var"], 6).alias("ewvar"),
+        round_half_up(F.sqrt(folded["var"]), 6).alias("ewstd"),
     )
