@@ -611,3 +611,50 @@ def q_ks_drift(spark, sf_dir):
         F.max("n_cur").cast("long").alias("n_cur"),
         round_half_up(F.max(F.abs(F.col("f1") - F.col("f2")))).alias("ks_d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-skew report for a prospective partitioning key
+# ---------------------------------------------------------------------------
+
+_SKEW_ORACLE = f"""
+WITH counts AS (
+    SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1
+),
+ranked AS (
+    SELECT c, ROW_NUMBER() OVER (ORDER BY c, k) AS i FROM counts
+),
+tot AS (
+    SELECT SUM(c)::BIGINT AS total, COUNT(*)::BIGINT AS n_keys,
+           MAX(c)::BIGINT AS max_c
+    FROM counts
+),
+topk AS (
+    SELECT SUM(c)::BIGINT AS top_c
+    FROM (SELECT c, k FROM counts ORDER BY c DESC, k LIMIT 10)
+),
+sic AS (SELECT SUM(i * c)::BIGINT AS s FROM ranked)
+SELECT n_keys, total AS n_rows,
+       {sql_round_half_up("max_c::DOUBLE / total::DOUBLE", 6)}
+           AS top1_share,
+       {sql_round_half_up("top_c::DOUBLE / total::DOUBLE", 6)}
+           AS top10_share,
+       {sql_round_half_up(
+           "2.0 * s::DOUBLE / (n_keys * total)::DOUBLE"
+           " - (n_keys + 1)::DOUBLE / n_keys::DOUBLE", 6)} AS gini
+FROM tot, topk, sic
+"""
+
+
+@query("dq_skew_report", _SKEW_ORACLE)
+def q_skew_report(spark, sf_dir):
+    """Shuffle-skew diagnostics for user_id as a partitioning key: key
+    cardinality, heaviest-key share, top-10 combined share, and the
+    Gini coefficient of the key distribution — the pre-flight numbers
+    that decide between plain hash join, salting, and AQE skew hints.
+    ONE key aggregate; share/Gini math runs on the per-key count
+    relation. operators/analytics.py::skew_report."""
+    from rclabsapi_spark.operators.analytics import skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew_report(ev, key_col="user_id", top_k=10)

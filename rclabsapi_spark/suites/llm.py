@@ -921,3 +921,73 @@ def q_source_entropy(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return entropy_by_group(docs, group_col="lang", cat_col="source")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-health: Zipf exponent + language-ID confusion matrix
+# ---------------------------------------------------------------------------
+
+_ZIPF_ORACLE = f"""
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+vocab AS (
+    SELECT w, COUNT(*) AS n FROM toks WHERE w <> '' GROUP BY w
+),
+ranked AS (
+    SELECT ln(rank::DOUBLE) AS x, ln(n::DOUBLE) AS y
+    FROM (
+        SELECT n, w, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rank
+        FROM vocab
+    ) WHERE rank <= 10000
+),
+sums AS (
+    SELECT COUNT(*)::DOUBLE AS k, SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * x) AS sxx, SUM(x * y) AS sxy
+    FROM ranked
+)
+SELECT k::BIGINT AS n_types,
+       {_rhu("(k * sxy - sx * sy) / (k * sxx - sx * sx)", 6)} AS zipf_alpha,
+       {_rhu("(sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k", 6)}
+           AS log_c
+FROM sums
+"""
+
+
+@query("text_zipf_fit", _ZIPF_ORACLE)
+def q_zipf_fit(spark, sf_dir):
+    """Zipf-law fit of the corpus token distribution: least-squares
+    slope of log(freq) on log(rank) over the top-10k types — natural
+    corpora fit α ≈ −1; templated text skews shallow, boilerplate
+    steep. One vocab aggregate + one tiny ranking window + the five
+    regression sums. llm/text.py::zipf_fit."""
+    from rclabsapi_spark.llm.text import zipf_fit
+
+    return zipf_fit(load_table(spark, sf_dir, "documents"), max_rank=10000)
+
+
+_LANGID_CONFUSION_ORACLE = f"""
+WITH pred AS ({_LANGID_ORACLE}),
+cm AS (
+    SELECT d.lang AS true_lang, p.predicted_lang, COUNT(*)::BIGINT AS n
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY 1, 2
+)
+SELECT true_lang, predicted_lang, n,
+       n::DOUBLE / (SUM(n) OVER (PARTITION BY true_lang))::DOUBLE
+           AS share_of_true
+FROM cm
+"""
+
+
+@query("text_langid_confusion", _LANGID_CONFUSION_ORACLE)
+def q_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix against the labeled lang column:
+    (true, predicted, n, per-true-language recall share) — the audit
+    that decides whether the marker-token heuristic may gate corpus
+    routing, and which language pairs it confuses. One scoring scan +
+    one |langs|² aggregate; the share is exact-count division
+    (bit-identical doubles). llm/text.py::lang_id_evaluation."""
+    from rclabsapi_spark.llm.text import lang_id_evaluation
+
+    return lang_id_evaluation(load_table(spark, sf_dir, "documents"))

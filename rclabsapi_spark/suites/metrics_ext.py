@@ -988,3 +988,52 @@ def q_dq_profile(spark, sf_dir):
 
     orders = load_table(spark, sf_dir, "orders")
     return table_profile(orders, [c for c, _ in _PROFILE_COLS])
+
+
+# ---------------------------------------------------------------------------
+# Exponentially-weighted variance: the adaptive alert band
+# ---------------------------------------------------------------------------
+
+_EW_VARIANCE_ORACLE = f"""
+WITH folded AS (
+    SELECT user_id,
+           -- field order matters: DuckDB 1.0 evaluates struct_pack
+           -- lambda fields sequentially IN PLACE, so a later field sees
+           -- earlier fields already updated. var (which reads the OLD
+           -- mu) must therefore come first.
+           list_reduce(
+               list_transform(
+                   list(value ORDER BY ts, event_id),
+                   v -> struct_pack(var := 0.0::DOUBLE, mu := v)),
+               (acc, x) -> struct_pack(
+                   var := (1.0::DOUBLE - 0.1::DOUBLE) * (acc.var
+                          + 0.1::DOUBLE * (x.mu - acc.mu) * (x.mu - acc.mu)),
+                   mu := acc.mu + 0.1::DOUBLE * (x.mu - acc.mu))
+           ) AS st
+    FROM events GROUP BY user_id
+)
+SELECT user_id,
+       {sql_round_half_up("st.mu", 6)} AS ewma,
+       {sql_round_half_up("st.var", 6)} AS ewvar,
+       {sql_round_half_up("sqrt(st.var)", 6)} AS ewstd
+FROM folded
+"""
+
+
+@query("w_ew_variance", _EW_VARIANCE_ORACLE)
+def q_ew_variance(spark, sf_dir):
+    """EWMA + exponentially-weighted variance per user (West 1979
+    update, α=0.1) — the reference's smoothed mean
+    (performance_monitor.hpp:378-392) upgraded to an adaptive alert
+    band (|x − ewma| > k·ewstd). One ordered struct-state fold per key,
+    distributed across keys; the oracle folds the identical recurrence
+    with list_reduce, so the doubles are bit-identical
+    (deterministic-fold rule, registry.py). The streaming twin
+    (streaming/stateful.py) holds batch==stream parity in
+    tests/test_streaming.py. operators/windows.py::ew_stats_per_key."""
+    from rclabsapi_spark.operators.windows import ew_stats_per_key
+
+    ev = load_table(spark, sf_dir, "events")
+    return ew_stats_per_key(
+        ev, "user_id", "ts", "event_id", "value", alpha=0.1
+    )

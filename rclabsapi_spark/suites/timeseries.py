@@ -375,3 +375,67 @@ def q_asof_tolerance(spark, sf_dir):
         direction="backward",
         tolerance_seconds=3600.0,
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling correlation between two aligned daily series
+# ---------------------------------------------------------------------------
+
+_ROLLING_CORR_ORACLE = f"""
+WITH daily AS (
+    SELECT event_type, date_trunc('day', ts)::DATE AS day,
+           SUM(value) AS x, COUNT(*)::DOUBLE AS y
+    FROM events GROUP BY 1, 2
+),
+rolled AS (
+    SELECT event_type, day,
+           COUNT(*) OVER w::DOUBLE AS n,
+           SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+           SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy,
+           SUM(x * y) OVER w AS sxy
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day,
+       CASE WHEN n >= 7 AND (sxx - sx * sx / n) > 0
+                 AND (syy - sy * sy / n) > 0
+            THEN {sql_round_half_up(
+                "(sxy - sx * sy / n)"
+                " / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))", 6)}
+       END AS rolling_corr
+FROM rolled
+"""
+
+
+@query("ts_rolling_corr", _ROLLING_CORR_ORACLE)
+def q_rolling_corr(spark, sf_dir):
+    """Rolling 7-day Pearson correlation per event type between the
+    daily value-sum and the daily event count — "are volume and
+    intensity still moving together". Five co-moment rolling sums share
+    ONE ordered window per type (no self-join, no per-offset recompute);
+    NULL until the frame fills or where either variance is zero.
+    operators/timeseries.py::rolling_correlation."""
+    from rclabsapi_spark.operators.timeseries import rolling_correlation
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+            "value",
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("value").alias("x"),
+            F.count(F.lit(1)).cast("double").alias("y"),
+        )
+    )
+    return rolling_correlation(
+        daily,
+        group_cols=("event_type",),
+        order_col="day",
+        x_col="x",
+        y_col="y",
+        window_rows=7,
+    )
