@@ -629,14 +629,17 @@ def pq_encode(
         # score_c = x_m · c − ‖c‖²/2 as a flat multiply-add chain
         # (element_at + literal floats: whole-stage codegen; the
         # array-lambda dot() here would fall back to interpreted eval,
-        # and a chained-when argmin would square the expression tree)
+        # and a chained-when argmin would square the expression tree).
+        # Dot first, half-norm subtracted LAST: the left-to-right
+        # (((x₁c₁ + x₂c₂) + …) − hn) grouping is what a list_reduce
+        # dot minus hn reproduces bit-for-bit in the oracle.
         scores = []
         for cent in book:
             half_norm = sum(c * c for c in cent) / 2.0
-            acc = -F.lit(half_norm)
+            acc = F.lit(0.0)
             for j, c in enumerate(cent):
                 acc = acc + F.element_at(v, m * sub + j + 1) * F.lit(float(c))
-            scores.append(acc)
+            scores.append(acc - F.lit(half_norm))
         arr = F.array(*scores)
         code = F.array_position(arr, F.array_max(arr)) - 1
         cols.append(code.cast("int").alias(f"code_{m}"))

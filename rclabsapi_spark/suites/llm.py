@@ -991,3 +991,140 @@ def q_langid_confusion(spark, sf_dir):
     from rclabsapi_spark.llm.text import lang_id_evaluation
 
     return lang_id_evaluation(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Cluster-quality audit: the weakest-link exposure before deletion
+# ---------------------------------------------------------------------------
+
+_CLUSTER_AUDIT_ORACLE = f"""
+WITH thr AS (
+    SELECT doc_a, doc_b, jaccard
+    FROM ({_MINHASH_ORACLE}) AS mh WHERE jaccard >= 0.5
+),
+cl AS ({_CLUSTERS_ORACLE}),
+tagged AS (
+    SELECT CASE WHEN ca.cluster_id = cb.cluster_id
+                THEN ca.cluster_id END AS cluster_id,
+           t.jaccard
+    FROM thr t
+    JOIN cl ca ON ca.doc_id = t.doc_a
+    JOIN cl cb ON cb.doc_id = t.doc_b
+),
+ps AS (
+    SELECT cluster_id, COUNT(*)::BIGINT AS n_pairs,
+           {_rhu("AVG(jaccard)", 6)} AS mean_sim,
+           {_rhu("MIN(jaccard)", 6)} AS weakest_link
+    FROM tagged GROUP BY cluster_id
+),
+sizes AS (
+    SELECT cluster_id, COUNT(*)::BIGINT AS n_members FROM cl GROUP BY 1
+)
+SELECT ps.cluster_id,
+       COALESCE(s.n_members, 0)::BIGINT AS n_members,
+       ps.n_pairs, ps.mean_sim, ps.weakest_link
+FROM ps LEFT JOIN sizes s ON s.cluster_id = ps.cluster_id
+"""
+
+
+@query("dedup_cluster_audit", _CLUSTER_AUDIT_ORACLE)
+def q_cluster_audit(spark, sf_dir):
+    """Near-dup cluster audit against the pair evidence that built the
+    clusters: per cluster the member count, in-cluster pair count, mean
+    similarity, and the WEAKEST in-cluster link — the chain-collapse
+    exposure read before a dedup pass deletes on transitive faith.
+    Cross-cluster pairs report under cluster_id NULL. Two equi-joins
+    (AQE picks the strategy — the cluster map is corpus-sized at scale,
+    never force-broadcast). llm/dedup.py::cluster_quality_audit."""
+    from rclabsapi_spark.llm.dedup import cluster_quality_audit, dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        docs, num_hashes=8, bands=4, max_bucket_size=50
+    ).filter(F.col("jaccard") >= 0.5)
+    clusters = dedup_clusters(pairs)
+    return cluster_quality_audit(pairs, clusters, sim_col="jaccard")
+
+
+# ---------------------------------------------------------------------------
+# ANN recall@k: sign-LSH tier graded against exact ground truth
+# ---------------------------------------------------------------------------
+
+_RECALL_BUCKET6 = "concat(" + ", ".join(
+    f"CASE WHEN v[{i+1}] >= 0 THEN '1' ELSE '0' END" for i in range(6)
+) + ")"
+
+_ANN_RECALL_ORACLE = f"""
+WITH b AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+bb AS (SELECT vec_id, v, {_RECALL_BUCKET6} AS bucket FROM b),
+q AS (
+    SELECT vec_id AS query_id, v AS qvec, bucket AS qbucket
+    FROM bb WHERE vec_id IN (1, 5, 9)
+),
+tt AS (
+    SELECT q.query_id, bb.vec_id
+    FROM bb, q
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.query_id
+        ORDER BY {_DOT_SQL.format(a="bb.v", b="q.qvec")} DESC, bb.vec_id
+    ) <= 10
+),
+ct AS (
+    SELECT q.query_id, bb.vec_id
+    FROM bb JOIN q ON bb.bucket = q.qbucket
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.query_id
+        ORDER BY {_DOT_SQL.format(a="bb.v", b="q.qvec")} DESC, bb.vec_id
+    ) <= 10
+),
+pq AS (
+    SELECT tt.query_id,
+           SUM(CASE WHEN ct.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               / 10.0 AS recall_at_k
+    FROM tt LEFT JOIN ct
+      ON ct.query_id = tt.query_id AND ct.vec_id = tt.vec_id
+    GROUP BY tt.query_id
+),
+unioned AS (
+    SELECT query_id, recall_at_k FROM pq
+    UNION ALL
+    SELECT NULL::BIGINT, AVG(recall_at_k) FROM pq
+)
+SELECT query_id, {_rhu("recall_at_k", 6)} AS recall_at_k FROM unioned
+"""
+
+
+@query("sim_ann_recall", _ANN_RECALL_ORACLE)
+def q_ann_recall(spark, sf_dir):
+    """Recall@10 of the 6-bit sign-LSH tier against exact dot-product
+    top-10 for queries {1, 5, 9}, plus the macro average (query_id
+    NULL) — the quality gate an approximate tier reports before it
+    replaces the exact path. One 3-row broadcast of the query relation;
+    one ranking window per side. llm/similarity.py::ann_recall_at_k."""
+    from rclabsapi_spark.functions.scalars import round_half_up
+    from rclabsapi_spark.llm.similarity import (
+        _as_double,
+        ann_recall_at_k,
+        dot,
+        sign_bucket,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = _as_double(F.col("embedding"))
+    base = emb.select("vec_id", v.alias("v"), sign_bucket(v, 6).alias("bucket"))
+    q = base.filter(F.col("vec_id").isin(1, 5, 9)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    score = dot(F.col("v"), F.col("qvec")).alias("score")
+    truth = base.crossJoin(F.broadcast(q)).select("query_id", "vec_id", score)
+    cand = base.join(F.broadcast(q), F.col("bucket") == F.col("qbucket")).select(
+        "query_id", "vec_id", score
+    )
+    rec = ann_recall_at_k(cand, truth, query_col="query_id", item_col="vec_id", k=10)
+    return rec.select(
+        "query_id", round_half_up(F.col("recall_at_k"), 6).alias("recall_at_k")
+    )

@@ -385,3 +385,71 @@ def q_emb_quantize(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return quantize_embeddings_error(emb, bits=8)
+
+
+# ---------------------------------------------------------------------------
+# T5-style span corruption (denoising objective data prep)
+# ---------------------------------------------------------------------------
+
+_SPAN_ORACLE = """
+WITH toks AS (
+    SELECT doc_id AS doc, r.pos - 1 AS pos, arr[r.pos] AS tok
+    FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+         UNNEST(range(1, len(arr) + 1)) AS r(pos)
+    WHERE arr[r.pos] <> ''
+),
+flagged AS (
+    SELECT doc, pos, tok,
+           MAX(CASE WHEN substring(md5('span:' || CAST(doc AS VARCHAR)
+                        || ':' || CAST(pos AS VARCHAR)), 1, 4) < '0ccc'
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc ORDER BY pos
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS masked
+    FROM toks
+),
+runs AS (
+    SELECT doc, pos, tok, masked,
+           CASE WHEN masked = 1 AND COALESCE(
+                    LAG(masked) OVER (PARTITION BY doc ORDER BY pos), 0) = 0
+                THEN 1 ELSE 0 END AS span_begin
+    FROM flagged
+),
+inputs AS (
+    SELECT doc,
+           string_agg(
+               CASE WHEN masked = 0 THEN tok
+                    WHEN span_begin = 1 THEN '<X>' END,
+               ' ' ORDER BY pos) AS masked_input
+    FROM runs
+    WHERE masked = 0 OR span_begin = 1
+    GROUP BY doc
+),
+spans AS (
+    SELECT doc, SUM(span_begin)::BIGINT AS n_spans,
+           SUM(masked)::BIGINT AS n_masked_tokens
+    FROM runs GROUP BY doc
+)
+SELECT i.doc AS doc_id, i.masked_input,
+       COALESCE(s.n_spans, 0)::BIGINT AS n_spans,
+       COALESCE(s.n_masked_tokens, 0)::BIGINT AS n_masked_tokens
+FROM inputs i LEFT JOIN spans s ON s.doc = i.doc
+"""
+
+
+@query("train_span_corruption", _SPAN_ORACLE)
+def q_span_corruption(spark, sf_dir):
+    """T5-style span corruption over documents (span_len=3, 5% start
+    rate): hash-chosen span starts (pure function of doc/pos — every
+    engine and partitioning corrupts identically), masked flag via a
+    trailing windowed MAX, run-length sentinel collapse, ordered
+    reassembly — whole-stage codegen, one doc-key shuffle, no Python.
+    llm/training.py::span_corruption."""
+    from rclabsapi_spark.llm.training import span_corruption
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = span_corruption(
+        docs, span_len=3, start_rate=0.05, sentinel="<X>", salt="span:"
+    )
+    return out.select(
+        "doc_id", "masked_input", "n_spans", "n_masked_tokens"
+    )
