@@ -814,16 +814,77 @@ def q_quality_curriculum(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query("dedup_semantic", None)
+def _semantic_oracle() -> str:
+    """Unrolls semantic_dedup's 2 deterministic k-means iterations
+    (first-8 init, round(cos,9) argmax with lowest-id ties, per-dim AVG
+    means, empty-cluster fallback) plus the final assignment and the
+    in-cluster lowest-key prune as CTEs — the
+    graph_pagerank_transitions treatment, upgrading this query from
+    rows-only to hash-verified."""
+    dim = 64
+
+    def assign(name: str, cents: str) -> str:
+        cos = _cos_sql("(b.v)", "(c.cvec)")
+        return f"""
+{name} AS (
+    SELECT b.vec_id, c.cid, b.v
+    FROM base b CROSS JOIN {cents} c
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY ROUND({cos}, 9) DESC, c.cid) = 1
+)"""
+
+    def means(name: str, frm: str, prev: str) -> str:
+        return f"""
+{name}_m AS (
+    SELECT cid, list(mval ORDER BY pos) AS cvec
+    FROM (
+        SELECT a.cid, r.pos, AVG(a.v[r.pos]) AS mval
+        FROM {frm} a, UNNEST(range(1, {dim + 1})) AS r(pos)
+        GROUP BY a.cid, r.pos
+    ) GROUP BY cid
+),
+{name} AS (
+    SELECT p.cid, COALESCE(m.cvec, p.cvec) AS cvec
+    FROM {prev} p LEFT JOIN {name}_m m ON m.cid = p.cid
+)"""
+
+    pair_cos = _cos_sql("(x.v)", "(y.v)")
+    return f"""
+WITH base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+c0 AS (SELECT vec_id::INT AS cid, v AS cvec FROM base WHERE vec_id < 8),
+{assign("a1", "c0")},
+{means("c1", "a1", "c0")},
+{assign("a2", "c1")},
+{means("c2", "a2", "c1")},
+{assign("af", "c2")},
+drops AS (
+    SELECT DISTINCT y.vec_id
+    FROM af x JOIN af y ON x.cid = y.cid AND x.vec_id < y.vec_id
+    WHERE ROUND({pair_cos}, 9) >= 0.35::DOUBLE
+)
+SELECT af.vec_id, af.cid AS centroid_id,
+       CASE WHEN d.vec_id IS NOT NULL THEN 'dropped' ELSE 'kept' END
+           AS status
+FROM af LEFT JOIN drops d ON d.vec_id = af.vec_id
+"""
+
+
+_SEMANTIC_ORACLE = _semantic_oracle()
+
+
+@query("dedup_semantic", _SEMANTIC_ORACLE)
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup over the embeddings fixture: k-means (k=8, 2 iters,
     deterministic first-k init) then in-cluster cosine pruning at 0.35,
-    keeping the lowest-keyed member of each near-dup pair. Rows-only in
-    the driver (the k-means driver loop is not SQL-expressible);
-    tests/test_semantic_dedup.py brute-force-verifies the in-cluster
-    prune against numpy all-pairs on the same clustering. Sixth dedup
-    tier (exact / MinHash / SimHash / n-gram / embedding-LSH / semantic),
-    llm/similarity.py::semantic_dedup."""
+    keeping the lowest-keyed member of each near-dup pair. The oracle
+    unrolls both k-means iterations + the prune as CTEs (the
+    graph_pagerank_transitions pattern); tests/test_semantic_dedup.py
+    additionally brute-force-verifies the prune against numpy
+    all-pairs. Sixth dedup tier (exact / MinHash / SimHash / n-gram /
+    embedding-LSH / semantic), llm/similarity.py::semantic_dedup."""
     from rclabsapi_spark.llm.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1127,4 +1188,111 @@ def q_ann_recall(spark, sf_dir):
     rec = ann_recall_at_k(cand, truth, query_col="query_id", item_col="vec_id", k=10)
     return rec.select(
         "query_id", round_half_up(F.col("recall_at_k"), 6).alias("recall_at_k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: train (1 k-means iter) → encode → ADC score
+# ---------------------------------------------------------------------------
+
+
+def _pq_oracle() -> str:
+    """Unrolls pq_train(n_subspaces=4, codebook_size=4, iters=1) +
+    pq_encode + the ADC scoring chain as CTEs — the
+    graph_pagerank_transitions treatment for the deterministic
+    (first-k init) k-means. Per subspace m over dims [16m+1, 16m+16]:
+    init = docs 0-3's slices, one assign (round(cos,9) argmax, lowest
+    id tie), per-dim AVG means with empty-cluster fallback; encode =
+    argmax of (dot − ‖c‖²/2) with the same left-to-right fold as the
+    Spark literal chain; ADC = Σ_m table_m[code_m] in subspace order."""
+    sub = 16
+    parts = ["WITH"]
+    for m in range(4):
+        a, b = m * sub + 1, (m + 1) * sub
+        sv = f"(embedding[{a}:{b}])::DOUBLE[]"
+        cos = _cos_sql("(s.sv)", "(c.cvec)")
+        hn = (
+            "list_reduce(list_transform(bk.cvec, c -> c * c),"
+            " (acc, x) -> acc + x) / 2.0"
+        )
+        score = f"{_DOT_SQL.format(a='(s.sv)', b='(bk.cvec)')} - {hn}"
+        parts.append(f"""
+sub{m} AS (SELECT vec_id, {sv} AS sv FROM embeddings),
+cents{m} AS (
+    SELECT vec_id::INT AS cid, sv AS cvec FROM sub{m} WHERE vec_id < 4
+),
+assign{m} AS (
+    SELECT s.vec_id, c.cid, s.sv
+    FROM sub{m} s CROSS JOIN cents{m} c
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY s.vec_id
+        ORDER BY ROUND({cos}, 9) DESC, c.cid) = 1
+),
+mean{m} AS (
+    SELECT cid, list(mval ORDER BY pos) AS cvec
+    FROM (
+        SELECT a.cid, r.pos, AVG(a.sv[r.pos]) AS mval
+        FROM assign{m} a, UNNEST(range(1, {sub + 1})) AS r(pos)
+        GROUP BY a.cid, r.pos
+    ) GROUP BY cid
+),
+book{m} AS (
+    SELECT c0.cid, COALESCE(mn.cvec, c0.cvec) AS cvec
+    FROM cents{m} c0 LEFT JOIN mean{m} mn ON mn.cid = c0.cid
+),
+enc{m} AS (
+    SELECT s.vec_id, bk.cid AS code_{m}
+    FROM sub{m} s CROSS JOIN book{m} bk
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY s.vec_id
+        ORDER BY {score} DESC, bk.cid) = 1
+),
+qs{m} AS (SELECT {sv} AS qv FROM embeddings WHERE vec_id = 0),
+tbl{m} AS (
+    SELECT bk.cid, {_DOT_SQL.format(a='(q.qv)', b='(bk.cvec)')} AS t
+    FROM book{m} bk, qs{m} q
+),""")
+    joins = " ".join(
+        f"JOIN enc{m} ON enc{m}.vec_id = enc0.vec_id" for m in range(1, 4)
+    )
+    lookups = " ".join(
+        f"JOIN tbl{m} ON tbl{m}.cid = enc{m}.code_{m}" for m in range(4)
+    )
+    body = f"""
+scored AS (
+    SELECT enc0.vec_id,
+           tbl0.t + tbl1.t + tbl2.t + tbl3.t AS adc_score
+    FROM enc0 {joins} {lookups}
+)
+SELECT vec_id, {_rhu("adc_score", 6)} AS adc_score FROM scored
+"""
+    return "\n".join(parts) + body
+
+
+_PQ_ORACLE = _pq_oracle()
+
+
+@query("sim_pq_adc", _PQ_ORACLE)
+def q_pq_adc(spark, sf_dir):
+    """Product quantization end-to-end: train 4 subspace codebooks
+    (k=4, 1 k-means iteration, deterministic first-k init), encode
+    every vector to 4 small codes, and ADC-score the whole corpus
+    against vec_id 0's full-precision query — the 100 TB ANN shape
+    where the scan reads m bytes per vector instead of dim·4. Codebooks
+    and lookup tables are driver-sized literals compiled into the plan:
+    no join, no decode on the scan side.
+    llm/similarity.py::pq_train/pq_encode/pq_adc_topk."""
+    from rclabsapi_spark.functions.scalars import round_half_up
+    from rclabsapi_spark.llm.similarity import pq_adc_topk, pq_encode, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, n_subspaces=4, codebook_size=4, iters=1)
+    codes = pq_encode(emb, books)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    out = pq_adc_topk(codes, books, qvec, k=10_000_000)
+    return out.select(
+        "vec_id", round_half_up(F.col("adc_score"), 6).alias("adc_score")
     )
