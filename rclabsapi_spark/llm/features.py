@@ -219,9 +219,10 @@ def sample_negatives(
     (N ≤ 2k) the same neighbor can land at two offsets; candidates
     dedupe on (anchor, negative) before the rank filter.
 
-    ``ranked`` appears twice in the final plan (anchor side + candidate
-    side); Spark's ReusedExchange computes the hash-rank shuffle once,
-    so no cache is held across the call."""
+    The 2k candidate positions come from ONE explode(sequence(1, 2k))
+    branch — a per-offset union would re-scan and re-sort the ranked
+    relation once per offset (ReusedExchange does not collapse the
+    union branches), turning 3 corpus scans into 2k+1."""
     h = F.md5(F.concat(F.lit(salt), F.col("k_").cast("string")))
     w = Window.orderBy(h, F.col("k_"))
     ranked = df.select(
@@ -233,15 +234,18 @@ def sample_negatives(
         F.col("l_").alias("anchor_label"),
         F.col("pos"),
     ).crossJoin(F.broadcast(n_rows))
-    cand = None
-    for j in range(1, 2 * k + 1):
-        cj = anchors.select(
-            "anchor",
-            "anchor_label",
-            ((F.col("pos") - 1 + j) % F.col("n") + 1).alias("cpos"),
-            F.lit(j).alias("offset"),
-        )
-        cand = cj if cand is None else cand.unionByName(cj)
+    cand = anchors.select(
+        "anchor",
+        "anchor_label",
+        F.explode(F.sequence(F.lit(1), F.lit(2 * k))).alias("offset"),
+        "pos",
+        "n",
+    ).select(
+        "anchor",
+        "anchor_label",
+        ((F.col("pos") - 1 + F.col("offset")) % F.col("n") + 1).alias("cpos"),
+        "offset",
+    )
     picked = (
         cand.join(
             ranked.select(

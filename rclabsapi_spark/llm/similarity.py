@@ -346,7 +346,12 @@ def ivf_topk(
         F.col("centroid_id"),
         F.round(cosine(F.col("v"), F.col("qvec")), 6).alias("cosine_sim"),
     )
-    return scored.orderBy(F.col("cosine_sim").desc(), F.col(key_col)).limit(k)
+    out = scored.orderBy(F.col("cosine_sim").desc(), F.col(key_col)).limit(k)
+    # k-row result: materialize eagerly, then release the corpus cache so
+    # repeated EngineAPI calls don't accumulate storage.
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out
 
 
 def semantic_dedup(

@@ -637,6 +637,16 @@ def test_no_accidental_cartesian_anywhere(spark):
         "sim_ivf_topk",
         "graph_triangles_coorder",
         "graph_pagerank_transitions",
+        # r7 feature/audit queries: 1-row location/scale stats
+        # (mean+stddev, median+MAD, global target mean), the 1-row ring
+        # size N, the 1-row top-k count sum, and the 3-row ANN query
+        # relation — all broadcast global aggregates joined back
+        "feat_standardize_z",
+        "feat_robust_scale",
+        "feat_target_encode",
+        "feat_negatives",
+        "dq_skew_report",
+        "sim_ann_recall",
         # empty⇒pass-all subscription-rule relation (tiny, by contract)
         "p9_subscription_routing",
     }
@@ -648,3 +658,98 @@ def test_no_accidental_cartesian_anywhere(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in bnlj_whitelist:
             offenders[name] = "unreviewed BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_feature_transforms_stay_codegen_scan_shapes(spark):
+    """r7 feature queries: pure-Column encoders are scan-only (zero
+    exchange, pruned projection); aggregate-parameterized scalers stay
+    at their pass minimum (one scan for the stats aggregate + one for
+    the transform; median/MAD needs the second sequential pass)."""
+    for name in ("feat_one_hot_status", "feat_hash_bucket"):
+        plan = _plan(spark, name)
+        assert plan.count("Exchange") == 0, name
+        assert _scans(plan)["orders"] == 1, name
+    plan = _plan(spark, "feat_standardize_z")
+    assert _scans(plan)["orders"] == 2  # stats pass + transform pass
+    plan = _plan(spark, "feat_quantile_transform")
+    assert _scans(plan)["orders"] == 1
+    assert plan.count("Exchange") == 1  # the single ranking window
+    plan = _plan(spark, "feat_robust_scale")
+    assert _scans(plan)["orders"] <= 4  # med, MAD (re-reads med), out
+    plan = _plan(spark, "feat_target_encode")
+    assert _scans(plan)["orders"] <= 3  # rows, fold stats, global mean
+    assert "SortMergeJoin" not in plan  # fold stats broadcast back
+
+
+def test_negatives_single_explode_branch(spark):
+    """sample_negatives must generate its 2k candidate offsets from ONE
+    explode branch — the per-offset union re-scans and re-sorts the
+    ranked relation 2k+1 times (caught in r7: 9 scans for k=2)."""
+    plan = _plan(spark, "feat_negatives")
+    assert _scans(plan)["documents"] <= 3  # anchors, candidates, N
+
+
+def test_ew_variance_single_scan_single_exchange(spark):
+    plan = _plan(spark, "w_ew_variance")
+    assert _scans(plan)["events"] == 1
+    assert plan.count("Exchange") == 1  # the per-key fold aggregate
+
+
+def test_rolling_corr_one_fact_exchange_then_window(spark):
+    """Daily aggregate + the five co-moment frames: one fact exchange
+    for the (type, day) aggregate, one window exchange on type — the
+    five rolling sums share a single sort."""
+    plan = _plan(spark, "ts_rolling_corr")
+    assert _scans(plan)["events"] == 1
+    assert plan.count("Exchange") <= 2
+    assert plan.count("Window") == 1
+
+
+def test_zipf_and_langid_eval_reduce_once(spark):
+    plan = _plan(spark, "text_zipf_fit")
+    assert _scans(plan)["documents"] == 1
+    plan = _plan(spark, "text_langid_confusion")
+    # scoring scan + truth scan joined on the key, one |langs|² aggregate
+    assert _scans(plan)["documents"] == 2
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_skew_report_reduces_fact_once_per_consumer(spark):
+    """Gini/top-share math runs on the per-key count relation; the fact
+    appears once per count consumer (ranked prefix + top-k), never per
+    derived statistic."""
+    plan = _plan(spark, "dq_skew_report")
+    assert _scans(plan)["events"] <= 2
+
+
+def test_span_corruption_doc_clustered_no_python(spark):
+    """Span corruption is whole-stage codegen over a doc-key clustering:
+    no Python runners in the plan, documents scanned once per branch
+    (masked input + span stats)."""
+    plan = _plan(spark, "train_span_corruption")
+    assert "Python" not in plan  # no UDF/mapInPandas in the hot path
+    assert _scans(plan)["documents"] <= 2
+
+
+def test_pq_adc_scan_is_joinless(spark):
+    """The whole point of PQ at 100 TB: scoring reads codes + literal
+    lookup tables — the scored relation carries NO join of any kind and
+    ONE corpus scan."""
+    plan = _plan(spark, "sim_pq_adc")
+    assert _scans(plan)["embeddings"] == 1
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert j not in plan, j
+
+
+def test_cluster_audit_no_forced_broadcast(spark):
+    """The cluster map join must stay AQE-chosen (equi-join), never a
+    forced broadcast — one row per clustered doc is unbounded at corpus
+    scale (r6 verdict, What's wrong #2)."""
+    from rclabsapi_spark.llm.dedup import cluster_quality_audit
+
+    import inspect
+
+    src = inspect.getsource(cluster_quality_audit)
+    assert "F.broadcast" not in src
+    plan = _plan(spark, "dedup_cluster_audit")
+    assert "CartesianProduct" not in plan

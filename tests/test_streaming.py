@@ -1229,3 +1229,99 @@ def test_streaming_ew_stats_match_batch_fold(spark, events_dir, tmp_path):
     for uid, (m, s) in expected.items():
         assert got[uid][0] == pytest.approx(m, abs=1e-6), uid
         assert got[uid][1] == pytest.approx(s, abs=1e-6), uid
+
+
+def test_streaming_mad_and_changepoint_audits_match_batch(
+    spark, events_dir, tmp_path
+):
+    """The live alerting shape for the MAD/CUSUM audits: the stream
+    maintains the daily per-type count series (complete-mode aggregate);
+    the audits are cheap folds over that maintained state each trigger.
+    After a full replay, the maintained series must equal the batch
+    series EXACTLY, and both audits run over it must reproduce the batch
+    audit outputs row-for-row."""
+    from rclabsapi_spark.operators.analytics import (
+        mad_anomalies,
+        mean_shift_changepoint,
+    )
+
+    ev = spark.read.parquet(events_dir)
+    daily_batch = ev.groupBy(
+        "event_type", F.window("ts", "1 day").getField("start").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+    batch_mad = {
+        (r["event_type"], r["day"]): (r["is_anomaly"], r["n"])
+        for r in mad_anomalies(
+            daily_batch, group_cols=("event_type",), value_col="n"
+        ).collect()
+    }
+    batch_cp = {
+        r["event_type"]: (
+            r["changepoint_at"],
+            r["cusum_score"],
+            r["mean_before"],
+            r["mean_after"],
+        )
+        for r in mean_shift_changepoint(
+            daily_batch,
+            group_cols=("event_type",),
+            order_col="day",
+            value_col="n",
+        ).collect()
+    }
+    assert batch_mad and batch_cp
+
+    schema = ev.schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(events_dir)
+    )
+    q = (
+        stream.groupBy(
+            "event_type",
+            F.window("ts", "1 day").getField("start").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName("mad_daily_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mad"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # localCheckpoint: mad_anomalies self-joins its input, and the
+    # memory-sink view resolves to the same attribute ids on both sides
+    maintained = spark.sql("SELECT * FROM mad_daily_out").localCheckpoint()
+
+    got_series = {
+        (r["event_type"], r["day"]): r["n"] for r in maintained.collect()
+    }
+    assert got_series == {k: n for k, (_, n) in batch_mad.items()}
+
+    got_mad = {
+        (r["event_type"], r["day"]): (r["is_anomaly"], r["n"])
+        for r in mad_anomalies(
+            maintained, group_cols=("event_type",), value_col="n"
+        ).collect()
+    }
+    assert got_mad == batch_mad
+
+    got_cp = {
+        r["event_type"]: (
+            r["changepoint_at"],
+            r["cusum_score"],
+            r["mean_before"],
+            r["mean_after"],
+        )
+        for r in mean_shift_changepoint(
+            maintained,
+            group_cols=("event_type",),
+            order_col="day",
+            value_col="n",
+        ).collect()
+    }
+    assert got_cp == batch_cp
