@@ -172,7 +172,7 @@ CROSS JOIN gmu g
 """
 
 
-@query("feat_target_encode", _TARGET_ENCODE_ORACLE)
+@query("feat_target_encode", _TARGET_ENCODE_ORACLE, bench=True)
 def q_target_encode(spark, sf_dir):
     """Leakage-safe (out-of-fold) target encoding of o_orderpriority by
     o_totalprice: deterministic md5 folds, one (category, fold)
@@ -267,7 +267,7 @@ FROM picked
 """
 
 
-@query("feat_negatives", _NEGATIVES_ORACLE)
+@query("feat_negatives", _NEGATIVES_ORACLE, bench=True)
 def q_negatives(spark, sf_dir):
     """Deterministic negative sampling over documents (label = lang,
     k=2): each anchor takes ring neighbors at offsets 1..4 on the

@@ -1088,7 +1088,7 @@ FROM ps LEFT JOIN sizes s ON s.cluster_id = ps.cluster_id
 """
 
 
-@query("dedup_cluster_audit", _CLUSTER_AUDIT_ORACLE)
+@query("dedup_cluster_audit", _CLUSTER_AUDIT_ORACLE, bench=True)
 def q_cluster_audit(spark, sf_dir):
     """Near-dup cluster audit against the pair evidence that built the
     clusters: per cluster the member count, in-cluster pair count, mean
@@ -1272,7 +1272,7 @@ SELECT vec_id, {_rhu("adc_score", 6)} AS adc_score FROM scored
 _PQ_ORACLE = _pq_oracle()
 
 
-@query("sim_pq_adc", _PQ_ORACLE)
+@query("sim_pq_adc", _PQ_ORACLE, bench=True)
 def q_pq_adc(spark, sf_dir):
     """Product quantization end-to-end: train 4 subspace codebooks
     (k=4, 1 k-means iteration, deterministic first-k init), encode

@@ -1020,7 +1020,7 @@ FROM folded
 """
 
 
-@query("w_ew_variance", _EW_VARIANCE_ORACLE)
+@query("w_ew_variance", _EW_VARIANCE_ORACLE, bench=True)
 def q_ew_variance(spark, sf_dir):
     """EWMA + exponentially-weighted variance per user (West 1979
     update, α=0.1) — the reference's smoothed mean

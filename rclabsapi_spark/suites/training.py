@@ -436,7 +436,7 @@ FROM inputs i LEFT JOIN spans s ON s.doc = i.doc
 """
 
 
-@query("train_span_corruption", _SPAN_ORACLE)
+@query("train_span_corruption", _SPAN_ORACLE, bench=True)
 def q_span_corruption(spark, sf_dir):
     """T5-style span corruption over documents (span_len=3, 5% start
     rate): hash-chosen span starts (pure function of doc/pos — every
