@@ -69,3 +69,39 @@ def test_pagerank_sink_free_flow_concentrates(spark):
     df = spark.createDataFrame(edges, "src long, dst long, w double")
     ranks = {r["node"]: r["pagerank"] for r in pagerank(df, iters=10).collect()}
     assert ranks[0] > ranks[1] and ranks[0] > ranks[2]
+
+
+def test_service_mode_cache_hygiene_soak(spark):
+    """Repeated EngineAPI-style calls must not accumulate storage: the
+    loop caches (edges/nodes/oriented, the IVF corpus scan) are
+    unpersisted after an eager checkpoint of the small result, so only
+    the ≤|result|-sized checkpoint blocks remain, bounded regardless of
+    call count (the ContextCleaner purges released ones async)."""
+    import gc
+
+    from rclabsapi_spark.catalog import load_table
+    from rclabsapi_spark.llm.similarity import ivf_topk
+
+    sc = spark.sparkContext
+
+    def stored() -> int:
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    edges = ev.groupBy(
+        F.col("event_type").alias("src"),
+        F.col("user_id").cast("string").alias("dst"),
+    ).agg((F.count(F.lit(1)) * 1.0).alias("w"))
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+    baseline = stored()
+    for _ in range(3):
+        pagerank(edges, iters=2).collect()
+        triangle_count(
+            edges.select(F.col("src"), F.col("dst").alias("dst"))
+        ).collect()
+        ivf_topk(emb, 0, k=5, n_centroids=4, nprobe=2).collect()
+        gc.collect()
+    # 3 rounds × 3 ops: without the unpersists this is ≥18 cached
+    # relations; with them, only the small checkpointed results linger
+    assert stored() - baseline <= 9, stored()
