@@ -819,3 +819,104 @@ def cluster_quality_audit(
         "mean_sim",
         "weakest_link",
     )
+
+
+def incremental_lsh_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket_size: int | None = 50,
+) -> DataFrame:
+    """Incremental NEAR-dup detection: a new batch against the corpus
+    already ingested — ``incremental_dedup`` one tier up (that one
+    catches byte-identical text; this one catches the re-crawled page
+    with a changed timestamp). Returns verified
+    (new_doc, corpus_doc, jaccard) candidate pairs; a pair means the
+    new doc duplicates something the corpus already has.
+
+    Scale shape, mirroring the daily-merge contract: only NEW-side ×
+    STORE-side band keys join (never store × store — the store was
+    already deduped when it was ingested); the store side is the
+    (key, band_id, band_key) signature relation, ~32 B/doc/band and
+    append-only, so each daily batch shuffles the batch's signatures
+    plus reads the store's — never the corpus text. Hot band keys are
+    capped by their COMBINED bucket size (``max_bucket_size``), the
+    same boilerplate guard as lsh_candidate_pairs. Verification
+    join-back computes exact Jaccard for the surviving pairs only."""
+    rows = num_hashes // bands
+
+    def banded(docs: DataFrame) -> DataFrame:
+        mh = minhash_signatures(
+            docs, text_col=text_col, key_col=key_col, n=n,
+            num_hashes=num_hashes,
+        )
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+        return mh.select(
+            key_col, F.explode(F.array(*band_cols)).alias("band")
+        ).select(key_col, "band.band_id", "band.band_key")
+
+    nb = banded(new_docs).select(
+        F.col(key_col).alias("new_doc"), "band_id", "band_key"
+    )
+    sb = banded(corpus_docs).select(
+        F.col(key_col).alias("corpus_doc"), "band_id", "band_key"
+    )
+    if max_bucket_size is not None:
+        sizes = (
+            nb.select("band_id", "band_key")
+            .unionAll(sb.select("band_id", "band_key"))
+            .groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .select("band_id", "band_key")
+        )
+        nb = nb.join(sizes, ["band_id", "band_key"], "leftsemi")
+    pairs = (
+        nb.join(sb, ["band_id", "band_key"])
+        .select("new_doc", "corpus_doc")
+        .dropDuplicates(["new_doc", "corpus_doc"])
+        .cache()
+    )
+    new_sets = doc_shingle_sets(
+        new_docs.join(
+            pairs.select(F.col("new_doc").alias(key_col)).distinct(),
+            key_col,
+            "leftsemi",
+        ),
+        text_col=text_col,
+        key_col=key_col,
+        n=n,
+    ).select(F.col(key_col).alias("new_doc"), F.col("shingle_set").alias("sa"))
+    corpus_sets = doc_shingle_sets(
+        corpus_docs.join(
+            pairs.select(F.col("corpus_doc").alias(key_col)).distinct(),
+            key_col,
+            "leftsemi",
+        ),
+        text_col=text_col,
+        key_col=key_col,
+        n=n,
+    ).select(
+        F.col(key_col).alias("corpus_doc"), F.col("shingle_set").alias("sb")
+    )
+    joined = pairs.join(new_sets, "new_doc").join(corpus_sets, "corpus_doc")
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size("sa") + F.size("sb") - inter
+    return joined.select(
+        "new_doc",
+        "corpus_doc",
+        F.round(inter / union, 6).alias("jaccard"),
+    )

@@ -197,3 +197,88 @@ def weighted_sample_k(
     return df.withColumn("sample_rank", F.row_number().over(w)).filter(
         F.col("sample_rank") <= k
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    *,
+    key_col: str,
+    strat_col: str,
+    tau: float,
+    target_total: float,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-flattened mixture sampling (the multilingual corpus
+    rebalancing of mT5/XLM-R, public literature): target share of
+    stratum s ∝ n_s^τ — τ=1 keeps natural proportions, τ→0 approaches
+    uniform across strata, so low-resource domains/languages are
+    upweighted RELATIVE to their raw frequency without hand-written
+    per-stratum weights. Keep rate = min(1, target·p_s/n_s) with
+    p_s = n_s^τ / Σ_t n_t^τ; membership is the same pure-function-of-key
+    md5 bucket as every sampler here (reproducible across runs, engines,
+    partitionings).
+
+    Physical plan: one per-stratum count, one 1-row normalizer, both
+    broadcast back onto the corpus scan, then a codegen'd filter — the
+    corpus never shuffles."""
+    counts = df.groupBy(strat_col).agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    z = counts.agg(
+        F.sum(F.pow(F.col("_n"), F.lit(float(tau)))).alias("_z")
+    )
+    rates = counts.crossJoin(F.broadcast(z)).select(
+        strat_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_total))
+            * F.pow(F.col("_n"), F.lit(float(tau)))
+            / F.col("_z")
+            / F.col("_n"),
+        ).alias("_rate"),
+    )
+    joined = df.join(F.broadcast(rates), strat_col)
+    thr = F.format_string(
+        "%04x", F.floor(F.lit(65536.0) * F.col("_rate")).cast("long")
+    )
+    keep = (F.col("_rate") >= 1.0) | (
+        hash_bucket(F.col(key_col), salt=salt) < thr
+    )
+    return joined.filter(keep).drop("_rate")
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    *,
+    key_col: str,
+    cluster_col: str = "cluster_id",
+    val_pct: float,
+    test_pct: float,
+    salt: str = "",
+) -> DataFrame:
+    """Near-dup-safe train/val/test assignment: rows are bucketed by
+    their CLUSTER KEEPER id (falling back to their own key when
+    unclustered), so every member of a near-dup cluster lands in the
+    same split — the contamination class plain per-doc splitting can't
+    prevent (train/val "different" docs that are the same boilerplate).
+    Composes dedup_clusters' output with split_assign's thresholds;
+    membership stays a pure function of (salt, keeper id).
+
+    One left equi-join of the (small) cluster relation onto the corpus
+    scan (AQE picks broadcast vs shuffle), then the codegen'd bucket
+    CASE — no extra shuffle beyond the join."""
+    cl = clusters.select(
+        F.col(key_col).alias("__k"), F.col(cluster_col).alias("__c")
+    )
+    joined = df.join(cl, df[key_col] == cl["__k"], "left").drop("__k")
+    eff = F.coalesce(F.col("__c"), F.col(key_col))
+    b = hash_bucket(eff, salt=salt)
+    t_val = pct_threshold(val_pct)
+    t_test = pct_threshold(val_pct + test_pct)
+    split = (
+        F.when(b < F.lit(t_val), F.lit("val"))
+        .when(b < F.lit(t_test), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return joined.withColumn("split", split).drop("__c")

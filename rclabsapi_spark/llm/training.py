@@ -356,3 +356,30 @@ def span_corruption(
         F.coalesce("n_masked_tokens", F.lit(0)).alias("n_masked_tokens"),
         "targets",
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    *,
+    key_col: str,
+    n_shards: int,
+    salt: str = "shuf:",
+) -> DataFrame:
+    """Deterministic global corpus shuffle into exactly-even shards —
+    the data-order randomization every training run needs, made
+    reproducible: rank keys by md5(salt‖key), assign round-robin
+    (shard = rank mod N → shard sizes differ by at most 1, unlike the
+    ±√n jitter of md5-mod-N), position-in-shard = rank div N. A resumed
+    or re-run pipeline re-derives the identical order.
+
+    One global sort: at 100 TB Spark range-partitions the sort, so the
+    rank window is the only exchange; the md5 rank key is uniform by
+    construction, so the range partitions are balanced."""
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.orderBy(h, F.col(key_col))
+    rn = F.row_number().over(w) - 1
+    return df.select(
+        F.col(key_col),
+        (rn % n_shards).cast("int").alias("shard"),
+        F.floor(rn / n_shards).cast("int").alias("pos_in_shard"),
+    )

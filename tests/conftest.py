@@ -44,7 +44,7 @@ def canon(v):
     floats to 9 significant digits (tolerates accumulation-order ulp,
     catches real semantic diffs), Decimal→float, timestamps→isoformat."""
     if v is None:
-        return None
+        return "NULL"  # sortable sentinel — mirrors the driver's compare
     if isinstance(v, bool):
         return v
     if isinstance(v, decimal.Decimal):
@@ -62,8 +62,11 @@ def canon(v):
 
 def df_to_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
+    # key=repr: rows may mix types within a column (e.g. a NULL-keyed
+    # macro-summary row beside int keys) — repr gives a total order
+    # without changing multiset equality
     return sorted(
-        tuple(canon(r[i]) for i in order) for r in rows
+        (tuple(canon(r[i]) for i in order) for r in rows), key=repr
     )
 
 
