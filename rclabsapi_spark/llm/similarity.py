@@ -304,6 +304,7 @@ def ivf_topk(
     n_centroids: int = 8,
     nprobe: int = 2,
     centroids: DataFrame | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """IVF ANN: probe only the ``nprobe`` centroids nearest the query,
     exact cosine within their lists. At scale the assignment table is a
@@ -313,7 +314,11 @@ def ivf_topk(
     the single (key, vector) scan is cached and every consumer — centroid
     seed, query row, assignment, probe — reads the cached relation
     (the plan shows one parquet scan + InMemoryTableScans, standing in
-    for the persisted index of the production layout)."""
+    for the persisted index of the production layout).
+
+    ``materialize=False`` skips the eager localCheckpoint + corpus-cache
+    release so plan pins / plan audit see the real probe plan instead of
+    ``Scan ExistingRDD``; the query path keeps the default."""
     base = embeddings.select(
         F.col(key_col), _as_double(F.col(vec_col)).alias("v")
     ).cache()
@@ -349,8 +354,9 @@ def ivf_topk(
     out = scored.orderBy(F.col("cosine_sim").desc(), F.col(key_col)).limit(k)
     # k-row result: materialize eagerly, then release the corpus cache so
     # repeated EngineAPI calls don't accumulate storage.
-    out = out.localCheckpoint(eager=True)
-    base.unpersist()
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        base.unpersist()
     return out
 
 

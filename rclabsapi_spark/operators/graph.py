@@ -32,7 +32,11 @@ from rclabsapi_spark.functions.scalars import round_half_up
 
 
 def triangle_count(
-    edges: DataFrame, *, src_col: str = "src", dst_col: str = "dst"
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact triangle count of the undirected simple graph induced by
     ``edges`` (self-loops dropped, directions/duplicates collapsed).
@@ -41,7 +45,13 @@ def triangle_count(
     Orientation: rank(x) = (degree(x), x); each undirected edge points
     rank-upward, wedges form at the lowest-rank apex from its out-pairs,
     and the closing edge is membership-checked against the oriented set
-    — each triangle counted exactly once."""
+    — each triangle counted exactly once.
+
+    ``materialize=False`` skips the eager localCheckpoint (and the
+    intermediate-cache release that depends on it) so plan pins and
+    scripts/plan_audit.py can inspect the real join/aggregate plan — a
+    checkpointed DataFrame's plan is just ``Scan ExistingRDD``. The
+    query path keeps the default: materialize, then free the caches."""
     u = F.least(F.col(src_col), F.col(dst_col)).alias("u")
     v = F.greatest(F.col(src_col), F.col(dst_col)).alias("v")
     e = (
@@ -92,9 +102,10 @@ def triangle_count(
     )
     # 1-row result: materialize eagerly, then release the intermediate
     # caches so long-lived EngineAPI sessions don't accumulate storage.
-    out = out.localCheckpoint(eager=True)
-    e.unpersist()
-    oriented.unpersist()
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        e.unpersist()
+        oriented.unpersist()
     return out
 
 
@@ -106,6 +117,7 @@ def pagerank(
     weight_col: str = "w",
     iters: int = 3,
     damping: float = 0.85,
+    materialize: bool = True,
 ) -> DataFrame:
     """Weighted PageRank, ``iters`` synchronous power iterations:
     r(v) ← (1−d)/N + d·Σ_u r(u)·w(u,v), with ``weight_col`` already
@@ -115,7 +127,11 @@ def pagerank(
 
     Each iteration is one equi-join (edge × current ranks) and one
     per-destination aggregate; node and rank relations stay
-    |nodes|-sized throughout."""
+    |nodes|-sized throughout.
+
+    ``materialize=False`` skips the eager localCheckpoint + cache
+    release so the real iterated-join plan is inspectable (plan pins,
+    plan audit); see triangle_count."""
     e = edges.select(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
@@ -157,7 +173,8 @@ def pagerank(
     out = ranks.select("node", round_half_up(F.col("r"), 6).alias("pagerank"))
     # |nodes|-sized result: materialize eagerly so the loop caches can be
     # released without recomputation in service-mode sessions.
-    out = out.localCheckpoint(eager=True)
-    e.unpersist()
-    nodes.unpersist()
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        e.unpersist()
+        nodes.unpersist()
     return out

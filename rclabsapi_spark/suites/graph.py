@@ -70,12 +70,13 @@ FROM tri
 
 
 @query("graph_triangles_coorder", _TRIANGLE_ORACLE, bench=True)
-def q_triangles(spark, sf_dir):
+def q_triangles(spark, sf_dir, *, materialize=True):
     """Triangle census of the part co-order graph (parts linked when
     co-ordered in ≥2 baskets) — the clustering-structure audit for a
     co-occurrence graph. Degree-oriented wedge generation keeps
     per-vertex fan-out O(√m); two equi-joins, no cartesian anything.
-    operators/graph.py::triangle_count."""
+    ``materialize=False`` exposes the pre-checkpoint plan for pins and
+    the plan audit. operators/graph.py::triangle_count."""
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select(
         F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
@@ -88,7 +89,7 @@ def q_triangles(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
     )
-    return triangle_count(edges)
+    return triangle_count(edges, materialize=materialize)
 
 
 # ---------------------------------------------------------------------------
@@ -135,7 +136,7 @@ SELECT node, {sql_round_half_up("r", 6)} AS pagerank FROM r3
 
 
 @query("graph_pagerank_transitions", _PAGERANK_ORACLE)
-def q_pagerank(spark, sf_dir):
+def q_pagerank(spark, sf_dir, *, materialize=True):
     """PageRank over the first-order event-transition graph (weights =
     row-normalized transition probabilities from path_transitions):
     which state attracts the flow. Three synchronous power iterations
@@ -149,4 +150,4 @@ def q_pagerank(spark, sf_dir):
         F.col("to_type").alias("dst"),
         F.col("p").alias("w"),
     )
-    return pagerank(edges, iters=3, damping=0.85)
+    return pagerank(edges, iters=3, damping=0.85, materialize=materialize)

@@ -687,12 +687,18 @@ LIMIT 10
 
 
 @query("sim_ivf_topk", _IVF_TOPK_ORACLE, bench=True)
-def q_ivf_topk(spark, sf_dir):
-    """IVF ANN top-10: probe the 2 nearest inverted lists only."""
+def q_ivf_topk(spark, sf_dir, *, materialize=True):
+    """IVF ANN top-10: probe the 2 nearest inverted lists only.
+    ``materialize=False`` exposes the pre-checkpoint probe plan."""
     from rclabsapi_spark.llm.similarity import ivf_topk
 
     return ivf_topk(
-        load_table(spark, sf_dir, "embeddings"), 0, k=10, n_centroids=8, nprobe=2
+        load_table(spark, sf_dir, "embeddings"),
+        0,
+        k=10,
+        n_centroids=8,
+        nprobe=2,
+        materialize=materialize,
     )
 
 

@@ -15,6 +15,7 @@ Usage: python scripts/plan_audit.py [sf_dir]
 
 from __future__ import annotations
 
+import inspect
 import json
 import sys
 
@@ -30,7 +31,13 @@ def main() -> None:
     spark = get_spark("plan-audit")
     out = {}
     for name, spec in sorted(get_registry().items()):
-        scans, counts = audit(spec.fn(spark, sf_dir))
+        # queries that eagerly localCheckpoint in production expose a
+        # materialize kwarg; audit the real pre-checkpoint plan, not the
+        # blank `Scan ExistingRDD` a checkpointed frame reports.
+        kw = {}
+        if "materialize" in inspect.signature(spec.fn).parameters:
+            kw["materialize"] = False
+        scans, counts = audit(spec.fn(spark, sf_dir, **kw))
         srcs = ", ".join(
             t if n == 1 else f"{t}×{n}" for t, n in sorted(scans.items())
         )

@@ -4,6 +4,7 @@ the OPTIMIZED PLAN shape, not timings — stable under hardware noise."""
 
 from __future__ import annotations
 
+import inspect
 import re
 from collections import Counter
 
@@ -16,8 +17,20 @@ from .conftest import SF_CORRECT
 _REG = get_registry()
 
 
+def _fn(spark, name: str):
+    """Build a registered query's DataFrame for plan inspection. Queries
+    whose production path eagerly localCheckpoints (graph kernels, IVF
+    probe) expose a ``materialize`` kwarg; pins pass False so the real
+    pre-checkpoint plan is inspected instead of ``Scan ExistingRDD``."""
+    spec = _REG[name]
+    kw = {}
+    if "materialize" in inspect.signature(spec.fn).parameters:
+        kw["materialize"] = False
+    return spec.fn(spark, SF_CORRECT, **kw)
+
+
 def _plan(spark, name: str) -> str:
-    df = _REG[name].fn(spark, SF_CORRECT)
+    df = _fn(spark, name)
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
@@ -126,7 +139,7 @@ def test_ivf_topk_reads_one_cached_scan(spark):
     read the InMemory relation, with zero live parquet re-scans."""
     from rclabsapi_spark.planaudit import audit
 
-    scans, counts = audit(_REG["sim_ivf_topk"].fn(spark, SF_CORRECT))
+    scans, counts = audit(_fn(spark, "sim_ivf_topk"))
     assert scans.get("embeddings", 0) == 0  # all reads go through the cache
     assert counts["cached"] >= 4
 
@@ -508,7 +521,7 @@ def test_triangle_count_no_cartesian_cached_orientation(spark):
     dedup."""
     from rclabsapi_spark.planaudit import audit
 
-    scans, counts = audit(_REG["graph_triangles_coorder"].fn(spark, SF_CORRECT))
+    scans, counts = audit(_fn(spark, "graph_triangles_coorder"))
     assert counts["cached"] >= 2  # canonical edges + oriented edges
     p = _plan(spark, "graph_triangles_coorder")
     assert "CartesianProduct" not in p
