@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from rclabsapi_spark.functions.scalars import round_half_up
+
 
 def tokens(text: Column) -> Column:
     return F.split(text, " ")
@@ -313,7 +315,7 @@ def lsh_candidate_pairs(
     return per_pair.select(
         "doc_a",
         "doc_b",
-        F.round(inter / union, 6).alias("jaccard"),
+        round_half_up(inter / union, 6).alias("jaccard"),
     )
 
 
@@ -393,7 +395,7 @@ def ngram_jaccard_pairs(
     )
     out = common.withColumn(
         "jaccard",
-        F.round(
+        round_half_up(
             F.col("common")
             / (F.col("size_a") + F.col("size_b") - F.col("common")),
             6,
@@ -788,8 +790,6 @@ def cluster_quality_audit(
     near-dup docs). Aggregates run per cluster. Cross-cluster pairs
     (evidence the clustering REJECTED) are reported under
     cluster_id = NULL so reviewers see both sides."""
-    from rclabsapi_spark.functions.scalars import round_half_up
-
     ca = clusters.select(
         F.col(key_col).alias("doc_a"), F.col(cluster_col).alias("__ca")
     )
@@ -831,6 +831,7 @@ def incremental_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     max_bucket_size: int | None = 50,
+    materialize: bool = True,
 ) -> DataFrame:
     """Incremental NEAR-dup detection: a new batch against the corpus
     already ingested — ``incremental_dedup`` one tier up (that one
@@ -847,7 +848,16 @@ def incremental_lsh_pairs(
     plus reads the store's — never the corpus text. Hot band keys are
     capped by their COMBINED bucket size (``max_bucket_size``), the
     same boilerplate guard as lsh_candidate_pairs. Verification
-    join-back computes exact Jaccard for the surviving pairs only."""
+    join-back computes exact Jaccard for the surviving pairs only.
+
+    The candidate-pair relation is cached (three consumers: the two
+    semi-join prunes and the verification spine); ``materialize=True``
+    eagerly checkpoints the verified result and releases that cache —
+    the triangle_count/pagerank hygiene pattern — while
+    ``materialize=False`` keeps the plan inspectable for pins and the
+    plan audit. Reference parity: extends the incremental-ingest batch
+    loop contract (etl_job_manager.cpp:371-407) from exact fingerprints
+    to near-dup signatures."""
     rows = num_hashes // bands
 
     def banded(docs: DataFrame) -> DataFrame:
@@ -915,8 +925,14 @@ def incremental_lsh_pairs(
     joined = pairs.join(new_sets, "new_doc").join(corpus_sets, "corpus_doc")
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     union = F.size("sa") + F.size("sb") - inter
-    return joined.select(
+    out = joined.select(
         "new_doc",
         "corpus_doc",
-        F.round(inter / union, 6).alias("jaccard"),
+        round_half_up(inter / union, 6).alias("jaccard"),
     )
+    # pair-sized result: materialize eagerly, then release the candidate
+    # cache so repeated daily-batch calls don't accumulate storage.
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        pairs.unpersist()
+    return out

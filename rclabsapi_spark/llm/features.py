@@ -18,14 +18,20 @@ broadcast or pure-Column shapes:
   unbounded-vocabulary escape: memoryless, deterministic across engines
   and runs, collisions bounded by dims.
 - ``quantile_transform``: maps values to their empirical CDF position
-  via one ranking window per column — the heavy global-sort variant;
-  use the percentile-threshold join at extreme scale (same contract).
+  via the two-phase global rank (operators/rank.py) — a parallel range
+  exchange plus a partition-count-bounded offset join, never a
+  full-data single-partition sort.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from rclabsapi_spark.operators.rank import (
+    global_percent_rank,
+    global_row_number,
+)
 
 
 def standardize(
@@ -114,12 +120,15 @@ def quantile_transform(
     df: DataFrame, cols: list[str], *, key_col: str, suffix: str = "_q"
 ) -> DataFrame:
     """Empirical-CDF normalization: each value maps to its percent rank
-    (0..1) — the distribution-free feature scaling. One ranking window
-    per column over the (value, key) order; deterministic ties."""
+    (0..1) — the distribution-free feature scaling. One two-phase
+    global rank per column over the (value, key) order (deterministic
+    ties; exact percent_rank = (rn−1)/(N−1) from integer row numbers),
+    so no column ever plans a single-partition sort."""
     out = df
     for c in cols:
-        w = Window.orderBy(F.col(c), F.col(key_col))
-        out = out.withColumn(c + suffix, F.percent_rank().over(w))
+        out = global_percent_rank(
+            out, [F.col(c), F.col(key_col)], out_col=c + suffix
+        )
     return out
 
 
@@ -210,8 +219,9 @@ def sample_negatives(
     differs.
 
     The ring makes it linear: no per-anchor corpus scan, no cross join —
-    one global hash rank (the shuffle), 2k equi-joins by ring offset,
-    then the label filter. Deterministic in (salt, keys), so resumed
+    one two-phase global hash rank (a parallel range shuffle, not a
+    single-partition sort), 2k equi-joins by ring offset, then the
+    label filter. Deterministic in (salt, keys), so resumed
     runs pair identically. With 2k candidates the only shortfall case is
     a run of ≥k same-label neighbors on the ring — vanishingly rare for
     mixed corpora and surfaced by the per-anchor ``n_negatives`` count
@@ -224,10 +234,14 @@ def sample_negatives(
     relation once per offset (ReusedExchange does not collapse the
     union branches), turning 3 corpus scans into 2k+1."""
     h = F.md5(F.concat(F.lit(salt), F.col("k_").cast("string")))
-    w = Window.orderBy(h, F.col("k_"))
-    ranked = df.select(
-        F.col(key_col).alias("k_"), F.col(label_col).alias("l_")
-    ).withColumn("pos", F.row_number().over(w))
+    # md5 is fixed-length lowercase hex: lexicographic ≡ numeric, so a
+    # 13-hex-digit (52-bit, double-exact) prefix is a monotone bucket key
+    ranked = global_row_number(
+        df.select(F.col(key_col).alias("k_"), F.col(label_col).alias("l_")),
+        [h, F.col("k_")],
+        out_col="pos",
+        bucket_key=F.conv(F.substring(h, 1, 13), 16, 10).cast("long"),
+    )
     n_rows = ranked.agg(F.max("pos").alias("n"))
     anchors = ranked.select(
         F.col("k_").alias("anchor"),

@@ -220,12 +220,25 @@ def temperature_sample(
 
     Physical plan: one per-stratum count, one 1-row normalizer, both
     broadcast back onto the corpus scan, then a codegen'd filter — the
-    corpus never shuffles."""
+    corpus never shuffles. The normalizer Σ n_s^τ folds over the
+    stratum-sorted list (not F.sum) so the double is bit-identical
+    across engines — a last-ulp difference in Z could flip
+    floor(65536·rate) at a boundary and change membership."""
     counts = df.groupBy(strat_col).agg(
         F.count(F.lit(1)).cast("double").alias("_n")
     )
     z = counts.agg(
-        F.sum(F.pow(F.col("_n"), F.lit(float(tau)))).alias("_z")
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(strat_col).alias("s"), F.col("_n").alias("n")
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + F.pow(x["n"], F.lit(float(tau))),
+        ).alias("_z")
     )
     rates = counts.crossJoin(F.broadcast(z)).select(
         strat_col,

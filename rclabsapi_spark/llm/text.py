@@ -267,17 +267,25 @@ def zipf_fit(
     skews shallow, heavy boilerplate skews steep, making the exponent a
     one-number corpus-health audit.
 
-    One token aggregate to the vocabulary, one ranking window over the
-    (tiny) type relation, and the regression reduces to the five
+    One token aggregate to the vocabulary, a two-phase global rank over
+    the type relation (operators/rank.py — a parallel range exchange,
+    not a single-partition sort, so an open-vocabulary corpus can't
+    funnel through one task), and the regression reduces to the five
     classic sums — a single aggregate, no driver math beyond the
     closed form."""
+    from rclabsapi_spark.operators.rank import global_row_number
+
     toks = docs.select(
         F.explode(F.split(F.col(text_col), " ")).alias("w")
     ).filter(F.col("w") != "")
     vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
-    w_rank = Window.orderBy(F.col("n").desc(), "w")
     ranked = (
-        vocab.withColumn("rank", F.row_number().over(w_rank))
+        global_row_number(
+            vocab,
+            [F.col("n").desc(), F.col("w")],
+            out_col="rank",
+            bucket_key=-F.col("n"),  # desc order → negated bucket key
+        )
         .filter(F.col("rank") <= max_rank)
         .select(
             F.log(F.col("rank").cast("double")).alias("x"),

@@ -372,13 +372,23 @@ def shuffle_shards(
     ±√n jitter of md5-mod-N), position-in-shard = rank div N. A resumed
     or re-run pipeline re-derives the identical order.
 
-    One global sort: at 100 TB Spark range-partitions the sort, so the
-    rank window is the only exchange; the md5 rank key is uniform by
-    construction, so the range partitions are balanced."""
+    The rank is the percentile-threshold two-phase global row number
+    (operators/rank.py) — bucketed parallel windows plus a ≤B-row
+    offset join, never a single-partition sort; the md5 rank key is
+    uniform by construction, so the threshold buckets are balanced."""
+    from rclabsapi_spark.operators.rank import global_row_number
+
     h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
-    w = Window.orderBy(h, F.col(key_col))
-    rn = F.row_number().over(w) - 1
-    return df.select(
+    ranked = global_row_number(
+        df.select(F.col(key_col)),
+        [h, F.col(key_col)],
+        out_col="__shuf_rn",
+        # md5 is fixed-length lowercase hex: lexicographic ≡ numeric, so
+        # a 13-hex (52-bit, double-exact) prefix is a monotone bucket key
+        bucket_key=F.conv(F.substring(h, 1, 13), 16, 10).cast("long"),
+    )
+    rn = F.col("__shuf_rn").cast("long") - 1
+    return ranked.select(
         F.col(key_col),
         (rn % n_shards).cast("int").alias("shard"),
         F.floor(rn / n_shards).cast("int").alias("pos_in_shard"),

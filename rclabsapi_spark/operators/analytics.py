@@ -21,6 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from rclabsapi_spark.operators.rank import global_ntile, global_row_number
+
 
 def transition_matrix(
     events: DataFrame,
@@ -90,6 +92,7 @@ def rfm_scores(
     date_col: str = "o_orderdate",
     amount_col: str = "o_totalprice",
     buckets: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """Classic RFM scoring: per customer recency (days since last order,
     vs a frozen ``now``), frequency (order count), monetary (total
@@ -99,10 +102,16 @@ def rfm_scores(
     customer key as tie-break, and monetary — an accumulation-ordered
     float sum — is rounded to 6 decimals *before* it is ranked, so both
     engines rank the same values. One fact shuffle (the per-customer
-    aggregate); the three ntile windows are global-order operations over
-    the customer relation — fine for dashboard-sized customer counts; at
-    ≫10⁸ customers swap ntile for percentile-threshold joins (the
-    documented scale path for global ranks)."""
+    aggregate); the three quartile ranks run as percentile-threshold
+    two-phase global ntiles (operators/rank.py) — parallel bucketed
+    exchanges over the customer relation, never a single-partition
+    sort, so the segmentation survives ≫10⁸ customers. The per-customer
+    aggregate is cached (seven consumers: three cut-point passes, three
+    rank branches, the output spine); ``materialize=True`` eagerly
+    checkpoints the result and releases that cache — the
+    triangle_count/pagerank hygiene pattern — while
+    ``materialize=False`` leaves the plan inspectable for pins and the
+    plan audit."""
     per_cust = orders.groupBy(key_col).agg(
         F.datediff(F.lit(now).cast("date"), F.max(date_col).cast("date"))
         .cast("long")
@@ -110,18 +119,56 @@ def rfm_scores(
         F.count(F.lit(1)).alias("frequency"),
         F.round(F.sum(amount_col), 6).alias("monetary"),
     )
-    w_r = Window.orderBy("recency_days", key_col)
-    w_f = Window.orderBy(F.col("frequency").desc(), key_col)
-    w_m = Window.orderBy(F.col("monetary").desc(), key_col)
-    return per_cust.select(
+    # Three shallow rank relations joined back on the key — chaining the
+    # ntiles would nest each ranked output as the next rank's input and
+    # copy the per-customer subtree exponentially; the equi-joins keep
+    # every branch two levels deep and shuffle on the customer key.
+    per_cust = per_cust.cache()
+    dims = [
+        (
+            "r_score",
+            [F.col("recency_days"), F.col(key_col)],
+            "recency_days",
+            F.col("recency_days"),
+        ),
+        (
+            "f_score",
+            [F.col("frequency").desc(), F.col(key_col)],
+            "frequency",
+            -F.col("frequency"),  # desc order → negated bucket key
+        ),
+        (
+            "m_score",
+            [F.col("monetary").desc(), F.col(key_col)],
+            "monetary",
+            -F.col("monetary"),
+        ),
+    ]
+    out = per_cust
+    for score_col, order, dim_col, bkey in dims:
+        ranked = global_ntile(
+            per_cust.select(key_col, dim_col),
+            order,
+            buckets,
+            out_col=score_col,
+            bucket_key=bkey,
+        ).select(key_col, score_col)
+        out = out.join(ranked, key_col)
+    out = out.select(
         F.col(key_col),
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(buckets).over(w_r).alias("r_score"),
-        F.ntile(buckets).over(w_f).alias("f_score"),
-        F.ntile(buckets).over(w_m).alias("m_score"),
+        "r_score",
+        "f_score",
+        "m_score",
     )
+    # |customers|-sized result: materialize eagerly so the aggregate
+    # cache can be released without recomputation (pagerank pattern).
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        per_cust.unpersist()
+    return out
 
 
 def mad_anomalies(
@@ -482,22 +529,20 @@ def equidepth_histogram(
     equi-width bins: depth buckets adapt to skew, which is what a query
     optimizer's statistics or a feature binner wants.
 
-    The ntile is a global-order window (documented global-rank
-    limitation, as rfm_scores); per-bucket bounds are exact min/max.
-    At ≫memory scale swap ntile for percentile_approx cut points and a
-    range join — same output contract."""
-    w = Window.orderBy(F.col(value_col), F.col(key_col))
-    return (
-        df.select(
-            F.col(value_col).alias("v"),
-            F.ntile(n_buckets).over(w).alias("bucket"),
-        )
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("v").alias("lo"),
-            F.max("v").alias("hi"),
-        )
+    The bucket assignment is a two-phase global ntile
+    (operators/rank.py): a parallel range exchange plus a
+    partition-count-bounded offset join — no single-partition sort —
+    and per-bucket bounds are exact min/max."""
+    bucketed = global_ntile(
+        df.select(F.col(value_col).alias("v"), F.col(key_col).alias("k")),
+        ["v", "k"],
+        n_buckets,
+        out_col="bucket",
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
     )
 
 
@@ -586,19 +631,19 @@ def skew_report(
     scale.
 
     One (key) aggregate; the share/Gini math runs on the per-key count
-    relation (ordered prefix sums — Gini = (2·Σ i·cᵢ/(n·Σc)) − (n+1)/n
-    over counts sorted ascending)."""
+    relation (Gini = (2·Σ i·cᵢ/(n·Σc)) − (n+1)/n over counts sorted
+    ascending, with the rank i from the two-phase global row number —
+    operators/rank.py — and the totals from a 1-row broadcast
+    aggregate, so no single-partition window touches the count
+    relation)."""
     counts = df.groupBy(F.col(key_col).alias("k")).agg(
         F.count(F.lit(1)).alias("c")
     )
-    w_ord = Window.orderBy("c", "k")
-    w_all = Window.partitionBy()
-    ranked = counts.select(
-        "c",
-        F.row_number().over(w_ord).alias("i"),
-        F.sum("c").over(w_all).alias("total"),
-        F.count(F.lit(1)).over(w_all).alias("n_keys"),
-        F.max("c").over(w_all).alias("max_c"),
+    ranked = global_row_number(counts, ["c", "k"], out_col="i")
+    totals = counts.agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_c"),
     )
     top_share = (
         counts.orderBy(F.col("c").desc(), "k")
@@ -607,24 +652,27 @@ def skew_report(
     )
     from rclabsapi_spark.functions.scalars import round_half_up
 
-    gini = (
-        2.0 * F.sum(F.col("i") * F.col("c")).cast("double")
-        / (F.max("n_keys") * F.max("total")).cast("double")
-    ) - (F.max("n_keys") + 1).cast("double") / F.max("n_keys").cast("double")
-    agg = ranked.agg(
-        F.max("n_keys").alias("n_keys"),
-        F.max("total").alias("n_rows"),
-        (F.max("max_c").cast("double") / F.max("total").cast("double")).alias(
-            "top1_share"
-        ),
-        round_half_up(gini, 6).alias("gini"),
+    sic = ranked.agg(
+        F.sum(F.col("i").cast("long") * F.col("c")).alias("s")
     )
-    return agg.crossJoin(F.broadcast(top_share)).select(
-        "n_keys",
-        "n_rows",
-        round_half_up(F.col("top1_share"), 6).alias("top1_share"),
-        round_half_up(
-            F.col("top_c").cast("double") / F.col("n_rows").cast("double"), 6
-        ).alias(f"top{top_k}_share"),
-        "gini",
+    gini = (
+        2.0 * F.col("s").cast("double")
+        / (F.col("n_keys") * F.col("total")).cast("double")
+    ) - (F.col("n_keys") + 1).cast("double") / F.col("n_keys").cast("double")
+    return (
+        totals.crossJoin(F.broadcast(sic))
+        .crossJoin(F.broadcast(top_share))
+        .select(
+            "n_keys",
+            F.col("total").alias("n_rows"),
+            round_half_up(
+                F.col("max_c").cast("double") / F.col("total").cast("double"),
+                6,
+            ).alias("top1_share"),
+            round_half_up(
+                F.col("top_c").cast("double") / F.col("total").cast("double"),
+                6,
+            ).alias(f"top{top_k}_share"),
+            round_half_up(gini, 6).alias("gini"),
+        )
     )

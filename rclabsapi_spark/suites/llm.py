@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from rclabsapi_spark.catalog import load_table
+from rclabsapi_spark.functions.scalars import sql_round_half_up as _rhu
 from rclabsapi_spark.llm.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
@@ -101,10 +102,7 @@ pairs AS (
     WHERE s.bucket_size <= 50
 )
 SELECT p.doc_a, p.doc_b,
-       ROUND(len(list_intersect(sa.shingle_set, sb.shingle_set))
-             / (len(sa.shingle_set) + len(sb.shingle_set)
-                - len(list_intersect(sa.shingle_set, sb.shingle_set))),
-             6) AS jaccard
+       {_rhu("len(list_intersect(sa.shingle_set, sb.shingle_set)) / (len(sa.shingle_set) + len(sb.shingle_set) - len(list_intersect(sa.shingle_set, sb.shingle_set)))", 6)} AS jaccard
 FROM pairs p
 JOIN sigs sa ON sa.doc_id = p.doc_a
 JOIN sigs sb ON sb.doc_id = p.doc_b
@@ -139,11 +137,11 @@ common AS (
 ),
 sizes AS (SELECT doc_id, len(shingle_set) AS sz FROM sh2)
 SELECT doc_a, doc_b, common,
-       ROUND(common / (sa.sz + sb.sz - common), 6) AS jaccard
+       {_rhu("common / (sa.sz + sb.sz - common)", 6)} AS jaccard
 FROM common
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE ROUND(common / (sa.sz + sb.sz - common), 6) >= 0.2
+WHERE {_rhu("common / (sa.sz + sb.sz - common)", 6)} >= 0.2
 """
 
 
@@ -258,6 +256,73 @@ def q_dedup_incremental(spark, sf_dir):
     )
     batch = docs.filter(~F.col("source").isin(hist_srcs))
     return incremental_dedup(batch, hist_fps, fp_col="fp")
+
+
+_INCR_LSH_ORACLE = f"""
+WITH sigs AS ({_MINHASH_SQL}),
+banded AS ({_BANDS_SQL}),
+nb AS (
+    SELECT b.doc_id, b.band_id, b.band_key FROM banded b
+    JOIN documents d USING (doc_id)
+    WHERE d.source NOT IN ({_HIST_SRCS})
+),
+cb AS (
+    SELECT b.doc_id, b.band_id, b.band_key FROM banded b
+    JOIN documents d USING (doc_id)
+    WHERE d.source IN ({_HIST_SRCS})
+),
+bsz AS (
+    SELECT band_id, band_key, COUNT(*) AS bucket_size
+    FROM (SELECT band_id, band_key FROM nb
+          UNION ALL SELECT band_id, band_key FROM cb)
+    GROUP BY band_id, band_key
+),
+pairs AS (
+    SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
+    FROM nb n JOIN cb c
+      ON n.band_id = c.band_id AND n.band_key = c.band_key
+    JOIN bsz z ON z.band_id = n.band_id AND z.band_key = n.band_key
+    WHERE z.bucket_size <= 50
+)
+SELECT p.new_doc, p.corpus_doc,
+       {{_j}} AS jaccard
+FROM pairs p
+JOIN sigs sa ON sa.doc_id = p.new_doc
+JOIN sigs sb ON sb.doc_id = p.corpus_doc
+""".replace(
+    "{_j}",
+    _rhu(
+        "len(list_intersect(sa.shingle_set, sb.shingle_set))"
+        " / (len(sa.shingle_set) + len(sb.shingle_set)"
+        " - len(list_intersect(sa.shingle_set, sb.shingle_set)))",
+        6,
+    ),
+)
+
+
+@query("dedup_incremental_lsh", _INCR_LSH_ORACLE, bench=True)
+def q_incremental_lsh(spark, sf_dir, *, materialize=True):
+    """Incremental NEAR-dup tier of the daily-merge contract
+    (etl_job_manager.cpp:371-407): the new batch (src10-19) banded
+    against the already-ingested corpus's signature store (src0-9) —
+    only new×store band keys join (never store×store), combined hot
+    buckets > 50 dropped, exact-Jaccard verification on survivors only.
+    ``materialize=False`` exposes the pre-checkpoint plan.
+    llm/dedup.py::incremental_lsh_pairs."""
+    from rclabsapi_spark.llm.dedup import incremental_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist_srcs = [f"src{i}" for i in range(10)]
+    corpus = docs.filter(F.col("source").isin(hist_srcs))
+    new = docs.filter(~F.col("source").isin(hist_srcs))
+    return incremental_lsh_pairs(
+        new,
+        corpus,
+        num_hashes=8,
+        bands=4,
+        max_bucket_size=50,
+        materialize=materialize,
+    )
 
 
 @query(
@@ -446,7 +511,6 @@ def q_tokens(spark, sf_dir):
 # every rounded ratio goes through the floor-form (sql_round_half_up)
 # like the Spark side — ROUND diverges at representable half-ties
 # (quality_score 0.8466495 actually flipped at sf0.1 under ROUND).
-from rclabsapi_spark.functions.scalars import sql_round_half_up as _rhu
 
 _QUALITY_ORACLE = f"""
 WITH feat AS (

@@ -117,6 +117,67 @@ def q_mixture(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Temperature-flattened mixture sampling (mT5/XLM-R rebalancing)
+# ---------------------------------------------------------------------------
+
+_TEMP_TAU = 0.5
+_TEMP_TARGET = 200.0
+
+# Z folds over the source-sorted list on BOTH engines (Spark
+# F.aggregate ≙ DuckDB list_reduce; 0.0 + x ≡ x in IEEE, so the seeded
+# and unseeded folds agree) — a last-ulp difference in Z could flip
+# floor(65536·rate) at a boundary and change membership.
+_TEMPERATURE_ORACLE = f"""
+WITH counts AS (
+    SELECT source, COUNT(*)::DOUBLE AS n FROM documents GROUP BY source
+),
+z AS (
+    SELECT list_reduce(
+        list_transform(list(n ORDER BY source), x -> pow(x, {_TEMP_TAU})),
+        (a, b) -> a + b) AS z
+    FROM counts
+),
+rates AS (
+    SELECT source,
+           least(1.0, {_TEMP_TARGET} * pow(n, {_TEMP_TAU}) / z.z / n)
+               AS _rate
+    FROM counts, z
+),
+kept AS (
+    SELECT d.source, d.doc_id
+    FROM documents d JOIN rates r USING (source)
+    WHERE r._rate >= 1.0
+       OR substring(md5('temp' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+          < printf('%04x', CAST(floor(65536.0 * r._rate) AS BIGINT))
+)
+SELECT source, COUNT(*)::BIGINT AS n_kept FROM kept GROUP BY source
+"""
+
+
+@query("sample_temperature", _TEMPERATURE_ORACLE)
+def q_temperature(spark, sf_dir):
+    """Temperature-flattened mixture sampling (τ=0.5, target 200):
+    stratum share ∝ n^τ, so low-resource sources upweight relative to
+    raw frequency without hand-written weights — the multilingual
+    rebalancing of mT5/XLM-R. Keep rate min(1, target·p_s/n_s),
+    membership the same pure-function-of-key md5 bucket as every
+    sampler; realized per-source counts hash-verify rates, threshold
+    encoding, and membership. llm/sampling.py::temperature_sample."""
+    from rclabsapi_spark.llm.sampling import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = temperature_sample(
+        docs,
+        key_col="doc_id",
+        strat_col="source",
+        tau=_TEMP_TAU,
+        target_total=_TEMP_TARGET,
+        salt="temp",
+    )
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+# ---------------------------------------------------------------------------
 # Token budget accounting
 # ---------------------------------------------------------------------------
 

@@ -453,3 +453,35 @@ def q_span_corruption(spark, sf_dir):
     return out.select(
         "doc_id", "masked_input", "n_spans", "n_masked_tokens"
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic shard shuffle (training data-order randomization)
+# ---------------------------------------------------------------------------
+
+_SHARD_ORACLE = """
+WITH ranked AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (
+               ORDER BY md5('shuf:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1 AS rn
+    FROM documents
+)
+SELECT doc_id, CAST(rn % 8 AS INT) AS shard,
+       CAST(rn // 8 AS INT) AS pos_in_shard
+FROM ranked
+"""
+
+
+@query("train_shard_shuffle", _SHARD_ORACLE)
+def q_shard_shuffle(spark, sf_dir):
+    """Deterministic global corpus shuffle into 8 exactly-even shards:
+    md5-rank the keys, shard = rank mod 8, position = rank div 8 — the
+    reproducible data-order randomization a resumable training run
+    needs. The rank is the percentile-threshold two-phase global row
+    number (operators/rank.py), never a single-partition sort.
+    llm/training.py::shuffle_shards."""
+    from rclabsapi_spark.llm.training import shuffle_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shuffle_shards(docs, key_col="doc_id", n_shards=8)

@@ -355,13 +355,19 @@ def test_path_queries_single_scan_user_clustered(spark):
     assert "TakeOrderedAndProject" in p
 
 
-def test_rfm_single_scan(spark):
-    """RFM: one orders scan, one per-customer aggregate exchange; the
-    ntile windows run on the reduced customer relation (the documented
-    global-rank limitation)."""
+def test_rfm_cached_aggregate_threshold_ranks(spark):
+    """RFM: the per-customer aggregate is cached (one fact reduction,
+    seven consumers) and the three quartiles run as percentile-threshold
+    two-phase ranks — bucket-partitioned windows plus broadcast offset
+    joins, never a full-data single-partition ntile sort."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "rfm_segments"))
+    assert scans.get("orders", 0) == 0  # all reads go through the cache
+    assert counts["cached"] >= 6
+    assert counts["smj"] == 0  # rank joins broadcast
     p = _plan(spark, "rfm_segments")
-    assert _scans(p)["orders"] == 1
-    assert p.count("Exchange") == 2  # customer agg + single-partition ntile
+    assert "hashpartitioning(__rank_bkt" in p  # bucketed, not global, sort
 
 
 def test_mad_anomaly_cached_daily_broadcast_medians(spark):
@@ -543,12 +549,15 @@ def test_boilerplate_single_posting_aggregate(spark):
     assert "Join" not in p
 
 
-def test_histogram_single_global_sort(spark):
-    """Equi-depth histogram: one scan, the ntile's single-partition sort
-    plus the bucket aggregate — nothing else."""
+def test_histogram_threshold_bucketed_rank(spark):
+    """Equi-depth histogram: the ntile runs as a percentile-threshold
+    two-phase rank — a bucket-partitioned window over a 2-column pruned
+    scan plus the ≤B-row broadcast offset join; the value/key pass and
+    the bucket-size pass are the only fact reads."""
     p = _plan(spark, "a_histogram_equidepth")
-    assert _scans(p)["orders"] == 1
-    assert "Join" not in p
+    assert _scans(p)["orders"] <= 2  # rank pass + bucket-size pass
+    assert "hashpartitioning(__rank_bkt" in p
+    assert "SortMergeJoin" not in p
 
 
 def test_chi2_contingency_windows_only(spark):
@@ -685,8 +694,8 @@ def test_feature_transforms_stay_codegen_scan_shapes(spark):
     plan = _plan(spark, "feat_standardize_z")
     assert _scans(plan)["orders"] == 2  # stats pass + transform pass
     plan = _plan(spark, "feat_quantile_transform")
-    assert _scans(plan)["orders"] == 1
-    assert plan.count("Exchange") == 1  # the single ranking window
+    assert _scans(plan)["orders"] <= 2  # rank pass + bucket-size pass
+    assert "hashpartitioning(__rank_bkt" in plan  # bucketed, not global
     plan = _plan(spark, "feat_robust_scale")
     assert _scans(plan)["orders"] <= 4  # med, MAD (re-reads med), out
     plan = _plan(spark, "feat_target_encode")
@@ -697,9 +706,14 @@ def test_feature_transforms_stay_codegen_scan_shapes(spark):
 def test_negatives_single_explode_branch(spark):
     """sample_negatives must generate its 2k candidate offsets from ONE
     explode branch — the per-offset union re-scans and re-sorts the
-    ranked relation 2k+1 times (caught in r7: 9 scans for k=2)."""
-    plan = _plan(spark, "feat_negatives")
-    assert _scans(plan)["documents"] <= 3  # anchors, candidates, N
+    ranked relation 2k+1 times (caught in r7: 9 scans for k=2). The
+    two-phase rank prints extra pre-reuse branches in the plan string,
+    so count EXECUTED scans (ReusedExchange collapses the rank's
+    bucket-size pass onto the anchors pass)."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, _counts = audit(_fn(spark, "feat_negatives"))
+    assert scans["documents"] <= 3  # anchors, candidates, N
 
 
 def test_ew_variance_single_scan_single_exchange(spark):
@@ -720,7 +734,9 @@ def test_rolling_corr_one_fact_exchange_then_window(spark):
 
 def test_zipf_and_langid_eval_reduce_once(spark):
     plan = _plan(spark, "text_zipf_fit")
-    assert _scans(plan)["documents"] == 1
+    # vocab rank pass + bucket-size pass (both over the token aggregate)
+    assert _scans(plan)["documents"] <= 2
+    assert "hashpartitioning(__rank_bkt" in plan
     plan = _plan(spark, "text_langid_confusion")
     # scoring scan + truth scan joined on the key, one |langs|² aggregate
     assert _scans(plan)["documents"] == 2
@@ -729,10 +745,12 @@ def test_zipf_and_langid_eval_reduce_once(spark):
 
 def test_skew_report_reduces_fact_once_per_consumer(spark):
     """Gini/top-share math runs on the per-key count relation; the fact
-    appears once per count consumer (ranked prefix + top-k), never per
-    derived statistic."""
+    appears once per count consumer (ranked prefix, bucket sizes,
+    totals, top-k), never per derived statistic — and the Gini rank is
+    a bucketed two-phase rank, not a global sort."""
     plan = _plan(spark, "dq_skew_report")
-    assert _scans(plan)["events"] <= 2
+    assert _scans(plan)["events"] <= 4
+    assert "hashpartitioning(__rank_bkt" in plan
 
 
 def test_span_corruption_doc_clustered_no_python(spark):
@@ -766,3 +784,84 @@ def test_cluster_audit_no_forced_broadcast(spark):
     assert "F.broadcast" not in src
     plan = _plan(spark, "dedup_cluster_audit")
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Fleet-wide single-partition invariant (the second scale-killer class,
+# alongside test_no_accidental_cartesian_anywhere)
+# ---------------------------------------------------------------------------
+
+# Queries whose plans legitimately carry a window/sort-fed
+# `Exchange SinglePartition` over a CATEGORY-BOUNDED relation — margins
+# and shares over aggregates whose row count is a category cardinality
+# (event/metric types, channels, sources, contingency cells, cohort
+# weeks), not a function of data size. Reviewed in SCALE.md — additions
+# require the same review.
+SP_WINDOW_WHITELIST = {
+    # margins over the per-metric baseline relation (≤|metric types|)
+    "a14_baseline_comparison",
+    # channel-share window over the |channels| rollup
+    "attr_last_touch",
+    # margins over the |status|×|priority| contingency cells
+    "stat_chi2_status_priority",
+    # cumulative budget over the per-source relation (≤|sources|)
+    "pipeline_token_budget",
+    # cohort-week retention matrix (≤ weeks² cells)
+    "w4_retention_caps",
+}
+
+
+def _sp_window_offenders(df) -> list[str]:
+    """Walk the (planned, not executed) adaptive physical plan and
+    return every `Exchange SinglePartition` that feeds a Window or Sort
+    — the full-relation global-sort shape that funnels a 100 TB input
+    through one task. The ≤B-row offsets relation of the two-phase rank
+    helper (operators/rank.py) is exempt: its exchange subtree is the
+    `__rank_bkt` grouped aggregate, bounded by the bucket-count config
+    constant."""
+    root = df._jdf.queryExecution().executedPlan()
+    bad: list[str] = []
+
+    def walk(node, anc):
+        name = node.nodeName()
+        if name == "AdaptiveSparkPlan":
+            walk(node.executedPlan(), anc)
+            return
+        if name.endswith("QueryStage"):
+            walk(node.plan(), anc)
+            return
+        if name == "Exchange":
+            sub = node.toString()
+            if (
+                "SinglePartition" in sub.splitlines()[0]
+                and any(
+                    a in ("Sort", "Window", "WindowGroupLimit")
+                    for a in anc[-2:]
+                )
+                and "__rank_bkt" not in sub
+            ):
+                bad.append("<-".join(anc[-2:]))
+        children = node.children()
+        for i in range(children.length()):
+            walk(children.apply(i), anc + [name])
+
+    walk(root, [])
+    return bad
+
+
+def test_no_single_partition_window_anywhere(spark):
+    """Fleet-wide structural invariant: no registered query may sort or
+    window the full relation on a single partition (`Exchange
+    SinglePartition` feeding Sort/Window) outside the reviewed
+    category-bounded whitelist. Global ranks must use the
+    percentile-threshold two-phase helper (operators/rank.py); 1-row
+    global aggregates are fine (their single-partition exchange carries
+    per-partition partials, not rows, and feeds an Aggregate node)."""
+    offenders = {}
+    for name in sorted(_REG):
+        if name in SP_WINDOW_WHITELIST:
+            continue
+        bad = _sp_window_offenders(_fn(spark, name))
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
