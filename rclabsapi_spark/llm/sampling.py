@@ -199,6 +199,50 @@ def weighted_sample_k(
     )
 
 
+def temperature_rates(
+    counts: DataFrame,
+    *,
+    strat_col: str,
+    tau: float,
+    target_total: float,
+) -> DataFrame:
+    """(stratum, _rate) keep rates from a per-stratum count relation
+    (columns ``strat_col``, ``_n`` double): rate = min(1, target·p_s/n_s)
+    with p_s = n_s^τ / Σ_t n_t^τ. Shared by the batch sampler and the
+    streaming re-weighting sink (the live mixture-rebalancing layer,
+    job_monitor_service.cpp:876-897): as a growing corpus's counts
+    drift, re-deriving rates from the cumulative counts converges to
+    the batch rates once the replay completes.
+
+    The normalizer Σ n_s^τ folds over the stratum-sorted list (not
+    F.sum) so the double is bit-identical across engines — a last-ulp
+    difference in Z could flip floor(65536·rate) at a boundary and
+    change membership."""
+    z = counts.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(strat_col).alias("s"), F.col("_n").alias("n")
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + F.pow(x["n"], F.lit(float(tau))),
+        ).alias("_z")
+    )
+    return counts.crossJoin(F.broadcast(z)).select(
+        strat_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target_total))
+            * F.pow(F.col("_n"), F.lit(float(tau)))
+            / F.col("_z")
+            / F.col("_n"),
+        ).alias("_rate"),
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     *,
@@ -220,35 +264,12 @@ def temperature_sample(
 
     Physical plan: one per-stratum count, one 1-row normalizer, both
     broadcast back onto the corpus scan, then a codegen'd filter — the
-    corpus never shuffles. The normalizer Σ n_s^τ folds over the
-    stratum-sorted list (not F.sum) so the double is bit-identical
-    across engines — a last-ulp difference in Z could flip
-    floor(65536·rate) at a boundary and change membership."""
+    corpus never shuffles."""
     counts = df.groupBy(strat_col).agg(
         F.count(F.lit(1)).cast("double").alias("_n")
     )
-    z = counts.agg(
-        F.aggregate(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col(strat_col).alias("s"), F.col("_n").alias("n")
-                    )
-                )
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + F.pow(x["n"], F.lit(float(tau))),
-        ).alias("_z")
-    )
-    rates = counts.crossJoin(F.broadcast(z)).select(
-        strat_col,
-        F.least(
-            F.lit(1.0),
-            F.lit(float(target_total))
-            * F.pow(F.col("_n"), F.lit(float(tau)))
-            / F.col("_z")
-            / F.col("_n"),
-        ).alias("_rate"),
+    rates = temperature_rates(
+        counts, strat_col=strat_col, tau=tau, target_total=target_total
     )
     joined = df.join(F.broadcast(rates), strat_col)
     thr = F.format_string(

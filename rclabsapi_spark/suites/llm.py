@@ -766,6 +766,57 @@ def q_ivf_topk(spark, sf_dir, *, materialize=True):
     )
 
 
+_IVF_PERSISTED_ORACLE = f"""
+WITH q AS (
+    SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0
+),
+scored AS (
+    SELECT e.vec_id,
+           {_rhu(_cos_sql("(e.embedding::DOUBLE[])", "q.qvec"), 6)}
+               AS cos_sim
+    FROM embeddings e, q
+)
+SELECT vec_id, cos_sim FROM scored
+ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
+
+@query("sim_ivf_persisted", _IVF_PERSISTED_ORACLE)
+def q_ivf_persisted(spark, sf_dir):
+    """Persisted-IVF lifecycle, driver-verified end-to-end: train
+    k-means centroids, write the index with vectors PARTITIONED BY
+    centroid assignment (save_ivf_index), then search it at FULL probe
+    width — exhaustive over the partitioned layout, so the result must
+    equal brute-force cosine top-10 exactly (the tests/test_ivf.py
+    recall contract; partition PRUNING at nprobe<K is pinned there).
+    The index is built once per fixture into /tmp and reused — the
+    "write once, search many" cost model the layout exists for.
+    llm/similarity.py::save_ivf_index/search_ivf_index."""
+    import hashlib
+    import os
+
+    from rclabsapi_spark.llm.similarity import (
+        save_ivf_index,
+        search_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/rclabs_ivf_index_{tag}"
+    if not os.path.exists(f"{path}/vectors/_SUCCESS"):
+        save_ivf_index(emb, path, n_centroids=4, kmeans_iters=3)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    out = search_ivf_index(spark, path, qvec, k=10, nprobe=4)
+    from rclabsapi_spark.functions.scalars import round_half_up
+
+    return out.select(
+        "vec_id", round_half_up(F.col("cos_sim"), 6).alias("cos_sim")
+    )
+
+
 @query(
     "mm_frame_sample",
     """

@@ -649,6 +649,8 @@ def test_no_accidental_cartesian_anywhere(spark):
         "approx_cms_bound",
         "approx_mg_topk_bound",
         "mba_pair_lift",
+        # 1-row temperature normalizer Z = Σ n_s^τ broadcast back
+        "sample_temperature",
         # global bounds / quartiles / centroid tables (≤K rows)
         "drift_psi_value",
         "stat_ks_value_drift",

@@ -1325,3 +1325,93 @@ def test_streaming_mad_and_changepoint_audits_match_batch(
         ).collect()
     }
     assert got_cp == batch_cp
+
+
+def test_streaming_temperature_reweighting_matches_batch(spark, tmp_path):
+    """Mixture weights drift as the corpus grows: a complete-mode
+    per-stratum count stream re-derives temperature keep rates each
+    micro-batch via foreachBatch (the live rebalancing layer,
+    job_monitor_service.cpp:876-897). Once the replay completes, the
+    final rates equal the batch rates bit-for-bit, and applying them
+    reproduces the batch sample exactly — membership is a pure function
+    of (key, rate), so the drifting early-batch rates cost nothing once
+    the corpus is complete."""
+    from rclabsapi_spark.catalog import load_table
+    from rclabsapi_spark.llm.sampling import (
+        hash_bucket,
+        temperature_rates,
+        temperature_sample,
+    )
+
+    tau, target, salt = 0.5, 100.0, "st:"
+    docs = load_table(spark, SF_SMOKE, "documents")
+    in_dir = str(tmp_path / "docs_in")
+    ranked = docs.withColumn(
+        "slice", F.ntile(3).over(Window.orderBy("doc_id"))
+    )
+    for i in range(1, 4):
+        ranked.filter(F.col("slice") == i).drop("slice").coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(in_dir)
+    )
+    counts = stream.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    rates_dir = str(tmp_path / "rates")
+
+    def reweight(batch_df, _batch_id):
+        temperature_rates(
+            batch_df, strat_col="source", tau=tau, target_total=target
+        ).write.mode("overwrite").parquet(rates_dir)
+
+    q = (
+        counts.writeStream.outputMode("complete")
+        .foreachBatch(reweight)
+        .option("checkpointLocation", str(tmp_path / "ckpt_temp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        r["source"]: r["_rate"]
+        for r in spark.read.parquet(rates_dir).collect()
+    }
+    batch_counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    batch_rates = {
+        r["source"]: r["_rate"]
+        for r in temperature_rates(
+            batch_counts, strat_col="source", tau=tau, target_total=target
+        ).collect()
+    }
+    assert streamed == batch_rates  # bit-for-bit, incl. the Z fold
+
+    applied = (
+        docs.join(F.broadcast(spark.read.parquet(rates_dir)), "source")
+        .filter(
+            (F.col("_rate") >= 1.0)
+            | (
+                hash_bucket(F.col("doc_id"), salt=salt)
+                < F.format_string(
+                    "%04x",
+                    F.floor(F.lit(65536.0) * F.col("_rate")).cast("long"),
+                )
+            )
+        )
+        .select("doc_id")
+    )
+    batch_kept = temperature_sample(
+        docs, key_col="doc_id", strat_col="source", tau=tau,
+        target_total=target, salt=salt,
+    ).select("doc_id")
+    assert applied.subtract(batch_kept).count() == 0
+    assert batch_kept.subtract(applied).count() == 0
