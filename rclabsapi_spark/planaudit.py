@@ -10,6 +10,7 @@ must not be re-counted per consumer.
 
 from __future__ import annotations
 
+import re
 from collections import Counter
 from collections.abc import Iterator
 
@@ -44,7 +45,12 @@ def audit(df: DataFrame) -> tuple[Counter, Counter]:
         name = node.nodeName()
         if name.startswith("Scan parquet"):
             head = node.toString().splitlines()[0]
-            table = head.rsplit(".parquet", 1)[0].rsplit("/", 1)[-1]
+            m = re.search(r"file:([^\],\s]+)", head)
+            path = (m.group(1) if m else head).rstrip("/")
+            # `<table>.parquet` fixture files or `<dir>` partitioned
+            # layouts (e.g. a persisted IVF index's vectors/) — either
+            # way the last path segment names the relation
+            table = path.rsplit("/", 1)[-1].removesuffix(".parquet")
             scans[table] += 1
         elif name == "InMemoryTableScan":
             counts["cached"] += 1
