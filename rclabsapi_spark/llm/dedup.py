@@ -936,3 +936,75 @@ def incremental_lsh_pairs(
         out = out.localCheckpoint(eager=True)
         pairs.unpersist()
     return out
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    span_len: int = 40,
+    min_docs: int = 2,
+    anchor_hex_prefix: str | None = None,
+) -> DataFrame:
+    """Exact duplicate-SPAN detection (the ExactSubstr tier of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", public literature): fixed-length character spans anchored
+    at WORD STARTS, grouped corpus-wide — a span appearing in
+    ≥ ``min_docs`` distinct documents is boilerplate/quotation/template
+    text that document-level dedup (exact, MinHash) cannot see, because
+    the containing documents differ.
+
+    Anchoring at word boundaries — not a fixed character stride — is
+    what makes detection SHIFT-INVARIANT: a duplicated region occupies
+    different character offsets in each document, so stride-sampled
+    spans only collide when the offsets happen to be congruent mod the
+    stride; word starts inside the shared region are at identical
+    relative positions in every copy, so any duplicated region with
+    ≥ ``span_len`` chars after some internal word start is caught.
+
+    Returns (span, n_docs, n_occurrences). Posting size is |words|
+    rows of ``span_len`` bytes; ``anchor_hex_prefix`` is the scale
+    knob — keep only anchors whose span md5 starts with the prefix
+    (e.g. ``"0"`` → 1/16 content-defined sample, still
+    shift-invariant because the selection hashes the CONTENT). At
+    100 TB additionally group on md5(span) instead of the span text
+    (32-byte shuffle keys, the exact_dedup digest trick; same
+    contract). The fixture-sized query keeps every anchor and groups
+    on the span itself so the oracle is direct."""
+    words = docs.select(
+        F.col(key_col),
+        F.col(text_col),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+    w_ord = Window.partitionBy(key_col).orderBy("pos")
+    offset = F.coalesce(
+        F.sum(F.length("w") + 1).over(
+            w_ord.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    spans = (
+        words.select(
+            F.col(key_col),
+            F.substring(
+                F.col(text_col), offset + 1, span_len
+            ).alias("span"),
+            (F.length(F.col(text_col)) - offset).alias("rem"),
+        )
+        .filter(F.col("rem") >= span_len)
+        .drop("rem")
+    )
+    if anchor_hex_prefix is not None:
+        spans = spans.filter(
+            F.substring(F.md5("span"), 1, len(anchor_hex_prefix))
+            == anchor_hex_prefix
+        )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct(F.col(key_col)).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

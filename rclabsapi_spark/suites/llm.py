@@ -1417,3 +1417,44 @@ def q_pq_adc(spark, sf_dir):
     return out.select(
         "vec_id", round_half_up(F.col("adc_score"), 6).alias("adc_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-span detection (ExactSubstr tier, Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+_DUP_SPANS_ORACLE = """
+WITH t AS (
+    SELECT doc_id, text, string_split(text, ' ') AS l FROM documents
+),
+w AS (
+    SELECT doc_id, text,
+           CASE WHEN i = 1 THEN 0
+                ELSE length(array_to_string(l[1:i - 1], ' ')) + 1
+           END AS off
+    FROM t, UNNEST(range(1, len(l) + 1)) AS u(i)
+),
+spans AS (
+    SELECT doc_id, substring(text, off + 1, 40) AS span
+    FROM w WHERE length(text) - off >= 40
+)
+SELECT span, COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+       COUNT(*)::BIGINT AS n_occurrences
+FROM spans GROUP BY span
+HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+@query("dedup_duplicate_spans", _DUP_SPANS_ORACLE, bench=True)
+def q_duplicate_spans(spark, sf_dir):
+    """Exact duplicate 40-char spans anchored at word starts, appearing
+    in ≥2 distinct documents — the ExactSubstr tier (Lee et al. 2022)
+    that catches boilerplate/quotation regions document-level dedup
+    cannot see. Word-boundary anchoring makes detection
+    shift-invariant (a stride-sampled variant misses regions at
+    offsets incongruent mod the stride); one doc-key window + one
+    grouped aggregate. llm/dedup.py::duplicate_spans."""
+    from rclabsapi_spark.llm.dedup import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(docs, span_len=40, min_docs=2)

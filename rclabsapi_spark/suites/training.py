@@ -485,3 +485,70 @@ def q_shard_shuffle(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return shuffle_shards(docs, key_col="doc_id", n_shards=8)
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE merge training (tokenizer induction)
+# ---------------------------------------------------------------------------
+
+def _bpe_round_sql(r: int) -> str:
+    prev = f"v{r - 1}"
+    return f"""
+p{r} AS (
+    SELECT l, r, SUM(n)::BIGINT AS pair_count FROM (
+        SELECT n, s[i] AS l, s[i + 1] AS r
+        FROM (SELECT string_split(trim(repr), ' ') AS s, n FROM {prev}),
+             UNNEST(range(1, len(s))) AS t(i)
+    ) GROUP BY l, r
+),
+b{r} AS (
+    SELECT l, r, pair_count FROM p{r}
+    ORDER BY pair_count DESC, l, r LIMIT 1
+),
+v{r} AS (
+    SELECT replace(repr, ' ' || b.l || ' ' || b.r || ' ',
+                   ' ' || b.l || b.r || ' ') AS repr, n
+    FROM {prev}, b{r} b
+)"""
+
+
+_BPE_N_MERGES = 5
+
+_BPE_ORACLE = (
+    """
+WITH wc AS (
+    SELECT w, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE w <> '' GROUP BY w
+),
+v0 AS (
+    SELECT ' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' '
+               AS repr, n
+    FROM wc
+),"""
+    + ",".join(_bpe_round_sql(r) for r in range(1, _BPE_N_MERGES + 1))
+    + "\n"
+    + "\nUNION ALL ".join(
+        f'SELECT {r} AS merge_rank, l AS "left", r AS "right",'
+        f" l || r AS merged, pair_count FROM b{r}"
+        for r in range(1, _BPE_N_MERGES + 1)
+    )
+)
+
+
+@query("train_bpe_merges", _BPE_ORACLE, bench=True)
+def q_bpe_merges(spark, sf_dir, *, materialize=True):
+    """First 5 BPE merges of the corpus (Sennrich et al. 2016) learned
+    as pure DataFrame rounds: the corpus reduces to word counts once;
+    each round is one |vocab|-sized pair aggregate, a deterministic
+    1-row argmax (count desc, lexicographic), and a broadcast
+    replace-merge — no driver collect in the loop. The oracle unrolls
+    the same 5 rounds as CTEs (the dedup_semantic k-means pattern).
+    ``materialize=False`` keeps the full per-round lineage inspectable.
+    llm/bpe.py::bpe_merges."""
+    from rclabsapi_spark.llm.bpe import bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merges(
+        docs, n_merges=_BPE_N_MERGES, materialize=materialize
+    )

@@ -1,0 +1,134 @@
+"""BPE merge training (llm/bpe.py) vs a reference Python implementation
+of the Sennrich et al. algorithm, plus the duplicate-span detector
+(llm/dedup.py::duplicate_spans) on planted inputs."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+
+def _reference_bpe(word_counts: dict[str, int], n_merges: int):
+    """Plain-Python BPE: count adjacent symbol pairs weighted by word
+    frequency, merge the (count desc, lexicographic) argmax, repeat."""
+    vocab = {tuple(w): n for w, n in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((best[0], best[1], pairs[best]))
+        out = {}
+        for syms, n in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == best[0]
+                    and syms[i + 1] == best[1]
+                ):
+                    merged.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            out[tuple(merged)] = out.get(tuple(merged), 0) + n
+        vocab = out
+    return merges
+
+
+def test_bpe_merges_match_reference(spark):
+    from rclabsapi_spark.llm.bpe import bpe_merges
+
+    corpus = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest wide",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    wc: Counter = Counter()
+    for t in corpus:
+        wc.update(w for w in t.split(" ") if w)
+    expected = _reference_bpe(dict(wc), 6)
+
+    got = [
+        (r["left"], r["right"], r["pair_count"])
+        for r in bpe_merges(docs, n_merges=6)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_segment_compresses_and_is_consistent(spark):
+    """Applying the learned merges shortens every document's token
+    stream (chars with repeats always admit ≥1 merge) and never below
+    the word count; totals are exact symbol counts."""
+    from rclabsapi_spark.llm.bpe import bpe_merges, bpe_segment
+
+    docs = spark.createDataFrame(
+        [(1, "banana bandana banana"), (2, "banana banana band")],
+        "doc_id long, text string",
+    )
+    merges = bpe_merges(docs, n_merges=4)
+    out = {
+        r["doc_id"]: (r["n_tokens_char"], r["n_tokens_bpe"])
+        for r in bpe_segment(docs, merges).collect()
+    }
+    for doc_id, (n_char, n_bpe) in out.items():
+        assert n_bpe < n_char  # merges applied
+        assert n_bpe >= 2  # never merges across the word sentinel
+    assert out[1][0] == len("bananabandanabanana")
+
+
+def test_bpe_merges_deterministic_under_repartition(spark):
+    from rclabsapi_spark.llm.bpe import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta alpha beta gamma") for i in range(20)],
+        "doc_id long, text string",
+    )
+    a = bpe_merges(docs, n_merges=3).collect()
+    b = bpe_merges(docs.repartition(7), n_merges=3).collect()
+    key = lambda r: r["merge_rank"]  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_duplicate_spans_finds_shifted_boilerplate(spark):
+    """A shared boilerplate region at DIFFERENT character offsets in
+    otherwise-distinct documents must surface — the shift-invariance
+    word-start anchoring buys (a fixed character stride only catches
+    offsets congruent mod the stride). Unique text must not surface."""
+    from rclabsapi_spark.llm.dedup import duplicate_spans
+
+    boiler = "please subscribe to our newsletter for updates " + "x" * 13
+    assert len(boiler) == 60
+    doc1 = "totally unique opening sentence here. " + boiler  # offset 38
+    doc2 = boiler + " completely different trailing content now"  # offset 0
+    docs = spark.createDataFrame(
+        [
+            (1, doc1),
+            (2, doc2),
+            (3, "no shared content in this document at all " + "y" * 60),
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicate_spans(docs, span_len=40, min_docs=2).collect()
+    assert out, "shifted boilerplate not found"
+    assert all(r["n_docs"] >= 2 for r in out)
+    for r in out:  # every flagged span lives in both carrying docs
+        assert r["span"] in doc1 and r["span"] in doc2
+    assert not any("y" in r["span"] for r in out)
+    # the content-defined anchor sample stays a subset of the full set
+    sampled = duplicate_spans(
+        docs, span_len=40, min_docs=2, anchor_hex_prefix="0"
+    ).collect()
+    full_spans = {r["span"] for r in out}
+    assert {r["span"] for r in sampled} <= full_spans

@@ -651,6 +651,8 @@ def test_no_accidental_cartesian_anywhere(spark):
         "mba_pair_lift",
         # 1-row temperature normalizer Z = Σ n_s^τ broadcast back
         "sample_temperature",
+        # per-round 1-row best-pair argmax broadcast onto the vocab
+        "train_bpe_merges",
         # global bounds / quartiles / centroid tables (≤K rows)
         "drift_psi_value",
         "stat_ks_value_drift",
