@@ -316,3 +316,79 @@ def cluster_safe_split(
         .otherwise(F.lit("train"))
     )
     return joined.withColumn("split", split).drop("__c")
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    *,
+    is_target: Column,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    dims: int = 1024,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    public literature): score every document by how target-like its
+    hashed-unigram distribution is — the standard way to tilt a raw
+    web corpus toward a quality/domain target without training a
+    classifier. log w(d) = Σ_tokens [ln p̂_target(b(tok)) −
+    ln p̂_raw(b(tok))] over md5-hashed token buckets with add-α
+    smoothing; resample the raw corpus ∝ w.
+
+    Physical shape: one token posting (doc-key partitioned), ONE
+    grouped count producing both sides' bucket histograms (conditional
+    sums — the corpus is scanned once, not once per side), a ``dims``-row
+    log-ratio table broadcast back, and a per-doc fold. The fold runs
+    over the position-sorted token list (collect_list → array_sort →
+    aggregate), not SUM, so the per-doc double is bit-identical across
+    engines — the registry float rule for order-sensitive
+    accumulations.
+
+    Returns (key, n_tokens, dsir_logweight) for EVERY doc (target docs
+    score high by construction — callers filter ``is_target`` rows out
+    before resampling; emitting both sides makes the score itself
+    auditable)."""
+    from rclabsapi_spark.functions.scalars import round_half_up
+
+    toks = docs.select(
+        F.col(key_col),
+        is_target.alias("t"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("long")
+        % dims
+    )
+    counts = toks.groupBy(bucket.alias("b")).agg(
+        F.sum(F.when(F.col("t"), 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(F.col("t"), 0).otherwise(1)).alias("nr"),
+    )
+    totals = counts.agg(
+        F.sum("nt").alias("tot_t"), F.sum("nr").alias("tot_r")
+    )
+    a = float(alpha)
+    lr = (
+        F.log((F.col("nt") + a) / (F.col("tot_t") + a * dims))
+        - F.log((F.col("nr") + a) / (F.col("tot_r") + a * dims))
+    )
+    ratios = counts.crossJoin(F.broadcast(totals)).select(
+        "b", lr.alias("lr")
+    )
+    scored = toks.withColumn("b", bucket).join(F.broadcast(ratios), "b")
+    folded = scored.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("pos").alias("p"), F.col("lr").alias("v"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("w_raw"),
+    )
+    return folded.select(
+        F.col(key_col),
+        "n_tokens",
+        round_half_up(F.col("w_raw"), 6).alias("dsir_logweight"),
+    )

@@ -227,3 +227,60 @@ def q_token_budget(spark, sf_dir):
             F.col("total_tokens") / F.sum("total_tokens").over(w_all), 6
         ).alias("token_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (target-tilted data selection)
+# ---------------------------------------------------------------------------
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id, (lang = 'en') AS t, i AS pos, l[i] AS w
+    FROM (SELECT doc_id, lang, string_split(text, ' ') AS l
+          FROM documents),
+         UNNEST(range(1, len(l) + 1)) AS u(i)
+    WHERE l[i] <> ''
+),
+bk AS (
+    SELECT doc_id, t, pos,
+           CAST(concat('0x', substring(md5(w), 1, 8)) AS BIGINT) % 1024
+               AS b
+    FROM toks
+),
+counts AS (
+    SELECT b, SUM(CASE WHEN t THEN 1 ELSE 0 END) AS nt,
+           SUM(CASE WHEN t THEN 0 ELSE 1 END) AS nr
+    FROM bk GROUP BY b
+),
+tot AS (SELECT SUM(nt) AS tot_t, SUM(nr) AS tot_r FROM counts),
+ratios AS (
+    SELECT b, ln((nt + 0.5) / (tot_t + 0.5 * 1024))
+              - ln((nr + 0.5) / (tot_r + 0.5 * 1024)) AS lr
+    FROM counts, tot
+),
+folded AS (
+    SELECT doc_id, COUNT(*)::BIGINT AS n_tokens,
+           list_reduce(list(lr ORDER BY pos), (a, x) -> a + x) AS w_raw
+    FROM bk JOIN ratios USING (b)
+    GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       {{_w}} AS dsir_logweight
+FROM folded
+""".replace("{_w}", __import__("rclabsapi_spark.functions.scalars",
+            fromlist=["sql_round_half_up"]).sql_round_half_up("w_raw", 6))
+
+
+@query("sample_dsir_weights", _DSIR_ORACLE, bench=True)
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023) with target = English
+    docs: per-doc log-likelihood ratio of hashed-unigram distributions
+    (1024 md5 buckets, add-0.5 smoothing) — the classifier-free way to
+    tilt a raw corpus toward a target domain. One token posting, ONE
+    conditional bucket histogram for both sides, a 1024-row broadcast
+    log-ratio table, and a position-sorted per-doc fold (bit-identical
+    across engines). llm/sampling.py::dsir_logweights."""
+    from rclabsapi_spark.llm.sampling import dsir_logweights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_logweights(docs, is_target=F.col("lang") == "en")

@@ -67,3 +67,38 @@ def test_mixture_default_weight_zero_drops_unlisted(spark):
         target_total=40.0,
     )
     assert {r["source"] for r in kept.collect()} == {"small"}
+
+
+def test_dsir_weights_separate_target_like_documents(spark):
+    """Documents written in the target's vocabulary must outscore
+    documents in the raw vocabulary; scores are deterministic under
+    repartitioning (position-sorted fold, not SUM)."""
+    from pyspark.sql import functions as F
+
+    from rclabsapi_spark.llm.sampling import dsir_logweights
+
+    target_words = "science research theory experiment data model"
+    raw_words = "buy cheap deals discount sale offer"
+    rows = []
+    for i in range(30):
+        rows.append((i, "en", target_words))
+        rows.append((100 + i, "de", raw_words))
+    # held-out docs: one target-like, one raw-like, both labeled raw
+    rows.append((500, "de", target_words))
+    rows.append((501, "de", raw_words))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        r["doc_id"]: r["dsir_logweight"]
+        for r in dsir_logweights(
+            docs, is_target=F.col("lang") == "en"
+        ).collect()
+    }
+    assert out[500] > out[501]  # target-like raw doc upweighted
+    assert out[500] > 0 > out[501]
+    again = {
+        r["doc_id"]: r["dsir_logweight"]
+        for r in dsir_logweights(
+            docs.repartition(13), is_target=F.col("lang") == "en"
+        ).collect()
+    }
+    assert out == again  # bit-identical under repartitioning
