@@ -552,3 +552,55 @@ def q_bpe_merges(spark, sf_dir, *, materialize=True):
     return bpe_merges(
         docs, n_merges=_BPE_N_MERGES, materialize=materialize
     )
+
+
+_BPE_SEGMENT_ORACLE = (
+    _BPE_ORACLE.split("\nSELECT 1 AS merge_rank")[0].rstrip()
+    + """
+, pw AS (
+    SELECT doc_id, w
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+    WHERE w <> ''
+),
+seg AS (
+    SELECT doc_id, length(w) AS n_char,
+           len(string_split(trim(
+               replace(replace(replace(replace(replace(
+                   ' ' || array_to_string(regexp_extract_all(w, '.'), ' ')
+                       || ' ',
+                   ' ' || b1.l || ' ' || b1.r || ' ',
+                   ' ' || b1.l || b1.r || ' '),
+                   ' ' || b2.l || ' ' || b2.r || ' ',
+                   ' ' || b2.l || b2.r || ' '),
+                   ' ' || b3.l || ' ' || b3.r || ' ',
+                   ' ' || b3.l || b3.r || ' '),
+                   ' ' || b4.l || ' ' || b4.r || ' ',
+                   ' ' || b4.l || b4.r || ' '),
+                   ' ' || b5.l || ' ' || b5.r || ' ',
+                   ' ' || b5.l || b5.r || ' ')
+           ), ' ')) AS n_bpe
+    FROM pw, b1, b2, b3, b4, b5
+)
+SELECT doc_id, SUM(n_char)::BIGINT AS n_tokens_char,
+       SUM(n_bpe)::BIGINT AS n_tokens_bpe
+FROM seg GROUP BY doc_id
+"""
+)
+
+
+@query("train_bpe_segment", _BPE_SEGMENT_ORACLE)
+def q_bpe_segment(spark, sf_dir, *, materialize=True):
+    """Apply the 5 learned BPE merges back to the corpus: per-doc char
+    vs BPE token counts — the compression audit that says what the
+    merges buy (and the driver-verified proof that training and
+    application agree end-to-end; the oracle re-learns the merges in
+    its CTEs and applies them as the same nested replace chain).
+    llm/bpe.py::bpe_segment."""
+    from rclabsapi_spark.llm.bpe import bpe_merges, bpe_segment
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_merges(
+        docs, n_merges=_BPE_N_MERGES, materialize=materialize
+    )
+    return bpe_segment(docs, merges)

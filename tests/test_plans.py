@@ -869,3 +869,27 @@ def test_no_single_partition_window_anywhere(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_duplicate_spans_single_scan_window_aggregate(spark):
+    """Duplicate spans: ONE documents scan feeds the doc-partitioned
+    offset window, then one span aggregate — no joins, no second scan."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "dedup_duplicate_spans"))
+    assert scans["documents"] == 1
+    assert counts["exch"] <= 2  # doc-key window + span aggregate
+    p = _plan(spark, "dedup_duplicate_spans")
+    assert "Join" not in p
+
+
+def test_dsir_broadcast_ratio_table(spark):
+    """DSIR: the 1024-row log-ratio table must broadcast onto the token
+    posting (never shuffle the posting by bucket), and the corpus stays
+    at its pass minimum — histogram, scoring, and the totals reuse."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "sample_dsir_weights"))
+    assert scans["documents"] <= 3
+    assert counts["bhj"] >= 1
+    assert counts["smj"] == 0
