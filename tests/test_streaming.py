@@ -1415,3 +1415,89 @@ def test_streaming_temperature_reweighting_matches_batch(spark, tmp_path):
     ).select("doc_id")
     assert applied.subtract(batch_kept).count() == 0
     assert batch_kept.subtract(applied).count() == 0
+
+
+def test_streaming_incremental_lsh_matches_cross_batch_pairs(
+    spark, tmp_path
+):
+    """The daily-merge near-dup contract run as a REAL stream: each
+    micro-batch checks its docs against the signature store of
+    everything ingested before it (incremental_lsh_pairs), then joins
+    the store. The union of streamed verdicts must equal exactly the
+    CROSS-batch subset of the full-corpus LSH pairs — same pair set,
+    same exact-Jaccard values. (Within-batch duplicates are the
+    in-batch LSH tier's job, by design.)"""
+    from rclabsapi_spark.catalog import load_table
+    from rclabsapi_spark.llm.dedup import (
+        incremental_lsh_pairs,
+        lsh_candidate_pairs,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    in_dir = str(tmp_path / "docs_in")
+    # slices by doc_id order → later slice ⇒ larger ids
+    ranked = docs.withColumn(
+        "slice", F.ntile(3).over(Window.orderBy("doc_id"))
+    )
+    bounds = {
+        r["slice"]: r["mx"]
+        for r in ranked.groupBy("slice")
+        .agg(F.max("doc_id").alias("mx"))
+        .collect()
+    }
+    for i in range(1, 4):
+        ranked.filter(F.col("slice") == i).drop("slice").coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+
+    store_dir = str(tmp_path / "store")
+    pairs_dir = str(tmp_path / "pairs_out")
+
+    def daily_merge(batch_df, _batch_id):
+        import os
+
+        batch_df = batch_df.coalesce(1)
+        if os.path.exists(store_dir):
+            store = spark.read.parquet(store_dir)
+            pairs = incremental_lsh_pairs(
+                batch_df, store, max_bucket_size=None
+            )
+            pairs.write.mode("append").parquet(pairs_dir)
+        batch_df.write.mode("append").parquet(store_dir)
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(in_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(daily_merge)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ilsh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        (r["new_doc"], r["corpus_doc"]): r["jaccard"]
+        for r in spark.read.parquet(pairs_dir).collect()
+    }
+    # batch reference: full-corpus LSH pairs, cross-slice subset only;
+    # lsh emits doc_a < doc_b and later slices hold larger ids, so the
+    # streamed (new, corpus) pair is (doc_b, doc_a)
+    def slice_of(doc_id):
+        for s in sorted(bounds):
+            if doc_id <= bounds[s]:
+                return s
+        raise AssertionError(doc_id)
+
+    full = lsh_candidate_pairs(docs, max_bucket_size=None)
+    expected = {
+        (r["doc_b"], r["doc_a"]): r["jaccard"]
+        for r in full.collect()
+        if slice_of(r["doc_a"]) != slice_of(r["doc_b"])
+    }
+    assert expected, "fixture has no cross-slice near-dups to verify"
+    assert streamed == expected
