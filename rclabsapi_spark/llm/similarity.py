@@ -736,3 +736,78 @@ def ann_recall_at_k(
         F.avg("recall_at_k").alias("recall_at_k"),
     )
     return per_query.unionByName(macro)
+
+
+def hard_negative_mining(
+    embeddings: DataFrame,
+    labels: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    label_key_col: str = "doc_id",
+    label_col: str = "lang",
+    num_bits: int = 4,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every anchor,
+    the most-cosine-similar vector carrying a DIFFERENT label — the
+    negatives that actually teach a bi-encoder, as opposed to the
+    random ring negatives of sample_negatives (public literature:
+    in-batch vs hard negatives, e.g. DPR/ANCE).
+
+    Blocked by sign-LSH bucket: the self-join keys on the bucket id, so
+    the corpus never all-pairs joins — Σ bucket² work, the same guard
+    as every near-dup tier — and at scale the relation is written
+    ``bucketBy(bucket)`` so the join is exchange-free. Anchors whose
+    bucket holds no different-label member yield no row (the
+    "no local hard negative" case a wider-probe tier handles; the
+    count of such anchors is the caller's coverage metric).
+
+    Determinism: ranking happens on the ROUNDED cosine (6dp) with the
+    negative key as tie-break, so every engine picks the same winner
+    even when two raw cosines differ only in accumulation-order ulps."""
+    v = _as_double(F.col(vec_col))
+    lab = labels.select(
+        F.col(label_key_col).alias(key_col), F.col(label_col).alias("__lab")
+    )
+    base = embeddings.join(lab, key_col).select(
+        F.col(key_col),
+        F.col("__lab"),
+        v.alias("__v"),
+        sign_bucket(v, num_bits).alias("__bkt"),
+    )
+    a = base.select(
+        F.col(key_col).alias("anchor_id"),
+        F.col("__lab").alias("anchor_label"),
+        F.col("__v").alias("av"),
+        F.col("__bkt").alias("bkt"),
+    )
+    n = base.select(
+        F.col(key_col).alias("negative_id"),
+        F.col("__lab").alias("neg_label"),
+        F.col("__v").alias("nv"),
+        F.col("__bkt").alias("bkt"),
+    )
+    scored = (
+        a.join(n, "bkt")
+        .filter(
+            (F.col("anchor_id") != F.col("negative_id"))
+            & (F.col("anchor_label") != F.col("neg_label"))
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "neg_label",
+            F.round(cosine(F.col("av"), F.col("nv")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )

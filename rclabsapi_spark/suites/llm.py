@@ -1458,3 +1458,48 @@ def q_duplicate_spans(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return duplicate_spans(docs, span_len=40, min_docs=2)
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive training pairs)
+# ---------------------------------------------------------------------------
+
+_HARDNEG_ORACLE = f"""
+WITH b AS (
+    SELECT e.vec_id, d.lang, e.embedding::DOUBLE[] AS v,
+           concat({", ".join(
+               f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END"
+               for i in range(4))}) AS bucket
+    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+scored AS (
+    SELECT a.vec_id AS anchor_id, a.lang AS anchor_label,
+           n.vec_id AS negative_id, n.lang AS neg_label,
+           ROUND({_cos_sql("a.v", "n.v")}, 6) AS cosine_sim
+    FROM b a JOIN b n
+      ON a.bucket = n.bucket AND a.vec_id <> n.vec_id
+     AND a.lang <> n.lang
+)
+SELECT anchor_id, anchor_label, negative_id, neg_label, cosine_sim
+FROM scored
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY anchor_id ORDER BY cosine_sim DESC, negative_id) = 1
+"""
+
+
+@query("sim_hard_negatives", _HARDNEG_ORACLE, bench=True)
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: per anchor, the
+    most-cosine-similar vector with a DIFFERENT language, blocked by
+    the 4-bit sign-LSH bucket (Σ bucket² work, never an all-pairs
+    join; at scale the relation is written bucketBy(bucket) so the
+    self-join is exchange-free). Ranking on the ROUNDED cosine keeps
+    the winner identical across engines.
+    llm/similarity.py::hard_negative_mining."""
+    from rclabsapi_spark.llm.similarity import hard_negative_mining
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    return hard_negative_mining(
+        emb, docs, label_key_col="doc_id", label_col="lang", num_bits=4
+    )

@@ -132,3 +132,37 @@ def test_duplicate_spans_finds_shifted_boilerplate(spark):
     ).collect()
     full_spans = {r["span"] for r in out}
     assert {r["span"] for r in sampled} <= full_spans
+
+
+def test_hard_negative_mining_picks_nearest_cross_label(spark):
+    """Planted geometry: anchors must pair with the nearest OTHER-label
+    vector in their bucket, never a same-label one, and anchors whose
+    bucket has no cross-label member yield no row."""
+    from rclabsapi_spark.llm.similarity import hard_negative_mining
+
+    # bucket '11': ids 1,2 (en) and 3 (de) — 3 is the only negative;
+    # bucket '00': id 4 (en) alone — no cross-label member, no row
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 1.0, 0.0, 0.0]),
+            (2, [1.0, 0.9, 0.0, 0.0]),
+            (3, [0.9, 1.0, 0.1, 0.0]),
+            (4, [-1.0, -1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    labels = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "de"), (4, "en")],
+        "doc_id long, lang string",
+    )
+    out = {
+        r["anchor_id"]: (r["negative_id"], r["neg_label"])
+        for r in hard_negative_mining(
+            emb, labels, label_key_col="doc_id", label_col="lang",
+            num_bits=2,
+        ).collect()
+    }
+    assert out[1] == (3, "de")
+    assert out[2] == (3, "de")
+    assert out[3][1] == "en"  # de anchor pairs with an en negative
+    assert 4 not in out  # isolated bucket → no local hard negative
