@@ -122,36 +122,53 @@ def rfm_scores(
     # Three shallow rank relations joined back on the key — chaining the
     # ntiles would nest each ranked output as the next rank's input and
     # copy the per-customer subtree exponentially; the equi-joins keep
-    # every branch two levels deep and shuffle on the customer key.
+    # every branch two levels deep and shuffle on the customer key. ONE
+    # multi-column approxQuantile samples all three dimensions' cut
+    # points in a single pass over the cached aggregate (a descending
+    # order's cuts are the negated ascending cuts — any monotone
+    # thresholds are valid, only balance depends on them).
     per_cust = per_cust.cache()
+    n_buckets = int(
+        per_cust.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    q_r, q_f, q_m = per_cust.approxQuantile(
+        ["recency_days", "frequency", "monetary"],
+        probs,
+        1.0 / (4.0 * n_buckets),
+    )
     dims = [
         (
             "r_score",
             [F.col("recency_days"), F.col(key_col)],
             "recency_days",
             F.col("recency_days"),
+            q_r,
         ),
         (
             "f_score",
             [F.col("frequency").desc(), F.col(key_col)],
             "frequency",
             -F.col("frequency"),  # desc order → negated bucket key
+            [-q for q in q_f],
         ),
         (
             "m_score",
             [F.col("monetary").desc(), F.col(key_col)],
             "monetary",
             -F.col("monetary"),
+            [-q for q in q_m],
         ),
     ]
     out = per_cust
-    for score_col, order, dim_col, bkey in dims:
+    for score_col, order, dim_col, bkey, cuts in dims:
         ranked = global_ntile(
             per_cust.select(key_col, dim_col),
             order,
             buckets,
             out_col=score_col,
             bucket_key=bkey,
+            cuts=cuts,
         ).select(key_col, score_col)
         out = out.join(ranked, key_col)
     out = out.select(

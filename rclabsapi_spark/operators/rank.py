@@ -68,16 +68,22 @@ def _as_cols(order_by) -> list[Column]:
 
 
 def _bucket_expr(
-    df: DataFrame, bucket_key: Column, n_buckets: int
+    df: DataFrame,
+    bucket_key: Column,
+    n_buckets: int,
+    cuts: list[float] | None = None,
 ) -> Column:
     """Deterministic bucket id (0..B−1): count of driver-frozen quantile
     cut points strictly below the key. Monotone non-decreasing in the
     key, so bucket boundaries respect the rank order; equal keys always
-    share a bucket."""
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = df.select(bucket_key.cast("double").alias("__k")).approxQuantile(
-        "__k", probs, 1.0 / (4.0 * n_buckets)
-    )
+    share a bucket. Callers ranking several dimensions of one relation
+    pass precomputed ``cuts`` (one multi-column approxQuantile) so the
+    sampling pass runs once, not once per dimension."""
+    if cuts is None:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = df.select(
+            bucket_key.cast("double").alias("__k")
+        ).approxQuantile("__k", probs, 1.0 / (4.0 * n_buckets))
     uniq = sorted({c for c in cuts if c == c})  # drop NaN, dedup
     if not uniq:
         return F.lit(0)
@@ -95,6 +101,7 @@ def _ranked_with_total(
     total_col: str | None,
     bucket_key: Column | None,
     num_buckets: int | None,
+    cuts: list[float] | None = None,
 ) -> DataFrame:
     """Shared two-phase core: appends the global row number as
     ``out_col`` and (when ``total_col`` is set) the total row count —
@@ -107,7 +114,9 @@ def _ranked_with_total(
         num_buckets = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    stamped = df.withColumn(_BKT, _bucket_expr(df, bucket_key, num_buckets))
+    stamped = df.withColumn(
+        _BKT, _bucket_expr(df, bucket_key, num_buckets, cuts)
+    )
     local = stamped.withColumn(
         _LRN, F.row_number().over(Window.partitionBy(_BKT).orderBy(*cols))
     )
@@ -140,6 +149,7 @@ def global_row_number(
     out_col: str,
     bucket_key: Column | None = None,
     num_buckets: int | None = None,
+    cuts: list[float] | None = None,
 ) -> DataFrame:
     """Exact global ROW_NUMBER over ``order_by`` (columns or Column
     expressions, ``.desc()`` supported in non-leading positions) via
@@ -150,7 +160,7 @@ def global_row_number(
     numeric, null-free, and monotone in the order (see module
     docstring). Appends ``out_col``; preserves all input columns."""
     return _ranked_with_total(
-        df, order_by, out_col, None, bucket_key, num_buckets
+        df, order_by, out_col, None, bucket_key, num_buckets, cuts
     )
 
 
@@ -162,6 +172,7 @@ def global_ntile(
     out_col: str,
     bucket_key: Column | None = None,
     num_buckets: int | None = None,
+    cuts: list[float] | None = None,
 ) -> DataFrame:
     """Exact global NTILE(``n_buckets``) over ``order_by``: SQL-standard
     bucket sizing (first ``N mod b`` buckets take ⌈N/b⌉ rows, the rest
@@ -172,7 +183,7 @@ def global_ntile(
     rn_col = f"{out_col}__rn"
     n_col = f"{out_col}__n"
     ranked = _ranked_with_total(
-        df, order_by, rn_col, n_col, bucket_key, num_buckets
+        df, order_by, rn_col, n_col, bucket_key, num_buckets, cuts
     )
     n = F.col(n_col)
     rn = F.col(rn_col).cast("long")
@@ -192,6 +203,7 @@ def global_percent_rank(
     out_col: str,
     bucket_key: Column | None = None,
     num_buckets: int | None = None,
+    cuts: list[float] | None = None,
 ) -> DataFrame:
     """Exact global PERCENT_RANK over a total order (unique tie-break
     required, making rank ≡ row_number): (rn−1)/(N−1), 0.0 for a
@@ -201,7 +213,7 @@ def global_percent_rank(
     rn_col = f"{out_col}__rn"
     n_col = f"{out_col}__n"
     ranked = _ranked_with_total(
-        df, order_by, rn_col, n_col, bucket_key, num_buckets
+        df, order_by, rn_col, n_col, bucket_key, num_buckets, cuts
     )
     n = F.col(n_col)
     pr = F.when(n > 1, (F.col(rn_col) - 1).cast("double") / (n - 1)).otherwise(

@@ -653,6 +653,8 @@ def test_no_accidental_cartesian_anywhere(spark):
         "sample_temperature",
         # per-round 1-row best-pair argmax broadcast onto the vocab
         "train_bpe_merges",
+        # 1-row bucket-histogram totals broadcast into the ratio table
+        "sample_dsir_weights",
         # global bounds / quartiles / centroid tables (≤K rows)
         "drift_psi_value",
         "stat_ks_value_drift",
