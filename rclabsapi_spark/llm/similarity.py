@@ -811,3 +811,51 @@ def hard_negative_mining(
         .filter(F.col("__rk") == 1)
         .drop("__rk")
     )
+
+
+def truncation_energy_audit(
+    embeddings: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    dims: tuple[int, ...] = (8, 16, 32),
+) -> DataFrame:
+    """Matryoshka-style truncation audit (public literature: MRL,
+    Kusupati et al. 2022): how much of each embedding's energy (squared
+    norm) survives truncation to the first k dimensions — the go/no-go
+    check before serving shortened vectors (2-8× memory/latency cut)
+    from an index built on full ones. Returns one row per k:
+    (trunc_dim, mean_energy, min_energy), energies in [0, 1].
+
+    One scan; per-row ratios are left-to-right folds over sliced
+    arrays (bit-identical across engines); the corpus mean is an
+    accumulation-ordered aggregate and rounds at 6dp per the fleet
+    float rules, while min is order-free and rounds half-up."""
+    from rclabsapi_spark.functions.scalars import round_half_up
+
+    v = _as_double(F.col(vec_col))
+    full = dot(v, v)
+    ratios = embeddings.select(
+        *[
+            (dot(F.slice(v, 1, k), F.slice(v, 1, k)) / full).alias(
+                f"r{k}"
+            )
+            for k in dims
+        ]
+    )
+    stats = ratios.agg(
+        *[F.avg(f"r{k}").alias(f"avg{k}") for k in dims],
+        *[F.min(f"r{k}").alias(f"min{k}") for k in dims],
+    )
+    parts = [
+        stats.select(
+            F.lit(k).alias("trunc_dim"),
+            F.round(F.col(f"avg{k}"), 6).alias("mean_energy"),
+            round_half_up(F.col(f"min{k}"), 6).alias("min_energy"),
+        )
+        for k in dims
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

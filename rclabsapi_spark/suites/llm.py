@@ -1503,3 +1503,88 @@ def q_hard_negatives(spark, sf_dir):
     return hard_negative_mining(
         emb, docs, label_key_col="doc_id", label_col="lang", num_bits=4
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal frame-level dedup + embedding truncation audit
+# ---------------------------------------------------------------------------
+
+_FRAME_DEDUP_ORACLE = """
+WITH f AS (
+    SELECT doc_id, encode(text) AS payload,
+           CAST(CEIL(octet_length(encode(text)) / 64.0) AS INT) AS n_frames
+    FROM documents
+),
+frames AS (
+    SELECT doc_id,
+           upper(substring(hex(payload), i * 128 + 1, 128)) AS frame_hex
+    FROM f, UNNEST(range(0, n_frames, 2)) AS t(i)
+)
+SELECT md5(frame_hex) AS frame_hash,
+       COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+       COUNT(*)::BIGINT AS n_occurrences
+FROM frames GROUP BY md5(frame_hex)
+HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+@query("mm_frame_dedup", _FRAME_DEDUP_ORACLE, bench=True)
+def q_mm_frame_dedup(spark, sf_dir):
+    """Cross-document duplicate FRAMES: the perceptual-dedup plumbing
+    for image/video corpora — mapInPandas frame fan-out (the decode
+    stand-in), then a corpus-wide aggregate on the 32-byte frame
+    digest (never the frame bytes). A real deployment swaps the byte
+    chunker for a codec and the md5 for a perceptual hash; schema,
+    batching, and the digest-shuffle shape are what this verifies.
+    llm/multimodal.py::frame_sample."""
+    from rclabsapi_spark.llm.multimodal import attach_binary, frame_sample
+
+    docs = attach_binary(load_table(spark, sf_dir, "documents"))
+    frames = frame_sample(docs, frame_bytes=64, every_n=2)
+    return (
+        frames.groupBy(F.md5("frame_hex").alias("frame_hash"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+_TRUNC_ORACLE = f"""
+WITH r AS (
+    SELECT
+        {_DOT_SQL.format(a="(embedding::DOUBLE[])[1:8]",
+                         b="(embedding::DOUBLE[])[1:8]")}
+            / {_DOT_SQL.format(a="(embedding::DOUBLE[])",
+                               b="(embedding::DOUBLE[])")} AS r8,
+        {_DOT_SQL.format(a="(embedding::DOUBLE[])[1:16]",
+                         b="(embedding::DOUBLE[])[1:16]")}
+            / {_DOT_SQL.format(a="(embedding::DOUBLE[])",
+                               b="(embedding::DOUBLE[])")} AS r16,
+        {_DOT_SQL.format(a="(embedding::DOUBLE[])[1:32]",
+                         b="(embedding::DOUBLE[])[1:32]")}
+            / {_DOT_SQL.format(a="(embedding::DOUBLE[])",
+                               b="(embedding::DOUBLE[])")} AS r32
+    FROM embeddings
+)
+SELECT 8 AS trunc_dim, ROUND(AVG(r8), 6) AS mean_energy,
+       {_rhu("MIN(r8)", 6)} AS min_energy FROM r
+UNION ALL
+SELECT 16, ROUND(AVG(r16), 6), {_rhu("MIN(r16)", 6)} FROM r
+UNION ALL
+SELECT 32, ROUND(AVG(r32), 6), {_rhu("MIN(r32)", 6)} FROM r
+"""
+
+
+@query("emb_truncation_energy", _TRUNC_ORACLE)
+def q_truncation_energy(spark, sf_dir):
+    """Matryoshka truncation audit: mean/min fraction of embedding
+    energy surviving truncation to the first 8/16/32 of 64 dims — the
+    check before serving shortened vectors from a full-dimension index.
+    One scan, per-row sliced-fold ratios, a 1-row aggregate.
+    llm/similarity.py::truncation_energy_audit."""
+    from rclabsapi_spark.llm.similarity import truncation_energy_audit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return truncation_energy_audit(emb, dims=(8, 16, 32))
