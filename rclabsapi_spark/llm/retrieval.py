@@ -202,3 +202,87 @@ def mmr_rerank(
         chosen_vecs[best] = remaining[best][1]
         del remaining[best]
     return chosen
+
+
+def mmr_rerank_df(
+    candidates: DataFrame,
+    *,
+    key_col: str,
+    rel_col: str,
+    vec_col: str,
+    lambda_relevance: float = 0.7,
+    k: int = 5,
+    materialize: bool = True,
+) -> DataFrame:
+    """Distributed MMR re-ranking — the DataFrame upgrade of
+    :func:`mmr_rerank` (which collects): k greedy rounds, each a 1-row
+    argmax of λ·rel − (1−λ)·penalty over the remaining candidates and
+    an incremental penalty update
+    ``pen ← max(pen, cos(v, last_chosen))`` via a 1-row broadcast —
+    never a |chosen|×|remaining| join, no driver collect, so the
+    candidate relation can be a full retrieval tier, not a 100-row
+    sample. Returns (mmr_rank, key, relevance, mmr_score).
+
+    Determinism: penalties round at 9dp before the max and scores
+    derive from bit-identical folds, so every engine picks the same
+    sequence (ties break on the key). Each round references the
+    remaining relation twice; ``materialize=True`` checkpoints per
+    round to truncate the doubling lineage (the bpe_merges /
+    dedup_clusters_star lesson), ``materialize=False`` keeps the plan
+    inspectable."""
+    from rclabsapi_spark.llm.similarity import _as_double, cosine
+
+    lam = float(lambda_relevance)
+    # penalty sentinel: cosines live in [-1, 1], so -2.0 marks "no
+    # chosen neighbor yet" — the reference's empty-set penalty is 0.0,
+    # and a plain max-with-0.0 seed would wrongly CLAMP negative
+    # cosines (a chosen vector pointing away must REDUCE the penalty)
+    remaining = candidates.select(
+        F.col(key_col).alias("__k"),
+        F.col(rel_col).cast("double").alias("__rel"),
+        _as_double(F.col(vec_col)).alias("__v"),
+        F.lit(-2.0).alias("__pen"),
+    )
+    pen_eff = F.when(F.col("__pen") < -1.5, F.lit(0.0)).otherwise(
+        F.col("__pen")
+    )
+    picks = []
+    for rank in range(1, k + 1):
+        score = (lam * F.col("__rel") - (1.0 - lam) * pen_eff).alias(
+            "__score"
+        )
+        best = (
+            remaining.select("__k", "__rel", "__v", "__pen", score)
+            .orderBy(F.col("__score").desc(), F.col("__k"))
+            .limit(1)
+        )
+        picks.append(
+            best.select(
+                F.lit(rank).alias("mmr_rank"),
+                F.col("__k").alias(key_col),
+                F.col("__rel").alias("relevance"),
+                round_half_up(F.col("__score"), 6).alias("mmr_score"),
+            )
+        )
+        bsel = best.select(
+            F.col("__k").alias("__bk"), F.col("__v").alias("__bv")
+        )
+        remaining = (
+            remaining.crossJoin(F.broadcast(bsel))
+            .filter(F.col("__k") != F.col("__bk"))
+            .select(
+                "__k",
+                "__rel",
+                "__v",
+                F.greatest(
+                    F.col("__pen"),
+                    F.round(cosine(F.col("__v"), F.col("__bv")), 9),
+                ).alias("__pen"),
+            )
+        )
+        if materialize:
+            remaining = remaining.localCheckpoint(eager=True)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out

@@ -1588,3 +1588,77 @@ def q_truncation_energy(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     return truncation_energy_audit(emb, dims=(8, 16, 32))
+
+
+# ---------------------------------------------------------------------------
+# Distributed MMR re-ranking (diversity-aware retrieval)
+# ---------------------------------------------------------------------------
+
+def _mmr_round_sql(r: int) -> str:
+    prev = "cand" if r == 1 else f"rem{r - 1}"
+    cos_bv = _cos_sql("c.v", "b.v")
+    return f"""
+s{r} AS (
+    SELECT *, 0.7 * rel - 0.3 *
+           (CASE WHEN pen < -1.5 THEN 0.0 ELSE pen END) AS score
+    FROM {prev}
+),
+b{r} AS (SELECT * FROM s{r} ORDER BY score DESC, vec_id LIMIT 1),
+rem{r} AS (
+    SELECT c.vec_id, c.rel, c.v,
+           GREATEST(c.pen, ROUND({cos_bv}, 9)) AS pen
+    FROM {prev} c, b{r} b WHERE c.vec_id <> b.vec_id
+)"""
+
+
+_MMR_K = 5
+
+_MMR_ORACLE = (
+    f"""
+WITH q AS (
+    SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0
+),
+cand AS (
+    SELECT vec_id, rel, v, -2.0 AS pen FROM (
+        SELECT e.vec_id,
+               ROUND({_cos_sql("(e.embedding::DOUBLE[])", "q.qvec")}, 6)
+                   AS rel,
+               e.embedding::DOUBLE[] AS v
+        FROM embeddings e, q WHERE e.vec_id <> 0
+    ) ORDER BY rel DESC, vec_id LIMIT 20
+),"""
+    + ",".join(_mmr_round_sql(r) for r in range(1, _MMR_K + 1))
+    + "\n"
+    + "\nUNION ALL ".join(
+        f"SELECT {r} AS mmr_rank, vec_id, rel AS relevance,"
+        f" {_rhu('score', 6)} AS mmr_score FROM b{r}"
+        for r in range(1, _MMR_K + 1)
+    )
+)
+
+
+@query("retr_mmr_rerank", _MMR_ORACLE)
+def q_mmr_rerank(spark, sf_dir, *, materialize=True):
+    """Distributed MMR re-rank of the brute-force top-20 (query =
+    vec 0, λ=0.7, k=5): greedy argmax of λ·rel − (1−λ)·max-sim-to-
+    chosen, run as 5 DataFrame rounds with 1-row argmax broadcasts and
+    incremental penalty maxes — no driver collect, so the candidate
+    tier can be arbitrarily large. The oracle unrolls the same 5 greedy
+    rounds as CTEs. llm/retrieval.py::mmr_rerank_df."""
+    from rclabsapi_spark.llm.retrieval import mmr_rerank_df
+    from rclabsapi_spark.llm.similarity import _as_double, cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = cosine_topk(emb, 0, k=20).join(
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("v")),
+        "vec_id",
+    )
+    return mmr_rerank_df(
+        cand,
+        key_col="vec_id",
+        rel_col="cosine_sim",
+        vec_col="v",
+        lambda_relevance=0.7,
+        k=_MMR_K,
+        materialize=materialize,
+    )

@@ -655,6 +655,8 @@ def test_no_accidental_cartesian_anywhere(spark):
         "train_bpe_merges",
         # 1-row bucket-histogram totals broadcast into the ratio table
         "sample_dsir_weights",
+        # per-round 1-row MMR argmax broadcast onto the candidates
+        "retr_mmr_rerank",
         # global bounds / quartiles / centroid tables (≤K rows)
         "drift_psi_value",
         "stat_ks_value_drift",

@@ -74,3 +74,37 @@ def test_mmr_rerank_trades_relevance_for_diversity():
     assert set(diverse) == {1, 4, 5}  # clones displaced by distinct vecs
     # λ=1 reduces to pure relevance
     assert mmr_rerank(cands, lambda_relevance=1.0, k=3) == [1, 2, 3]
+
+
+def test_mmr_rerank_df_matches_driver_side(spark):
+    """The distributed MMR rounds must pick the same sequence as the
+    collected-list reference implementation on the same candidates."""
+    from pyspark.sql import functions as F
+
+    from rclabsapi_spark.llm.retrieval import mmr_rerank, mmr_rerank_df
+    from rclabsapi_spark.llm.similarity import _as_double, cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cand = cosine_topk(emb, 0, k=15).join(
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("v")),
+        "vec_id",
+    )
+    rows = cand.collect()
+    driver_picks = mmr_rerank(
+        [(r["vec_id"], r["cosine_sim"], list(r["v"])) for r in rows],
+        lambda_relevance=0.7,
+        k=6,
+    )
+    dist = (
+        mmr_rerank_df(
+            cand, key_col="vec_id", rel_col="cosine_sim", vec_col="v",
+            lambda_relevance=0.7, k=6,
+        )
+        .orderBy("mmr_rank")
+        .collect()
+    )
+    assert [r["vec_id"] for r in dist] == driver_picks
+    # diversity property: the re-ranked list is not just relevance order
+    rel_order = [r["vec_id"] for r in sorted(
+        rows, key=lambda r: (-r["cosine_sim"], r["vec_id"]))][:6]
+    assert dist[0]["vec_id"] == rel_order[0]  # first pick = pure argmax rel
