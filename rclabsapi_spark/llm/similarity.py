@@ -847,15 +847,18 @@ def truncation_energy_audit(
         *[F.avg(f"r{k}").alias(f"avg{k}") for k in dims],
         *[F.min(f"r{k}").alias(f"min{k}") for k in dims],
     )
-    parts = [
-        stats.select(
-            F.lit(k).alias("trunc_dim"),
-            F.round(F.col(f"avg{k}"), 6).alias("mean_energy"),
-            round_half_up(F.col(f"min{k}"), 6).alias("min_energy"),
-        )
-        for k in dims
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    # one row per k via explode of the single aggregate row — a union of
+    # per-k selects would recompute the scan+aggregate subtree per k
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("trunc_dim"),
+                F.round(F.col(f"avg{k}"), 6).alias("mean_energy"),
+                round_half_up(F.col(f"min{k}"), 6).alias("min_energy"),
+            )
+            for k in dims
+        ]
+    )
+    return stats.select(F.explode(rows).alias("s")).select(
+        "s.trunc_dim", "s.mean_energy", "s.min_energy"
+    )

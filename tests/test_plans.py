@@ -897,3 +897,38 @@ def test_dsir_broadcast_ratio_table(spark):
     assert scans["documents"] <= 3
     assert counts["bhj"] >= 1
     assert counts["smj"] == 0
+
+
+def test_hard_negatives_bucket_equijoin(spark):
+    """Hard-negative mining: the self-join keys on the sign bucket
+    (equi-join, Σ bucket² work) and the label relation broadcasts —
+    never a cartesian, never a sort-merge of the corpus."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "sim_hard_negatives"))
+    assert scans["embeddings"] == 1 and scans["documents"] == 1
+    assert counts["smj"] == 0
+
+
+def test_mm_frame_dedup_digest_shuffle(spark):
+    """Frame dedup: one mapInPandas fan-out, then the aggregate
+    shuffles 32-byte digests — the frame bytes never shuffle."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "mm_frame_dedup"))
+    assert scans["documents"] == 1
+    assert counts["exch"] <= 2
+    p = _plan(spark, "mm_frame_dedup")
+    assert "MapInPandas" in p
+    # the digest is the grouping expression, computed map-side before
+    # the exchange — the shuffle carries 32-byte keys, not frame bytes
+    assert "md5(frame_hex" in p
+
+
+def test_truncation_audit_single_scan(spark):
+    """Truncation audit: ONE embeddings scan feeds one aggregate; the
+    per-k rows come from an explode of the single stats row."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, _counts = audit(_fn(spark, "emb_truncation_energy"))
+    assert scans["embeddings"] == 1
