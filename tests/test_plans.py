@@ -918,7 +918,12 @@ def test_mm_frame_dedup_digest_shuffle(spark):
     scans, counts = audit(_fn(spark, "mm_frame_dedup"))
     assert scans["documents"] == 1
     assert counts["exch"] <= 2
-    p = _plan(spark, "mm_frame_dedup")
+    df = _fn(spark, "mm_frame_dedup")
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"  # simple mode elides the grouping expression
+        )
+    )
     assert "MapInPandas" in p
     # the digest is the grouping expression, computed map-side before
     # the exchange — the shuffle carries 32-byte keys, not frame bytes
