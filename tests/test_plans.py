@@ -927,7 +927,7 @@ def test_mm_frame_dedup_digest_shuffle(spark):
     assert "MapInPandas" in p
     # the digest is the grouping expression, computed map-side before
     # the exchange — the shuffle carries 32-byte keys, not frame bytes
-    assert "md5(frame_hex" in p
+    assert "md5(cast(frame_hex" in p
 
 
 def test_truncation_audit_single_scan(spark):
