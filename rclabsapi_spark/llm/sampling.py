@@ -180,9 +180,11 @@ def weighted_sample_k(
 
     The deterministic upgrade of ``df.sample``'s weighted cousin for
     training-mix construction: re-runs, engines, and partitionings pick
-    the identical subset. One ranking window (per group, or one global
-    rank for ungrouped use — the documented global-sort limitation);
-    everything else is per-row codegen arithmetic."""
+    the identical subset. Grouped use is one per-group ranking window;
+    UNGROUPED use routes through the percentile-threshold two-phase
+    rank (operators/rank.py) with the Exp score as its own bucket key —
+    a parallel bucketed window, never a single-partition sort of the
+    corpus; everything else is per-row codegen arithmetic."""
     u_int = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8
@@ -192,11 +194,19 @@ def weighted_sample_k(
     ).cast("double")
     u = (u_int + 1.0) / float(16**8)
     score = -F.log(u) / F.col(weight_col).cast("double")
-    parts = [group_col] if group_col else []
-    w = Window.partitionBy(*parts).orderBy(score.asc(), F.col(key_col))
-    return df.withColumn("sample_rank", F.row_number().over(w)).filter(
-        F.col("sample_rank") <= k
-    )
+    if group_col:
+        w = Window.partitionBy(group_col).orderBy(
+            score.asc(), F.col(key_col)
+        )
+        ranked = df.withColumn("sample_rank", F.row_number().over(w))
+    else:
+        from rclabsapi_spark.operators.rank import global_row_number
+
+        ranked = global_row_number(
+            df, [score, F.col(key_col)], out_col="sample_rank",
+            bucket_key=score,
+        )
+    return ranked.filter(F.col("sample_rank") <= k)
 
 
 def temperature_rates(

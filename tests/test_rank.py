@@ -213,3 +213,39 @@ def test_temperature_sample_rates_and_determinism(spark):
         kept.select("doc_id")
     ).count() == 0
     assert kept.count() == again.count()
+
+
+def test_weighted_sample_ungrouped_uses_two_phase_rank(spark):
+    """Ungrouped Efraimidis–Spirakis sampling must match the naive
+    global-window result exactly while planning the bucketed rank, not
+    a single-partition corpus sort."""
+    from pyspark.sql import functions as F
+
+    from rclabsapi_spark.llm.sampling import weighted_sample_k
+
+    df = spark.range(2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7 + 1).cast("double").alias("w"),
+    )
+    out = weighted_sample_k(
+        df, key_col="k", weight_col="w", k=25, salt="ws:"
+    )
+    got = sorted(r["k"] for r in out.collect())
+    # naive reference: same score formula, global window
+    u_int = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ws:"), F.col("k").cast("string"))), 1, 8),
+        16, 10,
+    ).cast("double")
+    score = -F.log((u_int + 1.0) / float(16**8)) / F.col("w")
+    naive = (
+        df.withColumn("s", score)
+        .orderBy(F.col("s").asc(), F.col("k"))
+        .limit(25)
+    )
+    assert got == sorted(r["k"] for r in naive.collect())
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "hashpartitioning(__rank_bkt" in plan
