@@ -284,3 +284,69 @@ def q_dsir_weights(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return dsir_logweights(docs, is_target=F.col("lang") == "en")
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation funnel (lang gate → quality gate → dedup gate)
+# ---------------------------------------------------------------------------
+
+def _funnel_oracle() -> str:
+    from rclabsapi_spark.suites.llm import _LANGID_ORACLE, _QUALITY_ORACLE
+
+    return f"""
+WITH pred AS ({_LANGID_ORACLE}),
+q AS ({_QUALITY_ORACLE}),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT d.source,
+       COUNT(*)::BIGINT AS n_total,
+       SUM(CASE WHEN p.predicted_lang = d.lang THEN 1 ELSE 0 END)::BIGINT
+           AS n_lang_ok,
+       SUM(CASE WHEN p.predicted_lang = d.lang
+                 AND q.quality_score >= 0.5 THEN 1 ELSE 0 END)::BIGINT
+           AS n_quality_ok,
+       SUM(CASE WHEN p.predicted_lang = d.lang
+                 AND q.quality_score >= 0.5
+                 AND k.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_kept
+FROM documents d
+JOIN pred p ON p.doc_id = d.doc_id
+JOIN q ON q.doc_id = d.doc_id
+LEFT JOIN keep k ON k.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
+@query("pipeline_curation_funnel", _funnel_oracle(), bench=True)
+def q_curation_funnel(spark, sf_dir):
+    """The corpus owner's funnel view: per source, documents surviving
+    each curation gate cumulatively — language-ID agrees with the
+    label, composite quality ≥ 0.5, exact-dedup keeper. Composes three
+    individually-verified operators (lang_id, quality_features,
+    exact_dedup) and hash-verifies the COMPOSED retention counts; one
+    corpus scan per feature branch, all joined on the doc key, one
+    per-source rollup. The quality threshold compares the 6dp
+    half-up-rounded score, identical on both engines."""
+    from rclabsapi_spark.llm.dedup import exact_dedup
+    from rclabsapi_spark.llm.text import lang_id, quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = lang_id(docs).select("doc_id", "predicted_lang")
+    q = quality_features(docs).select("doc_id", "quality_score")
+    keep = exact_dedup(docs).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    ).withColumn("_keep", F.lit(1))
+    j = (
+        docs.select("doc_id", "source", "lang")
+        .join(pred, "doc_id")
+        .join(q, "doc_id")
+        .join(keep, "doc_id", "left")
+    )
+    lang_ok = F.col("predicted_lang") == F.col("lang")
+    qual_ok = lang_ok & (F.col("quality_score") >= 0.5)
+    kept = qual_ok & F.col("_keep").isNotNull()
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(lang_ok.cast("long")).alias("n_lang_ok"),
+        F.sum(qual_ok.cast("long")).alias("n_quality_ok"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+    )
