@@ -937,3 +937,14 @@ def test_truncation_audit_single_scan(spark):
 
     scans, _counts = audit(_fn(spark, "emb_truncation_energy"))
     assert scans["embeddings"] == 1
+
+
+def test_curation_funnel_one_scan_per_feature_branch(spark):
+    """Curation funnel: one documents scan per feature branch (spine,
+    lang-id, quality, dedup keepers), all joined by broadcast on the
+    doc key — no sort-merge of the corpus, no extra passes."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "pipeline_curation_funnel"))
+    assert scans["documents"] <= 4
+    assert counts["smj"] == 0
