@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from rclabsapi_spark.catalog import load_table
+from rclabsapi_spark.functions.scalars import sql_round_half_up
 from rclabsapi_spark.llm.training import (
     cross_source_leakage,
     pack_bins,
@@ -604,3 +605,55 @@ def q_bpe_segment(spark, sf_dir, *, materialize=True):
         docs, n_merges=_BPE_N_MERGES, materialize=materialize
     )
     return bpe_segment(docs, merges)
+
+
+_BPE_FERTILITY_ORACLE = f"""
+WITH seg AS ({_BPE_SEGMENT_ORACLE})
+SELECT d.lang, COUNT(*)::BIGINT AS n_docs,
+       SUM(s.n_tokens_char)::BIGINT AS n_tokens_char,
+       SUM(s.n_tokens_bpe)::BIGINT AS n_tokens_bpe,
+       {sql_round_half_up(
+           "SUM(s.n_tokens_char)::DOUBLE / SUM(s.n_tokens_bpe)::DOUBLE", 6
+       )} AS chars_per_token
+FROM seg s JOIN documents d USING (doc_id)
+GROUP BY d.lang
+"""
+
+
+@query("train_bpe_fertility", _BPE_FERTILITY_ORACLE)
+def q_bpe_fertility(spark, sf_dir, *, materialize=True):
+    """Per-language BPE compression (tokenizer-fairness audit): merges
+    learned on the whole corpus compress the dominant language best —
+    chars-per-token by language quantifies the disparity that drives
+    per-language token budgets and fertility-aware sampling (public
+    multilingual-tokenizer literature). Integer sums divided once, so
+    the ratio is bit-identical across engines.
+    llm/bpe.py::bpe_segment."""
+    from rclabsapi_spark.functions.scalars import round_half_up
+    from rclabsapi_spark.llm.bpe import bpe_merges, bpe_segment
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_merges(
+        docs, n_merges=_BPE_N_MERGES, materialize=materialize
+    )
+    seg = bpe_segment(docs, merges)
+    return (
+        seg.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens_char").alias("n_tokens_char"),
+            F.sum("n_tokens_bpe").alias("n_tokens_bpe"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens_char",
+            "n_tokens_bpe",
+            round_half_up(
+                F.col("n_tokens_char").cast("double")
+                / F.col("n_tokens_bpe").cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
+    )
