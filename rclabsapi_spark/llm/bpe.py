@@ -13,9 +13,14 @@ Algorithm, per merge round, entirely declarative (no driver collect):
    re-scan (the corpus reduces to word counts ONCE, up front).
 3. The best pair is the 1-row argmax (count desc, then lexicographic —
    deterministic across engines); it BROADCAST-joins back and the merge
-   applies as a single `replace(' l r ', ' lr ')` over the sentineled
-   repr — non-overlapping left-to-right replacement in both Spark and
-   DuckDB, which is exactly BPE's leftmost-first greedy application.
+   applies as a left-to-right FOLD over the symbol array
+   (``aggregate`` in Spark, ``list_reduce`` in DuckDB): if the
+   accumulator's last symbol is ``l`` and the next is ``r``, they fuse,
+   else append. This is exactly canonical leftmost-first greedy BPE —
+   equivalent to Sennrich's zero-width-boundary regex. (A naive
+   ``replace(' l r ', ' lr ')`` CONSUMES the shared boundary space and
+   misses consecutive occurrences: 'a n a n a' would yield
+   [an, a, n, a] instead of [an, an, a].)
 4. Each round eagerly localCheckpoints the small vocabulary relation
    (``materialize=True``): a round references its input twice (pair
    counts + the carried repr), so the un-truncated logical plan doubles
@@ -38,8 +43,34 @@ corpus-derived rule table.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def apply_merge(syms: Column, left: Column, right: Column) -> Column:
+    """Apply ONE BPE merge (left, right) to a symbol array as a
+    left-to-right fold: fuse whenever the accumulator's tail is
+    ``left`` and the incoming symbol is ``right``, else append.
+
+    This is canonical greedy leftmost-first application (Sennrich et
+    al. 2016's ``(?<!\\S)l r(?!\\S)`` regex, whose boundary assertions
+    are zero-width): consecutive occurrences all merge in one pass —
+    'a n a n a' → [an, an, a] — and a token produced by the fuse can
+    only seed another fuse if it textually equals ``left`` again,
+    matching the regex's scan-continues-after-the-match behavior."""
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == left)
+            & (x == right),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.concat(left, x)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
 
 
 def bpe_merges(
@@ -97,9 +128,17 @@ def bpe_merges(
         vocab = (
             vocab.crossJoin(F.broadcast(best))
             .select(
-                F.expr(
-                    "replace(repr, concat(' ', l, ' ', r, ' '),"
-                    " concat(' ', l, r, ' '))"
+                F.concat(
+                    F.lit(" "),
+                    F.array_join(
+                        apply_merge(
+                            F.split(F.trim(F.col("repr")), " "),
+                            F.col("l"),
+                            F.col("r"),
+                        ),
+                        " ",
+                    ),
+                    F.lit(" "),
                 ).alias("repr"),
                 "n",
             )
@@ -125,12 +164,14 @@ def bpe_segment(
     (key, n_tokens_char, n_tokens_bpe) — the compression audit that
     says what the learned merges buy. The merge table is collected
     driver-side (it is n_merges rows — tokenizer-sized metadata, the
-    K×dim centroid-pull pattern) and applied as a chain of replace
-    expressions in merge-rank order — one exhaustive left-to-right pass
-    per merge, a documented single-pass simplification of canonical
-    BPE's re-scan-by-priority loop (identical on the training corpus
-    itself, where each merge was chosen after the previous one was
-    fully applied)."""
+    K×dim centroid-pull pattern) and applied as a chain of
+    ``apply_merge`` folds in merge-rank order — each merge is one
+    exhaustive canonical (leftmost-greedy) pass, so application over
+    the training corpus reproduces training exactly. On UNSEEN words
+    this rank-ordered one-pass-per-merge chain equals canonical
+    priority-loop BPE whenever each merge's pair cannot be re-created
+    by a LATER merge (tested against the reference implementation on a
+    held-out word list in tests/test_bpe.py)."""
     ordered = sorted(
         merges.select("merge_rank", "left", "right").collect(),
         key=lambda r: r["merge_rank"],
@@ -139,22 +180,14 @@ def bpe_segment(
         F.col(key_col),
         F.explode(F.split(F.col(text_col), " ")).alias("w"),
     ).filter(F.col("w") != "")
-    seg = F.concat(
-        F.lit(" "),
-        F.array_join(F.expr("regexp_extract_all(w, '.', 0)"), " "),
-        F.lit(" "),
-    )
+    seg = F.expr("regexp_extract_all(w, '.', 0)")
     for r in ordered:
-        seg = F.replace(
-            seg,
-            F.lit(f" {r['left']} {r['right']} "),
-            F.lit(f" {r['left']}{r['right']} "),
-        )
+        seg = apply_merge(seg, F.lit(r["left"]), F.lit(r["right"]))
     return (
         per_word.select(
             F.col(key_col),
             F.length("w").alias("n_char"),
-            F.size(F.split(F.trim(seg), " ")).alias("n_bpe"),
+            F.size(seg).alias("n_bpe"),
         )
         .groupBy(key_col)
         .agg(

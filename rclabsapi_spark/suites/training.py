@@ -492,6 +492,24 @@ def q_shard_shuffle(spark, sf_dir):
 # Distributed BPE merge training (tokenizer induction)
 # ---------------------------------------------------------------------------
 
+def _bpe_fold_sql(inner: str, b: str) -> str:
+    """DuckDB fold applying one BPE merge (b.l, b.r) to a sentineled
+    symbol string — list_reduce has no initial-value arg in DuckDB
+    1.0, so a prepended ' ' seeds the accumulator (the empty
+    sentineled string); each step fuses when the accumulator ends
+    with ' l ' and the next symbol is r (canonical leftmost-greedy —
+    consecutive occurrences all merge, unlike a boundary-consuming
+    replace(' l r ', ' lr '))."""
+    return (
+        f"list_reduce(list_prepend(' ', string_split(trim({inner}), ' ')),"
+        f" (acc, x) -> CASE WHEN x = {b}.r"
+        f" AND ends_with(acc, ' ' || {b}.l || ' ')"
+        f" THEN left(acc, length(acc) - length({b}.l) - 1)"
+        f" || {b}.l || x || ' '"
+        f" ELSE acc || x || ' ' END)"
+    )
+
+
 def _bpe_round_sql(r: int) -> str:
     prev = f"v{r - 1}"
     return f"""
@@ -507,8 +525,7 @@ b{r} AS (
     ORDER BY pair_count DESC, l, r LIMIT 1
 ),
 v{r} AS (
-    SELECT replace(repr, ' ' || b.l || ' ' || b.r || ' ',
-                   ' ' || b.l || b.r || ' ') AS repr, n
+    SELECT {_bpe_fold_sql("repr", "b")} AS repr, n
     FROM {prev}, b{r} b
 )"""
 
@@ -555,9 +572,13 @@ def q_bpe_merges(spark, sf_dir, *, materialize=True):
     )
 
 
+_seg_fold = "' ' || array_to_string(regexp_extract_all(w, '.'), ' ') || ' '"
+for _r in range(1, _BPE_N_MERGES + 1):
+    _seg_fold = _bpe_fold_sql(_seg_fold, f"b{_r}")
+
 _BPE_SEGMENT_ORACLE = (
     _BPE_ORACLE.split("\nSELECT 1 AS merge_rank")[0].rstrip()
-    + """
+    + f"""
 , pw AS (
     SELECT doc_id, w
     FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
@@ -566,21 +587,7 @@ _BPE_SEGMENT_ORACLE = (
 ),
 seg AS (
     SELECT doc_id, length(w) AS n_char,
-           len(string_split(trim(
-               replace(replace(replace(replace(replace(
-                   ' ' || array_to_string(regexp_extract_all(w, '.'), ' ')
-                       || ' ',
-                   ' ' || b1.l || ' ' || b1.r || ' ',
-                   ' ' || b1.l || b1.r || ' '),
-                   ' ' || b2.l || ' ' || b2.r || ' ',
-                   ' ' || b2.l || b2.r || ' '),
-                   ' ' || b3.l || ' ' || b3.r || ' ',
-                   ' ' || b3.l || b3.r || ' '),
-                   ' ' || b4.l || ' ' || b4.r || ' ',
-                   ' ' || b4.l || b4.r || ' '),
-                   ' ' || b5.l || ' ' || b5.r || ' ',
-                   ' ' || b5.l || b5.r || ' ')
-           ), ' ')) AS n_bpe
+           len(string_split(trim({_seg_fold}), ' ')) AS n_bpe
     FROM pw, b1, b2, b3, b4, b5
 )
 SELECT doc_id, SUM(n_char)::BIGINT AS n_tokens_char,
@@ -596,8 +603,8 @@ def q_bpe_segment(spark, sf_dir, *, materialize=True):
     vs BPE token counts — the compression audit that says what the
     merges buy (and the driver-verified proof that training and
     application agree end-to-end; the oracle re-learns the merges in
-    its CTEs and applies them as the same nested replace chain).
-    llm/bpe.py::bpe_segment."""
+    its CTEs and applies them as the same nested leftmost-greedy
+    folds). llm/bpe.py::bpe_segment."""
     from rclabsapi_spark.llm.bpe import bpe_merges, bpe_segment
 
     docs = load_table(spark, sf_dir, "documents")

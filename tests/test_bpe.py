@@ -67,6 +67,108 @@ def test_bpe_merges_match_reference(spark):
     assert got == expected
 
 
+def test_bpe_merges_consecutive_pairs_match_reference(spark):
+    """A corpus whose best pair occurs CONSECUTIVELY inside words
+    ('banana' → 'a n a n a' has two adjacent (a,n) occurrences sharing
+    a boundary) — the case a boundary-consuming replace(' l r ', ' lr ')
+    silently gets wrong, learning (a,n) twice and a malformed merge
+    table. The fold-based apply_merge must match canonical Sennrich."""
+    from rclabsapi_spark.llm.bpe import bpe_merges
+
+    corpus = ["banana banana banana bandana", "banana anana nan"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    wc: Counter = Counter()
+    for t in corpus:
+        wc.update(w for w in t.split(" ") if w)
+    expected = _reference_bpe(dict(wc), 4)
+    got = [
+        (r["left"], r["right"], r["pair_count"])
+        for r in bpe_merges(docs, n_merges=4)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == expected
+    # a well-formed merge table never learns the same pair twice
+    assert len({(l, r) for l, r, _ in got}) == len(got)
+
+
+def _reference_segment(word: str, merges: list[tuple[str, str]]):
+    """Canonical BPE application: repeatedly merge the HIGHEST-priority
+    (lowest merge_rank) pair present anywhere in the word until no
+    learned pair remains — Sennrich's encode loop."""
+    syms = list(word)
+    prio = {pair: i for i, pair in enumerate(merges)}
+    while len(syms) > 1:
+        ranked = [
+            (prio[(a, b)], i)
+            for i, (a, b) in enumerate(zip(syms, syms[1:]))
+            if (a, b) in prio
+        ]
+        if not ranked:
+            break
+        best_prio = min(ranked)[0]
+        pair = merges[best_prio]
+        out, i = [], 0
+        while i < len(syms):
+            if (
+                i + 1 < len(syms)
+                and syms[i] == pair[0]
+                and syms[i + 1] == pair[1]
+            ):
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_segment_held_out_words_match_priority_loop(spark):
+    """Held-out parity (r8 verdict missing #2): segment words NOT in
+    the training corpus with (a) the engine's rank-ordered
+    one-pass-per-merge fold chain and (b) the canonical priority-loop
+    encoder. The two can in principle diverge when a LATER merge
+    re-creates an EARLIER merge's pair; this corpus/holdout pair pins
+    agreement on realistic morphology (shared prefixes/suffixes,
+    repeats, OOV chars)."""
+    from rclabsapi_spark.llm.bpe import bpe_merges, bpe_segment
+
+    corpus = [
+        "low lower lowest low low banana",
+        "new newer newest new newer banana bandana",
+        "wide wider widest wide anana",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    merges_df = bpe_merges(docs, n_merges=8)
+    merges = [
+        (r["left"], r["right"])
+        for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    held_out = [
+        "slower", "newish", "widen", "lowland", "bananarama",
+        "nanana", "anew", "wow", "q", "unseen",
+    ]
+    ho = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(held_out)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_tokens_bpe"]
+        for r in bpe_segment(ho, merges_df).collect()
+    }
+    for i, w in enumerate(held_out):
+        assert got[i] == len(_reference_segment(w, merges)), (
+            w,
+            got[i],
+            _reference_segment(w, merges),
+        )
+
+
 def test_bpe_segment_compresses_and_is_consistent(spark):
     """Applying the learned merges shortens every document's token
     stream (chars with repeats always admit ≥1 merge) and never below
