@@ -738,6 +738,19 @@ def ann_recall_at_k(
     return per_query.unionByName(macro)
 
 
+def derive_num_bits(
+    n: int, *, target_bucket_size: int = 64, lo: int = 4, hi: int = 16
+) -> int:
+    """Sign-LSH width as a function of corpus size: the smallest b with
+    2^b buckets of ≈``target_bucket_size`` expected members, clamped to
+    [lo, hi]. Pure integer arithmetic (ceil-div + bit_length) so the
+    DuckDB mirror (``length(bin(ceildiv - 1))``) is bit-identical —
+    never float log2, whose ulp at exact powers of two is
+    engine-dependent."""
+    ceildiv = max((n + target_bucket_size - 1) // target_bucket_size, 1)
+    return max(lo, min(hi, (ceildiv - 1).bit_length()))
+
+
 def hard_negative_mining(
     embeddings: DataFrame,
     labels: DataFrame,
@@ -746,7 +759,10 @@ def hard_negative_mining(
     key_col: str = "vec_id",
     label_key_col: str = "doc_id",
     label_col: str = "lang",
-    num_bits: int = 4,
+    num_bits: int | None = None,
+    target_bucket_size: int = 64,
+    max_bucket_candidates: int | None = 256,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for every anchor,
     the most-cosine-similar vector carrying a DIFFERENT label — the
@@ -754,17 +770,37 @@ def hard_negative_mining(
     random ring negatives of sample_negatives (public literature:
     in-batch vs hard negatives, e.g. DPR/ANCE).
 
-    Blocked by sign-LSH bucket: the self-join keys on the bucket id, so
-    the corpus never all-pairs joins — Σ bucket² work, the same guard
-    as every near-dup tier — and at scale the relation is written
-    ``bucketBy(bucket)`` so the join is exchange-free. Anchors whose
-    bucket holds no different-label member yield no row (the
-    "no local hard negative" case a wider-probe tier handles; the
-    count of such anchors is the caller's coverage metric).
+    Blocked by sign-LSH bucket, with BOTH scale guards every sibling
+    near-dup tier carries:
+
+    - ``num_bits=None`` (default) derives the bucket width from the
+      corpus size (``derive_num_bits``: ≈log2(n/target_bucket_size),
+      clamped [4, 16]) so bucket population stays ≈constant as the
+      corpus grows — fixed-width blocking is Σ bucket² = n²/2^bits,
+      quadratic at fixed bits. Deriving runs ONE eager count() of the
+      embeddings input at plan-construction time (documented, like the
+      k-row centroid pulls); pass an int to stay fully lazy.
+    - ``max_bucket_candidates`` (default 256, the ``max_shingle_df``
+      pattern) keeps only the first C members of each bucket as
+      NEGATIVE candidates, ranked by (md5('hncap:'||key), key) — a
+      deterministic uniform subsample mirrored in the DuckDB oracle.
+      Join work is then ≤ n·C, linear; anchors are never dropped.
+
+    ``probe_bits=p`` > 0 additionally probes, per anchor, the p buckets
+    at Hamming distance 1 (flip bit i, i < p) — the standard sign-LSH
+    multi-probe fallback that rescues anchors whose home bucket holds
+    no cross-label member. Default 0 keeps the single-bucket contract;
+    ``hard_negative_coverage`` measures how many anchors need it.
+    Anchors whose probed buckets hold no different-label candidate
+    yield no row.
 
     Determinism: ranking happens on the ROUNDED cosine (6dp) with the
     negative key as tie-break, so every engine picks the same winner
     even when two raw cosines differ only in accumulation-order ulps."""
+    if num_bits is None:
+        num_bits = derive_num_bits(
+            embeddings.count(), target_bucket_size=target_bucket_size
+        )
     v = _as_double(F.col(vec_col))
     lab = labels.select(
         F.col(label_key_col).alias(key_col), F.col(label_col).alias("__lab")
@@ -781,12 +817,34 @@ def hard_negative_mining(
         F.col("__v").alias("av"),
         F.col("__bkt").alias("bkt"),
     )
+    if probe_bits > 0:
+        flips = [F.col("bkt")] + [
+            F.concat(
+                F.substring("bkt", 1, i),
+                F.when(
+                    F.substring("bkt", i + 1, 1) == "1", F.lit("0")
+                ).otherwise(F.lit("1")),
+                F.substring("bkt", i + 2, num_bits - i - 1),
+            )
+            for i in range(min(probe_bits, num_bits))
+        ]
+        a = a.withColumn("bkt", F.explode(F.array(*flips)))
     n = base.select(
         F.col(key_col).alias("negative_id"),
         F.col("__lab").alias("neg_label"),
         F.col("__v").alias("nv"),
         F.col("__bkt").alias("bkt"),
     )
+    if max_bucket_candidates is not None:
+        wc = Window.partitionBy("bkt").orderBy(
+            F.md5(F.concat(F.lit("hncap:"), F.col("negative_id").cast("string"))),
+            F.col("negative_id"),
+        )
+        n = (
+            n.withColumn("__c", F.row_number().over(wc))
+            .filter(F.col("__c") <= max_bucket_candidates)
+            .drop("__c")
+        )
     scored = (
         a.join(n, "bkt")
         .filter(
@@ -810,6 +868,66 @@ def hard_negative_mining(
         scored.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") == 1)
         .drop("__rk")
+    )
+
+
+def hard_negative_coverage(
+    embeddings: DataFrame,
+    labels: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    label_key_col: str = "doc_id",
+    label_col: str = "lang",
+    num_bits: int | None = None,
+    target_bucket_size: int = 64,
+    max_bucket_candidates: int | None = 256,
+    probe_bits: int = 0,
+) -> DataFrame:
+    """Coverage audit for blocked hard-negative mining: per anchor
+    label, how many anchors found a local (in-bucket, post-cap)
+    cross-label negative — the metric that says whether the blocking
+    is tight enough to need the multi-probe fallback. Returns
+    (anchor_label, n_anchors, n_covered, coverage_rate), rate rounded
+    half-up 6dp for cross-engine hashing. Cost: the mined relation
+    (≤ n·C pairs) plus one n-row aggregate per side."""
+    from rclabsapi_spark.functions.scalars import round_half_up
+
+    mined = hard_negative_mining(
+        embeddings,
+        labels,
+        vec_col=vec_col,
+        key_col=key_col,
+        label_key_col=label_key_col,
+        label_col=label_col,
+        num_bits=num_bits,
+        target_bucket_size=target_bucket_size,
+        max_bucket_candidates=max_bucket_candidates,
+        probe_bits=probe_bits,
+    )
+    lab = labels.select(
+        F.col(label_key_col).alias(key_col), F.col(label_col).alias("__lab")
+    )
+    anchors = (
+        embeddings.join(lab, key_col)
+        .groupBy(F.col("__lab").alias("anchor_label"))
+        .agg(F.count(F.lit(1)).alias("n_anchors"))
+    )
+    covered = mined.groupBy("anchor_label").agg(
+        F.count(F.lit(1)).alias("n_covered")
+    )
+    return (
+        anchors.join(covered, "anchor_label", "left")
+        .select(
+            "anchor_label",
+            "n_anchors",
+            F.coalesce(F.col("n_covered"), F.lit(0)).alias("n_covered"),
+            round_half_up(
+                F.coalesce(F.col("n_covered"), F.lit(0)).cast("double")
+                / F.col("n_anchors").cast("double"),
+                6,
+            ).alias("coverage_rate"),
+        )
     )
 
 

@@ -1464,22 +1464,41 @@ def q_duplicate_spans(spark, sf_dir):
 # Hard-negative mining (contrastive training pairs)
 # ---------------------------------------------------------------------------
 
-_HARDNEG_ORACLE = f"""
-WITH b AS (
+# derived bucket width: smallest b with 2^b buckets of ~64 expected
+# members, clamped [4,16] — integer ceil-div + bit-length, identical to
+# llm/similarity.py::derive_num_bits (never float log2)
+_HARDNEG_CAP = 32
+_HARDNEG_CORE = f"""
+nbd AS (
+    SELECT least(greatest(length(bin(
+               greatest((n + 63) // 64, 1) - 1)), 4), 16) AS b
+    FROM (SELECT COUNT(*)::BIGINT AS n FROM embeddings)
+),
+b AS (
     SELECT e.vec_id, d.lang, e.embedding::DOUBLE[] AS v,
-           concat({", ".join(
-               f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END"
-               for i in range(4))}) AS bucket
-    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+           array_to_string([CASE WHEN e.embedding[i + 1] >= 0
+                                 THEN '1' ELSE '0' END
+                            FOR i IN range(nbd.b)], '') AS bucket
+    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id, nbd
+),
+capped AS (
+    SELECT * FROM b
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY bucket
+        ORDER BY md5('hncap:' || CAST(vec_id AS VARCHAR)), vec_id
+    ) <= {_HARDNEG_CAP}
 ),
 scored AS (
     SELECT a.vec_id AS anchor_id, a.lang AS anchor_label,
            n.vec_id AS negative_id, n.lang AS neg_label,
            ROUND({_cos_sql("a.v", "n.v")}, 6) AS cosine_sim
-    FROM b a JOIN b n
+    FROM b a JOIN capped n
       ON a.bucket = n.bucket AND a.vec_id <> n.vec_id
      AND a.lang <> n.lang
-)
+)"""
+
+_HARDNEG_ORACLE = f"""
+WITH {_HARDNEG_CORE}
 SELECT anchor_id, anchor_label, negative_id, neg_label, cosine_sim
 FROM scored
 QUALIFY ROW_NUMBER() OVER (
@@ -1490,18 +1509,73 @@ QUALIFY ROW_NUMBER() OVER (
 @query("sim_hard_negatives", _HARDNEG_ORACLE, bench=True)
 def q_hard_negatives(spark, sf_dir):
     """Hard-negative mining for contrastive training: per anchor, the
-    most-cosine-similar vector with a DIFFERENT language, blocked by
-    the 4-bit sign-LSH bucket (Σ bucket² work, never an all-pairs
-    join; at scale the relation is written bucketBy(bucket) so the
-    self-join is exchange-free). Ranking on the ROUNDED cosine keeps
-    the winner identical across engines.
-    llm/similarity.py::hard_negative_mining."""
+    most-cosine-similar vector with a DIFFERENT language, blocked by a
+    CORPUS-SIZED sign-LSH bucket (bits ≈ log2(n/64), so bucket
+    population stays ~constant as the corpus grows) with a
+    deterministic 32-candidate per-bucket cap on the negative side
+    (md5-ranked, the max_shingle_df pattern) — join work ≤ n·32,
+    linear, never the Σ bucket² blow-up of fixed-width uncapped
+    blocking. Ranking on the ROUNDED cosine keeps the winner identical
+    across engines. llm/similarity.py::hard_negative_mining."""
     from rclabsapi_spark.llm.similarity import hard_negative_mining
 
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
     return hard_negative_mining(
-        emb, docs, label_key_col="doc_id", label_col="lang", num_bits=4
+        emb,
+        docs,
+        label_key_col="doc_id",
+        label_col="lang",
+        num_bits=None,
+        target_bucket_size=64,
+        max_bucket_candidates=_HARDNEG_CAP,
+    )
+
+
+_HARDNEG_COVERAGE_ORACLE = f"""
+WITH {_HARDNEG_CORE},
+mined AS (
+    SELECT anchor_id, anchor_label FROM scored
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY anchor_id ORDER BY cosine_sim DESC, negative_id) = 1
+),
+anchors AS (
+    SELECT lang AS anchor_label, COUNT(*)::BIGINT AS n_anchors
+    FROM b GROUP BY lang
+),
+covered AS (
+    SELECT anchor_label, COUNT(*)::BIGINT AS n_covered
+    FROM mined GROUP BY anchor_label
+)
+SELECT a.anchor_label, a.n_anchors,
+       COALESCE(c.n_covered, 0)::BIGINT AS n_covered,
+       {_rhu(
+           "COALESCE(c.n_covered, 0)::DOUBLE / a.n_anchors::DOUBLE", 6
+       )} AS coverage_rate
+FROM anchors a LEFT JOIN covered c USING (anchor_label)
+"""
+
+
+@query("sim_hard_negative_coverage", _HARDNEG_COVERAGE_ORACLE)
+def q_hard_negative_coverage(spark, sf_dir):
+    """Coverage audit for the blocked hard-negative miner: per label,
+    the fraction of anchors whose (capped) bucket held a cross-label
+    negative — the quality gate that says when the 1-bit multi-probe
+    fallback (probe_bits>0) is needed. Same blocking parameters as
+    sim_hard_negatives, one extra n-row aggregate per side.
+    llm/similarity.py::hard_negative_coverage."""
+    from rclabsapi_spark.llm.similarity import hard_negative_coverage
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    return hard_negative_coverage(
+        emb,
+        docs,
+        label_key_col="doc_id",
+        label_col="lang",
+        num_bits=None,
+        target_bucket_size=64,
+        max_bucket_candidates=_HARDNEG_CAP,
     )
 
 

@@ -268,3 +268,142 @@ def test_hard_negative_mining_picks_nearest_cross_label(spark):
     assert out[2] == (3, "de")
     assert out[3][1] == "en"  # de anchor pairs with an en negative
     assert 4 not in out  # isolated bucket → no local hard negative
+
+
+def test_derive_num_bits_integer_formula():
+    """Corpus-sized bucket width: smallest b with 2^b·target ≥ n,
+    clamped [4,16] — pure integers, matching the oracle's
+    length(bin(ceildiv-1)) exactly (incl. the bin(0)='0' edge, which
+    both sides clamp to the floor)."""
+    from rclabsapi_spark.llm.similarity import derive_num_bits
+
+    assert derive_num_bits(0) == 4
+    assert derive_num_bits(64) == 4  # ceildiv=1 → 0 bits → floor
+    assert derive_num_bits(500) == 4  # ceildiv=8 → 3 → floor
+    assert derive_num_bits(2000) == 5  # ceildiv=32 → 5
+    assert derive_num_bits(2049) == 6  # ceildiv=33 → 6
+    assert derive_num_bits(64 * (1 << 20)) == 16  # clamp hi
+    assert derive_num_bits(10**12) == 16
+
+
+def test_hard_negative_bucket_cap_is_deterministic_md5_subset(spark):
+    """With max_bucket_candidates=1, only the md5('hncap:'||id)-first
+    member of each bucket survives as a negative candidate — anchors
+    pair with it or (same-label) get no row. Pins the cap ordering the
+    DuckDB oracle mirrors."""
+    import hashlib
+
+    from rclabsapi_spark.llm.similarity import hard_negative_mining
+
+    # all four vectors share bucket '11' (nb=2); labels alternate
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 1.0, 0.0, 0.0]),
+            (2, [1.0, 0.9, 0.0, 0.0]),
+            (3, [0.9, 1.0, 0.1, 0.0]),
+            (4, [0.8, 1.0, 0.2, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    labels = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "de"), (4, "de")],
+        "doc_id long, lang string",
+    )
+    survivor = min(
+        range(1, 5),
+        key=lambda i: (
+            hashlib.md5(f"hncap:{i}".encode()).hexdigest(),
+            i,
+        ),
+    )
+    out = {
+        r["anchor_id"]: r["negative_id"]
+        for r in hard_negative_mining(
+            emb,
+            labels,
+            label_key_col="doc_id",
+            label_col="lang",
+            num_bits=2,
+            max_bucket_candidates=1,
+        ).collect()
+    }
+    # only cross-label anchors vs the single survivor produce rows
+    survivor_label = "en" if survivor <= 2 else "de"
+    expected_anchors = {
+        i for i in range(1, 5)
+        if ("en" if i <= 2 else "de") != survivor_label
+    }
+    assert set(out) == expected_anchors
+    assert all(neg == survivor for neg in out.values())
+
+
+def test_hard_negative_multiprobe_rescues_isolated_anchor(spark):
+    """An anchor whose home bucket has no cross-label member gets a row
+    once probe_bits>0 lets it probe the Hamming-1 neighbor buckets —
+    and stays absent without probing (the documented coverage gap)."""
+    from rclabsapi_spark.llm.similarity import hard_negative_mining
+
+    # nb=2: id 1 (en) alone in bucket '01'; ids 2 (de), 3 (en) in '11'
+    # (flip bit 0 of '01' → '11' reaches the de negative)
+    emb = spark.createDataFrame(
+        [
+            (1, [-1.0, 1.0, 0.0, 0.0]),
+            (2, [1.0, 1.0, 0.0, 0.0]),
+            (3, [1.0, 0.9, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    labels = spark.createDataFrame(
+        [(1, "en"), (2, "de"), (3, "en")],
+        "doc_id long, lang string",
+    )
+    kw = dict(label_key_col="doc_id", label_col="lang", num_bits=2)
+    without = {
+        r["anchor_id"]
+        for r in hard_negative_mining(emb, labels, **kw).collect()
+    }
+    assert 1 not in without
+    probed = {
+        r["anchor_id"]: r["negative_id"]
+        for r in hard_negative_mining(
+            emb, labels, probe_bits=2, **kw
+        ).collect()
+    }
+    assert probed[1] == 2  # rescued via the flipped-bit bucket
+    assert probed[2] in (1, 3)
+
+
+def test_hard_negative_coverage_counts(spark):
+    """Coverage audit = |mined anchors| / |anchors| per label, on the
+    same blocking; the isolated-bucket anchor shows up as the gap."""
+    from rclabsapi_spark.llm.similarity import (
+        hard_negative_coverage,
+        hard_negative_mining,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 1.0, 0.0, 0.0]),
+            (2, [1.0, 0.9, 0.0, 0.0]),
+            (3, [0.9, 1.0, 0.1, 0.0]),
+            (4, [-1.0, -1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    labels = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "de"), (4, "en")],
+        "doc_id long, lang string",
+    )
+    kw = dict(label_key_col="doc_id", label_col="lang", num_bits=2)
+    mined = hard_negative_mining(emb, labels, **kw).collect()
+    cov = {
+        r["anchor_label"]: (
+            r["n_anchors"],
+            r["n_covered"],
+            r["coverage_rate"],
+        )
+        for r in hard_negative_coverage(emb, labels, **kw).collect()
+    }
+    n_mined_en = sum(1 for r in mined if r["anchor_label"] == "en")
+    assert cov["en"] == (3, n_mined_en, round(n_mined_en / 3, 6))
+    assert cov["de"] == (1, 1, 1.0)

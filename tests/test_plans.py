@@ -901,13 +901,19 @@ def test_dsir_broadcast_ratio_table(spark):
 
 def test_hard_negatives_bucket_equijoin(spark):
     """Hard-negative mining: the self-join keys on the sign bucket
-    (equi-join, Σ bucket² work) and the label relation broadcasts —
-    never a cartesian, never a sort-merge of the corpus."""
+    (equi-join) with the negative side CAPPED per bucket (md5-ranked
+    row_number ≤ C — join work ≤ n·C, linear), and the label relation
+    broadcasts — never a cartesian, never a sort-merge of the corpus.
+    The cap window breaks exchange reuse, so each side scans once."""
     from rclabsapi_spark.planaudit import audit
 
-    scans, counts = audit(_fn(spark, "sim_hard_negatives"))
-    assert scans["embeddings"] == 1 and scans["documents"] == 1
+    df = _fn(spark, "sim_hard_negatives")
+    scans, counts = audit(df)
+    assert scans["embeddings"] <= 2 and scans["documents"] <= 2
     assert counts["smj"] == 0
+    # the per-bucket candidate cap is in the plan (negative side only)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "hncap:" in plan
 
 
 def test_mm_frame_dedup_digest_shuffle(spark):
