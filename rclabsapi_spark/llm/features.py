@@ -123,11 +123,26 @@ def quantile_transform(
     (0..1) — the distribution-free feature scaling. One two-phase
     global rank per column over the (value, key) order (deterministic
     ties; exact percent_rank = (rn−1)/(N−1) from integer row numbers),
-    so no column ever plans a single-partition sort."""
+    so no column ever plans a single-partition sort.
+
+    NOTE: plan construction is EAGER — ONE multi-column approxQuantile
+    pass samples every column's bucket cuts up front (the rfm_scores
+    pattern; previously each column fired its own sampling job inside
+    global_percent_rank). Cut accuracy only affects bucket balance,
+    never the ranks."""
+    n_buckets = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    all_cuts = df.approxQuantile(list(cols), probs, 1.0 / (4.0 * n_buckets))
     out = df
-    for c in cols:
+    for c, cuts in zip(cols, all_cuts):
         out = global_percent_rank(
-            out, [F.col(c), F.col(key_col)], out_col=c + suffix
+            out,
+            [F.col(c), F.col(key_col)],
+            out_col=c + suffix,
+            num_buckets=n_buckets,
+            cuts=cuts,
         )
     return out
 

@@ -198,7 +198,10 @@ def weighted_sample_k(
         w = Window.partitionBy(group_col).orderBy(
             score.asc(), F.col(key_col)
         )
-        ranked = df.withColumn("sample_rank", F.row_number().over(w))
+        ranked = df.withColumn(
+            # long, matching the two-phase path's overflow-safe rank
+            "sample_rank", F.row_number().over(w).cast("long")
+        )
     else:
         from rclabsapi_spark.operators.rank import global_row_number
 

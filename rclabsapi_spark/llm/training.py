@@ -387,7 +387,7 @@ def shuffle_shards(
         # a 13-hex (52-bit, double-exact) prefix is a monotone bucket key
         bucket_key=F.conv(F.substring(h, 1, 13), 16, 10).cast("long"),
     )
-    rn = F.col("__shuf_rn").cast("long") - 1
+    rn = F.col("__shuf_rn") - 1  # already long (rank.py overflow contract)
     return ranked.select(
         F.col(key_col),
         (rn % n_shards).cast("int").alias("shard"),

@@ -137,7 +137,10 @@ def _ranked_with_total(
     offsets = sizes.select(*off_cols)
     return (
         local.join(F.broadcast(offsets), _BKT)
-        .withColumn(out_col, (F.col(_OFF) + F.col(_LRN)).cast("int"))
+        # long, not int: this module is the 100 TB path — a 32-bit rank
+        # silently overflows past 2^31-1 rows (ntile/percent_rank
+        # re-derive from the long, so only this cast guards the family)
+        .withColumn(out_col, (F.col(_OFF) + F.col(_LRN)).cast("long"))
         .drop(_BKT, _LRN, _OFF)
     )
 

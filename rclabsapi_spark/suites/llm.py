@@ -801,7 +801,14 @@ def q_ivf_persisted(spark, sf_dir):
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # cache tag fingerprints the DATA, not just the path: regenerated
+    # fixture parquet at the same sf_dir must rebuild the index, never
+    # silently search a stale one
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
     path = f"/tmp/rclabs_ivf_index_{tag}"
     if not os.path.exists(f"{path}/vectors/_SUCCESS"):
         save_ivf_index(emb, path, n_centroids=4, kmeans_iters=3)
