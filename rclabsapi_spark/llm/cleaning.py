@@ -330,3 +330,81 @@ def boilerplate_ngrams(
         )
         .limit(k)
     )
+
+
+# URL canonicalization (web-corpus hygiene) ---------------------------------
+
+# Tracking parameters dropped during canonicalization: the utm_* family
+# by prefix, plus the common click-id / session params. RE2-compatible,
+# mirrored verbatim in the DuckDB oracles.
+URL_DROP_PARAMS: tuple[str, ...] = ("fbclid", "gclid", "ref", "sessionid")
+
+_URL_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+_URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?]+)"
+_URL_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?]+([^?]*)"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL — the normalization a
+    web corpus applies BEFORE URL-level exact dedup, so case/tracking
+    variants of one page collapse to one key (public crawl practice,
+    e.g. the URL normalizations described for Common Crawl dedup):
+
+    - scheme and host lowercased; a leading ``www.`` stripped
+    - default ports dropped (``:443`` for https, ``:80`` for http);
+      non-default ports kept
+    - fragment removed
+    - trailing slashes stripped from the path (empty path → ``/``)
+    - query params: the ``utm_*`` family and ``URL_DROP_PARAMS``
+      removed, the survivors SORTED (param order never distinguishes
+      pages); an emptied query string drops its ``?``
+
+    Pure codegen string/regexp/array expressions — no UDF, no shuffle;
+    path and query VALUE case is preserved (only scheme/host are
+    case-insensitive per RFC 3986)."""
+    no_frag = F.regexp_replace(url, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, _URL_SCHEME_RE, 1))
+    hostport = F.lower(F.regexp_extract(no_frag, _URL_HOST_RE, 1))
+    host = F.regexp_replace(
+        F.regexp_replace(hostport, ":[0-9]+$", ""), r"^www\.", ""
+    )
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "https") & (port == "443"))
+        | ((scheme == "http") & (port == "80"))
+    )
+    portpart = F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(
+        F.lit("")
+    )
+    rawpath = F.regexp_extract(no_frag, _URL_PATH_RE, 1)
+    stripped = F.regexp_replace(rawpath, "/+$", "")
+    path = F.when(stripped == "", F.lit("/")).otherwise(stripped)
+    qs = F.regexp_extract(no_frag, r"\?(.*)$", 1)
+
+    def _keep(p: Column) -> Column:
+        name = F.substring_index(p, "=", 1)
+        dropped = name.startswith("utm_")
+        for d in URL_DROP_PARAMS:
+            dropped = dropped | (name == d)
+        return (p != "") & ~dropped
+
+    kept = F.array_sort(F.filter(F.split(qs, "&"), _keep))
+    qpart = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, portpart, path, qpart)
+
+
+def url_registrable_domain(canon_url: Column) -> Column:
+    """Registrable domain of a CANONICAL URL (last two host labels —
+    the documented public-suffix simplification; a production pipeline
+    swaps in the PSL table as a broadcast join). The domain is the
+    rollup key for per-site corpus accounting and crawl budgeting."""
+    host = F.regexp_extract(canon_url, _URL_HOST_RE, 1)
+    parts = F.split(host, r"\.")
+    return F.when(
+        F.size(parts) >= 2,
+        F.concat(
+            F.element_at(parts, -2), F.lit("."), F.element_at(parts, -1)
+        ),
+    ).otherwise(host)

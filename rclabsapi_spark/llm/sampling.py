@@ -405,3 +405,65 @@ def dsir_logweights(
         "n_tokens",
         round_half_up(F.col("w_raw"), 6).alias("dsir_logweight"),
     )
+
+
+def epoch_mixture_schedule(
+    token_counts: DataFrame,
+    *,
+    strat_col: str,
+    tokens_col: str = "n_tokens",
+    tau: float = 0.5,
+    budget_multiplier: float = 2.0,
+) -> DataFrame:
+    """Epoch-mixture schedule audit: given per-stratum available token
+    counts, how many tokens (and therefore EPOCHS over each stratum)
+    a temperature-flattened training mix consumes at a total budget of
+    ``budget_multiplier × Σ tokens`` — the 'how many times will we
+    repeat the low-resource sources' check run before committing a
+    multi-epoch data budget (public literature: mT5/XLM-R temperature
+    mixing; repeated-epoch scaling analyses à la Muennighoff et al.).
+
+    Per stratum s: w_s = n_s^τ / Σ_t n_t^τ (τ=1 natural, τ→0 uniform),
+    target_tokens_s = ⌊budget · w_s⌋, epochs_s = target/n_s — epochs>1
+    means the stratum repeats, the quantity the audit exists to bound.
+
+    Cross-engine determinism: the normalizer folds over the
+    stratum-sorted list (the temperature_rates contract); with τ=0.5
+    pow is IEEE sqrt (correctly rounded everywhere), the budget and
+    targets derive by floor from bit-identical doubles, and the
+    reported ratios are integer-derived then round_half_up(6). The
+    input relation is stratum-sized (≤ thousands of rows): every
+    window/fold here is driver-scale, never corpus-scale."""
+    from rclabsapi_spark.functions.scalars import round_half_up
+
+    z = token_counts.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(strat_col).alias("s"),
+                        F.col(tokens_col).cast("double").alias("n"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + F.pow(x["n"], F.lit(float(tau))),
+        ).alias("_z"),
+        F.sum(F.col(tokens_col)).alias("_total"),
+    )
+    n = F.col(tokens_col).cast("double")
+    w = F.pow(n, F.lit(float(tau))) / F.col("_z")
+    budget = F.lit(float(budget_multiplier)) * F.col("_total").cast("double")
+    target = F.floor(budget * w).cast("long")
+    return token_counts.crossJoin(F.broadcast(z)).select(
+        strat_col,
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        round_half_up(
+            n / F.col("_total").cast("double"), 6
+        ).alias("token_share"),
+        round_half_up(w, 6).alias("w_temp"),
+        target.alias("target_tokens"),
+        round_half_up(
+            target.cast("double") / n, 6
+        ).alias("epochs"),
+    )

@@ -324,3 +324,215 @@ def q_winsorize(spark, sf_dir):
         F.round(F.avg("value"), 6).alias("mean_raw"),
         F.round(F.avg(clipped), 6).alias("mean_winsorized"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + domain-level dedup rollup (web-corpus hygiene)
+# ---------------------------------------------------------------------------
+
+# The fixture has no URL column, so BOTH engines derive the same
+# deterministic pseudo-URL per document (the _PII_TAIL_SQL precedent:
+# the operator under test is the canonicalizer, not the synthesis).
+# md5-derived hex digits toggle the case/port/slash/tracking/fragment
+# variance a real crawl exhibits; the canonical form collapses it.
+
+
+def _v(h, k):
+    # hex digit k of the doc's url-hash, first-half test (P=0.5)
+    return F.substring(h, k, 1) < "8"
+
+
+def _pseudo_url_col():
+    h = F.md5(F.concat(F.lit("url:"), F.col("doc_id").cast("string")))
+    scheme = F.when(_v(h, 1), F.lit("HTTPS")).otherwise(F.lit("https"))
+    www = F.when(_v(h, 2), F.lit("WWW.")).otherwise(F.lit(""))
+    host = F.concat(
+        F.when(_v(h, 3), F.upper(F.col("source"))).otherwise(
+            F.col("source")
+        ),
+        F.lit(".COM"),
+    )
+    port = F.when(_v(h, 4), F.lit(":443")).otherwise(F.lit(""))
+    path = F.concat(
+        F.lit("/p/"),
+        (F.col("doc_id") % 25).cast("string"),
+        F.when(_v(h, 5), F.lit("/")).otherwise(F.lit("")),
+    )
+    idp = F.concat(F.lit("id="), (F.col("doc_id") % 10).cast("string"))
+    params = F.when(
+        _v(h, 8), F.concat(F.lit("lang="), F.col("lang"), F.lit("&"), idp)
+    ).otherwise(idp)
+    params = F.when(
+        _v(h, 6), F.concat(F.lit("utm_source=feed&"), params)
+    ).otherwise(params)
+    frag = F.when(_v(h, 7), F.lit("#sec")).otherwise(F.lit(""))
+    return F.concat(
+        scheme, F.lit("://"), www, host, port, path, F.lit("?"), params, frag
+    )
+
+
+def _vsql(k):
+    return f"substring(md5('url:' || CAST(doc_id AS VARCHAR)), {k}, 1) < '8'"
+
+
+_PSEUDO_URL_SQL = f"""
+    (CASE WHEN {_vsql(1)} THEN 'HTTPS' ELSE 'https' END) || '://'
+    || (CASE WHEN {_vsql(2)} THEN 'WWW.' ELSE '' END)
+    || (CASE WHEN {_vsql(3)} THEN upper(source) ELSE source END) || '.COM'
+    || (CASE WHEN {_vsql(4)} THEN ':443' ELSE '' END)
+    || '/p/' || CAST(doc_id % 25 AS VARCHAR)
+    || (CASE WHEN {_vsql(5)} THEN '/' ELSE '' END)
+    || '?'
+    || (CASE WHEN {_vsql(6)} THEN 'utm_source=feed&' ELSE '' END)
+    || (CASE WHEN {_vsql(8)}
+        THEN 'lang=' || lang || '&id=' || CAST(doc_id % 10 AS VARCHAR)
+        ELSE 'id=' || CAST(doc_id % 10 AS VARCHAR) END)
+    || (CASE WHEN {_vsql(7)} THEN '#sec' ELSE '' END)
+"""
+
+# the DuckDB mirror of llm/cleaning.py::canonicalize_url — same regex
+# text (RE2-compatible), same param-drop list, same sort
+_URL_CANON_CTE = f"""
+raw AS (
+    SELECT doc_id, {_PSEUDO_URL_SQL} AS raw_url FROM documents
+),
+parts AS (
+    SELECT doc_id, raw_url,
+           regexp_replace(raw_url, '#.*$', '') AS no_frag
+    FROM raw
+),
+comp AS (
+    SELECT doc_id, raw_url,
+           lower(regexp_extract(no_frag,
+               '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+           lower(regexp_extract(no_frag,
+               '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?]+)', 1)) AS hostport,
+           regexp_extract(no_frag,
+               '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?]+([^?]*)', 1) AS rawpath,
+           regexp_extract(no_frag, '\\?(.*)$', 1) AS qs
+    FROM parts
+),
+canon AS (
+    SELECT doc_id, raw_url,
+           scheme || '://'
+           || regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
+                             '^www\\.', '')
+           || (CASE WHEN regexp_extract(hostport, ':([0-9]+)$', 1) <> ''
+                     AND NOT ((scheme = 'https' AND
+                               regexp_extract(hostport, ':([0-9]+)$', 1)
+                                   = '443')
+                           OR (scheme = 'http' AND
+                               regexp_extract(hostport, ':([0-9]+)$', 1)
+                                   = '80'))
+                    THEN ':' || regexp_extract(hostport, ':([0-9]+)$', 1)
+                    ELSE '' END)
+           || (CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+                    ELSE regexp_replace(rawpath, '/+$', '') END)
+           || (CASE WHEN len(list_sort(list_filter(string_split(qs, '&'),
+                        p -> p <> ''
+                         AND NOT starts_with(split_part(p, '=', 1), 'utm_')
+                         AND split_part(p, '=', 1) NOT IN
+                             ('fbclid', 'gclid', 'ref', 'sessionid')))) > 0
+                    THEN '?' || array_to_string(list_sort(list_filter(
+                             string_split(qs, '&'),
+                             p -> p <> ''
+                              AND NOT starts_with(split_part(p, '=', 1),
+                                                  'utm_')
+                              AND split_part(p, '=', 1) NOT IN
+                                  ('fbclid', 'gclid', 'ref', 'sessionid'))),
+                             '&')
+                    ELSE '' END) AS canon_url
+    FROM comp
+),
+dom AS (
+    SELECT doc_id, raw_url, canon_url,
+           CASE WHEN len(string_split(regexp_extract(canon_url,
+                    '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?]+)', 1), '.')) >= 2
+                THEN string_split(regexp_extract(canon_url,
+                         '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?]+)', 1),
+                         '.')[-2]
+                  || '.'
+                  || string_split(regexp_extract(canon_url,
+                         '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?]+)', 1),
+                         '.')[-1]
+                ELSE regexp_extract(canon_url,
+                         '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?]+)', 1)
+           END AS domain
+    FROM canon
+)"""
+
+_URL_CANON_ORACLE = f"""
+WITH {_URL_CANON_CTE}
+SELECT doc_id, raw_url, canon_url, domain FROM dom
+"""
+
+
+@query("clean_url_canonicalize", _URL_CANON_ORACLE, bench=True)
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization — the normalization a web corpus applies
+    before URL-level dedup: lowercase scheme/host, strip www. and
+    default ports, drop fragments and utm_*/click-id params, sort the
+    surviving params, trim trailing slashes. Per-doc (raw, canonical,
+    registrable-domain) rows hash-verify every rule at once. Pure
+    codegen string expressions over one scan — no UDF, no shuffle.
+    llm/cleaning.py::canonicalize_url/url_registrable_domain."""
+    from rclabsapi_spark.llm.cleaning import (
+        canonicalize_url,
+        url_registrable_domain,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    canon = canonicalize_url(_pseudo_url_col())
+    return docs.select(
+        "doc_id",
+        _pseudo_url_col().alias("raw_url"),
+        canon.alias("canon_url"),
+        url_registrable_domain(canon).alias("domain"),
+    )
+
+
+_DOMAIN_ROLLUP_ORACLE = f"""
+WITH {_URL_CANON_CTE}
+SELECT domain,
+       COUNT(*)::BIGINT AS n_docs,
+       COUNT(DISTINCT canon_url)::BIGINT AS n_canon_urls,
+       (COUNT(*) - COUNT(DISTINCT canon_url))::BIGINT AS n_dup_docs,
+       ROUND((COUNT(*) - COUNT(DISTINCT canon_url))
+             / COUNT(*)::DOUBLE, 6) AS dup_rate
+FROM dom GROUP BY domain
+"""
+
+
+@query("dedup_domain_rollup", _DOMAIN_ROLLUP_ORACLE)
+def q_domain_rollup(spark, sf_dir):
+    """Domain-level dedup rollup — the per-site accounting step before
+    doc-level dedup: docs per registrable domain, distinct canonical
+    URLs, and the implied URL-duplicate count/rate (case/tracking
+    variants of one page collapsing under canonicalization). One
+    groupBy(domain) with a partial-aggregated count-distinct; the
+    domain key is low-cardinality but count-distinct is two-phase, so
+    no single reducer sees the corpus.
+    llm/cleaning.py::canonicalize_url/url_registrable_domain."""
+    from rclabsapi_spark.llm.cleaning import (
+        canonicalize_url,
+        url_registrable_domain,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    canon = canonicalize_url(_pseudo_url_col())
+    per_doc = docs.select(
+        url_registrable_domain(canon).alias("domain"),
+        canon.alias("canon_url"),
+    )
+    return per_doc.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("canon_url").alias("n_canon_urls"),
+        (F.count(F.lit(1)) - F.countDistinct("canon_url")).alias(
+            "n_dup_docs"
+        ),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct("canon_url"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_rate"),
+    )

@@ -664,3 +664,72 @@ def q_bpe_fertility(spark, sf_dir, *, materialize=True):
             ).alias("chars_per_token"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch-mixture schedule audit (temperature mixing × token budget)
+# ---------------------------------------------------------------------------
+
+_EPOCH_TAU = 0.5
+_EPOCH_BUDGET_MULT = 2.0
+
+_EPOCH_MIXTURE_ORACLE = f"""
+WITH t AS (
+    SELECT source,
+           SUM(len(regexp_extract_all(
+               text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')))::BIGINT
+               AS n_tokens
+    FROM documents GROUP BY source
+),
+z AS (
+    SELECT list_reduce(
+               list_transform(list(n_tokens::DOUBLE ORDER BY source),
+                              x -> pow(x, {_EPOCH_TAU})),
+               (a, b) -> a + b) AS z,
+           SUM(n_tokens)::BIGINT AS total
+    FROM t
+),
+sched AS (
+    SELECT t.source, t.n_tokens,
+           t.n_tokens::DOUBLE / z.total::DOUBLE AS share_raw,
+           pow(t.n_tokens::DOUBLE, {_EPOCH_TAU}) / z.z AS w_raw,
+           CAST(floor({_EPOCH_BUDGET_MULT} * z.total::DOUBLE
+                      * pow(t.n_tokens::DOUBLE, {_EPOCH_TAU}) / z.z)
+                AS BIGINT) AS target_tokens
+    FROM t, z
+)
+SELECT source, n_tokens,
+       {sql_round_half_up("share_raw", 6)} AS token_share,
+       {sql_round_half_up("w_raw", 6)} AS w_temp,
+       target_tokens,
+       {sql_round_half_up(
+           "target_tokens::DOUBLE / n_tokens::DOUBLE", 6
+       )} AS epochs
+FROM sched
+"""
+
+
+@query("train_epoch_mixture", _EPOCH_MIXTURE_ORACLE)
+def q_epoch_mixture(spark, sf_dir):
+    """Epoch-mixture schedule audit: per-source available tokens vs the
+    tokens a temperature-flattened mix (τ=0.5) consumes at a 2× total
+    budget — epochs>1 quantifies how often each low-resource source
+    repeats (the multi-epoch budgeting check of public temperature-
+    mixing / repeated-data scaling literature). One corpus aggregate;
+    everything after runs on the |sources| relation with a sorted-fold
+    normalizer, so the doubles are bit-identical across engines.
+    llm/sampling.py::epoch_mixture_schedule."""
+    from rclabsapi_spark.llm.sampling import epoch_mixture_schedule
+    from rclabsapi_spark.llm.text import bpe_ish_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.sum(bpe_ish_count(F.col("text"))).alias("n_tokens")
+    )
+    return epoch_mixture_schedule(
+        counts,
+        strat_col="source",
+        tokens_col="n_tokens",
+        tau=_EPOCH_TAU,
+        budget_multiplier=_EPOCH_BUDGET_MULT,
+    )
