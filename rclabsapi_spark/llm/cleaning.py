@@ -400,7 +400,9 @@ def url_registrable_domain(canon_url: Column) -> Column:
     the documented public-suffix simplification; a production pipeline
     swaps in the PSL table as a broadcast join). The domain is the
     rollup key for per-site corpus accounting and crawl budgeting."""
-    host = F.regexp_extract(canon_url, _URL_HOST_RE, 1)
+    host = F.regexp_replace(
+        F.regexp_extract(canon_url, _URL_HOST_RE, 1), ":[0-9]+$", ""
+    )
     parts = F.split(host, r"\.")
     return F.when(
         F.size(parts) >= 2,

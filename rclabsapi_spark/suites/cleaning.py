@@ -444,21 +444,21 @@ canon AS (
                     ELSE '' END) AS canon_url
     FROM comp
 ),
+chost AS (
+    SELECT doc_id, raw_url, canon_url,
+           regexp_replace(regexp_extract(canon_url,
+               '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?]+)', 1),
+               ':[0-9]+$', '') AS chost
+    FROM canon
+),
 dom AS (
     SELECT doc_id, raw_url, canon_url,
-           CASE WHEN len(string_split(regexp_extract(canon_url,
-                    '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?]+)', 1), '.')) >= 2
-                THEN string_split(regexp_extract(canon_url,
-                         '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?]+)', 1),
-                         '.')[-2]
-                  || '.'
-                  || string_split(regexp_extract(canon_url,
-                         '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?]+)', 1),
-                         '.')[-1]
-                ELSE regexp_extract(canon_url,
-                         '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?]+)', 1)
+           CASE WHEN len(string_split(chost, '.')) >= 2
+                THEN string_split(chost, '.')[-2] || '.'
+                  || string_split(chost, '.')[-1]
+                ELSE chost
            END AS domain
-    FROM canon
+    FROM chost
 )"""
 
 _URL_CANON_ORACLE = f"""

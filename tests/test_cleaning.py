@@ -239,3 +239,50 @@ def test_lang_id_evaluation_confusion_matrix(spark):
         expect[(r["lang"], best)] += 1
     got = {(r["true_lang"], r["predicted_lang"]): r["n"] for r in rows}
     assert got == dict(expect)
+
+
+def test_canonicalize_url_rules(spark):
+    """Every canonicalization rule on planted URLs: scheme/host case,
+    www strip, default vs non-default ports, fragment, utm_/click-id
+    param drops, param sorting, trailing-slash policy."""
+    from rclabsapi_spark.llm.cleaning import (
+        canonicalize_url,
+        url_registrable_domain,
+    )
+
+    cases = [
+        # (raw, expected_canon, expected_domain)
+        ("HTTPS://WWW.Ex.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+         "https://ex.com/a/b?a=1&b=2", "ex.com"),
+        ("http://ex.com:80/", "http://ex.com/", "ex.com"),
+        ("http://ex.com:8080/p", "http://ex.com:8080/p", "ex.com"),
+        ("https://sub.news.ex.co/x?gclid=1&fbclid=2&ref=h&sessionid=9",
+         "https://sub.news.ex.co/x", "ex.co"),
+        ("https://ex.com", "https://ex.com/", "ex.com"),
+        ("https://ex.com/?", "https://ex.com/", None),  # empty query
+        ("https://ex.com/p///", "https://ex.com/p", "ex.com"),
+        ("https://localhost/p?id=1", "https://localhost/p?id=1",
+         "localhost"),
+        ("https://ex.com/p?utm_campaign=z&utm_medium=y",
+         "https://ex.com/p", "ex.com"),
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _, _) in enumerate(cases)],
+        "i long, url string",
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        r["i"]: (r["c"], r["d"])
+        for r in df.select(
+            "i",
+            canonicalize_url(F.col("url")).alias("c"),
+            url_registrable_domain(
+                canonicalize_url(F.col("url"))
+            ).alias("d"),
+        ).collect()
+    }
+    for i, (raw, want_c, want_d) in enumerate(cases):
+        assert got[i][0] == want_c, (raw, got[i][0], want_c)
+        if want_d is not None:
+            assert got[i][1] == want_d, (raw, got[i][1], want_d)
