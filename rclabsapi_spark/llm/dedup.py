@@ -971,29 +971,38 @@ def duplicate_spans(
     100 TB additionally group on md5(span) instead of the span text
     (32-byte shuffle keys, the exact_dedup digest trick; same
     contract). The fixture-sized query keeps every anchor and groups
-    on the span itself so the oracle is direct."""
-    words = docs.select(
+    on the span itself so the oracle is direct.
+
+    Plan shape: word-start offsets come from ONE array fold over the
+    split words (offset_i = Σ_{j<i} len(w_j)+1) — not a per-doc window
+    — so the document text never crosses an exchange: explode, slice,
+    and drop the text inside a single codegen stage; the only shuffle
+    is the span-key aggregate carrying ``span_len``-byte keys."""
+    arr = F.split(F.col(text_col), " ")
+    zero = F.struct(
+        F.array().cast("array<long>").alias("offs"),
+        F.lit(0).cast("long").alias("cur"),
+    )
+    offsets = F.aggregate(
+        arr,
+        zero,
+        lambda acc, x: F.struct(
+            F.concat(acc["offs"], F.array(acc["cur"])).alias("offs"),
+            (acc["cur"] + F.length(x) + 1).alias("cur"),
+        ),
+    )["offs"]
+    exploded = docs.select(
         F.col(key_col),
         F.col(text_col),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+        F.explode(offsets).alias("off"),
     )
-    w_ord = Window.partitionBy(key_col).orderBy("pos")
-    offset = F.coalesce(
-        F.sum(F.length("w") + 1).over(
-            w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    spans = exploded.filter(
+        F.length(F.col(text_col)) - F.col("off") >= span_len
+    ).select(
+        F.col(key_col),
+        F.substring(F.col(text_col), F.col("off") + 1, F.lit(span_len)).alias(
+            "span"
         ),
-        F.lit(0),
-    )
-    spans = (
-        words.select(
-            F.col(key_col),
-            F.substring(
-                F.col(text_col), offset + 1, span_len
-            ).alias("span"),
-            (F.length(F.col(text_col)) - offset).alias("rem"),
-        )
-        .filter(F.col("rem") >= span_len)
-        .drop("rem")
     )
     if anchor_hex_prefix is not None:
         spans = spans.filter(

@@ -875,16 +875,24 @@ def test_no_single_partition_window_anywhere(spark):
     assert not offenders, offenders
 
 
-def test_duplicate_spans_single_scan_window_aggregate(spark):
-    """Duplicate spans: ONE documents scan feeds the doc-partitioned
-    offset window, then one span aggregate — no joins, no second scan."""
+def test_duplicate_spans_single_scan_fold_aggregate(spark):
+    """Duplicate spans: ONE documents scan; word-start offsets come
+    from the array fold (no doc-partitioned window — the r8 shape
+    shuffled full text per word row through the window exchange), so
+    the only exchanges are the span aggregate's and the document text
+    never leaves its codegen stage."""
     from rclabsapi_spark.planaudit import audit
 
     scans, counts = audit(_fn(spark, "dedup_duplicate_spans"))
     assert scans["documents"] == 1
-    assert counts["exch"] <= 2  # doc-key window + span aggregate
+    assert counts["exch"] <= 2  # countDistinct partial + span aggregate
     p = _plan(spark, "dedup_duplicate_spans")
     assert "Join" not in p
+    assert "Window" not in p  # fold-derived offsets, never a window
+    # no exchange keyed on the doc alone (the text-carrying shuffle)
+    import re
+
+    assert not re.search(r"hashpartitioning\(doc_id#\d+L?, \d+\)", p)
 
 
 def test_dsir_broadcast_ratio_table(spark):
