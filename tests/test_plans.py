@@ -651,6 +651,9 @@ def test_no_accidental_cartesian_anywhere(spark):
         "mba_pair_lift",
         # 1-row temperature normalizer Z = Σ n_s^τ broadcast back
         "sample_temperature",
+        # 1-row (Z, total-tokens) normalizer broadcast onto the
+        # |sources| schedule relation
+        "train_epoch_mixture",
         # per-round 1-row best-pair argmax broadcast onto the vocab
         "train_bpe_merges",
         # 1-row bucket-histogram totals broadcast into the ratio table
@@ -893,6 +896,52 @@ def test_duplicate_spans_single_scan_fold_aggregate(spark):
     import re
 
     assert not re.search(r"hashpartitioning\(doc_id#\d+L?, \d+\)", p)
+
+
+def test_url_canonicalize_pure_project(spark):
+    """URL canonicalization: codegen string expressions over one scan —
+    NO exchange, no join, no window. The operator must stay a pure
+    Project so it rides along any downstream plan for free."""
+    p = _plan(spark, "clean_url_canonicalize")
+    assert _scans(p)["documents"] == 1
+    assert "Exchange" not in p
+    assert "Join" not in p and "Window" not in p
+
+
+def test_domain_rollup_two_phase_distinct(spark):
+    """Domain rollup: one scan, count-distinct expands two-phase (the
+    low-cardinality domain key never funnels raw URLs through one
+    reducer), no join."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "dedup_domain_rollup"))
+    assert scans["documents"] == 1
+    assert counts["exch"] <= 2
+    assert "Join" not in _plan(spark, "dedup_domain_rollup")
+
+
+def test_epoch_mixture_schedule_small_relations(spark):
+    """Epoch-mixture audit: ONE corpus scan reduces to the |sources|
+    relation; the 1-row (Z, total) normalizer broadcasts back (the
+    reviewed BNLJ category) — everything after the first aggregate is
+    stratum-sized."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "train_epoch_mixture"))
+    assert scans["documents"] == 1
+    assert counts["exch"] <= 3
+    assert counts.get("smj", 0) == 0
+
+
+def test_hard_negative_coverage_composed_joins(spark):
+    """Coverage audit: reuses the capped mining plan plus two
+    stratum-sized aggregates — broadcast joins only, never a sort-merge
+    of the corpus."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "sim_hard_negative_coverage"))
+    assert scans["embeddings"] <= 3 and scans["documents"] <= 2
+    assert counts.get("smj", 0) == 0
 
 
 def test_dsir_broadcast_ratio_table(spark):
