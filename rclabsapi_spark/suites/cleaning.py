@@ -536,3 +536,61 @@ def q_domain_rollup(spark, sf_dir):
             6,
         ).alias("dup_rate"),
     )
+
+
+_URL_KEEPER_ORACLE = f"""
+WITH {_URL_CANON_CTE},
+keyed AS (
+    SELECT d.doc_id, d.canon_url, doc.source
+    FROM dom d JOIN documents doc USING (doc_id)
+),
+keepers AS (
+    SELECT canon_url, MIN(doc_id) AS keeper_doc_id
+    FROM keyed GROUP BY canon_url
+)
+SELECT k.source,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN k.doc_id = p.keeper_doc_id
+                THEN 1 ELSE 0 END)::BIGINT AS n_keepers,
+       SUM(CASE WHEN k.doc_id = p.keeper_doc_id
+                THEN 0 ELSE 1 END)::BIGINT AS n_losers
+FROM keyed k JOIN keepers p USING (canon_url)
+GROUP BY k.source
+"""
+
+
+@query("dedup_url_keeper", _URL_KEEPER_ORACLE)
+def q_url_keeper(spark, sf_dir):
+    """URL-level dedup DECISION applied: canonicalize, keep the
+    min-doc_id document per canonical URL, report survivors/losers per
+    source — the web-corpus step that runs BEFORE content-level dedup
+    (case/tracking variants of one page never reach the MinHash tier).
+    Keeper selection is one aggregate on the canonical key + one
+    equi-join back; the md5-free min-key rule matches exact_dedup's.
+    llm/cleaning.py::canonicalize_url."""
+    from rclabsapi_spark.llm.cleaning import canonicalize_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", "source", canonicalize_url(_pseudo_url_col()).alias("cu")
+    )
+    keepers = keyed.groupBy("cu").agg(
+        F.min("doc_id").alias("keeper_doc_id")
+    )
+    return (
+        keyed.join(keepers, "cu")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("doc_id") == F.col("keeper_doc_id"), 1
+                ).otherwise(0)
+            ).alias("n_keepers"),
+            F.sum(
+                F.when(
+                    F.col("doc_id") == F.col("keeper_doc_id"), 0
+                ).otherwise(1)
+            ).alias("n_losers"),
+        )
+    )
