@@ -1743,3 +1743,75 @@ def q_mmr_rerank(spark, sf_dir, *, materialize=True):
         k=_MMR_K,
         materialize=materialize,
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-split NEAR-duplicate leakage (LSH tier x split assignment)
+# ---------------------------------------------------------------------------
+
+
+def _split_case_sql(idc: str) -> str:
+    h = f"substring(md5('split1' || CAST({idc} AS VARCHAR)), 1, 4)"
+    return (
+        f"CASE WHEN {h} < '0ccc' THEN 'val'"
+        f" WHEN {h} < '1999' THEN 'test'"
+        f" ELSE 'train' END"
+    )
+
+
+_XSPLIT_LEAK_ORACLE = f"""
+WITH lsh AS ({_MINHASH_ORACLE}),
+sp AS (
+    SELECT l.jaccard,
+           {_split_case_sql("l.doc_a")} AS split_a,
+           {_split_case_sql("l.doc_b")} AS split_b
+    FROM lsh l WHERE l.jaccard >= 0.5
+)
+SELECT least(split_a, split_b) AS split_lo,
+       greatest(split_a, split_b) AS split_hi,
+       COUNT(*)::BIGINT AS n_pairs,
+       MAX(jaccard) AS max_jaccard
+FROM sp WHERE split_a <> split_b
+GROUP BY split_lo, split_hi
+"""
+
+
+@query("dedup_cross_split_leakage", _XSPLIT_LEAK_ORACLE)
+def q_cross_split_leakage(spark, sf_dir):
+    """Cross-split NEAR-duplicate leakage: verified LSH pairs (Jaccard
+    ≥ 0.5) whose endpoints land in DIFFERENT train/val/test splits —
+    the contamination hash-splitting by id cannot prevent and exact
+    fingerprint auditing (train_split_contamination) cannot see. Split
+    labels are pure md5 functions of the ids, applied directly to the
+    pair relation — no join against an assignment table; MAX over
+    rounded jaccards keeps the summary order-insensitive.
+    llm/dedup.py::lsh_candidate_pairs + llm/sampling.py::split_assign
+    thresholds."""
+    from rclabsapi_spark.llm.sampling import hash_bucket, pct_threshold
+
+    def split_of(idcol):
+        b = hash_bucket(idcol, salt="split1")
+        return (
+            F.when(b < pct_threshold(5.0), F.lit("val"))
+            .when(b < pct_threshold(10.0), F.lit("test"))
+            .otherwise(F.lit("train"))
+        )
+
+    pairs = lsh_candidate_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=8,
+        bands=4,
+        max_bucket_size=50,
+    ).filter(F.col("jaccard") >= 0.5)
+    sp = pairs.select(
+        "jaccard",
+        split_of(F.col("doc_a")).alias("split_a"),
+        split_of(F.col("doc_b")).alias("split_b"),
+    ).filter(F.col("split_a") != F.col("split_b"))
+    return sp.groupBy(
+        F.least("split_a", "split_b").alias("split_lo"),
+        F.greatest("split_a", "split_b").alias("split_hi"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
