@@ -1815,3 +1815,49 @@ def q_cross_split_leakage(spark, sf_dir):
         F.count(F.lit(1)).alias("n_pairs"),
         F.max("jaccard").alias("max_jaccard"),
     )
+
+
+_HARDNEG_PROBED_ORACLE = f"""
+WITH {_HARDNEG_CORE.replace(
+    "scored AS (",
+    '''probed AS (
+    SELECT vec_id, lang, v, bucket FROM b
+    UNION ALL
+    SELECT vec_id, lang, v,
+           (CASE WHEN substring(bucket, 1, 1) = '1' THEN '0' ELSE '1' END)
+               || substring(bucket, 2) AS bucket
+    FROM b
+),
+scored AS (''',
+).replace("FROM b a JOIN capped n", "FROM probed a JOIN capped n")}
+SELECT anchor_id, anchor_label, negative_id, neg_label, cosine_sim
+FROM scored
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY anchor_id ORDER BY cosine_sim DESC, negative_id) = 1
+"""
+
+
+@query("sim_hard_negatives_probed", _HARDNEG_PROBED_ORACLE)
+def q_hard_negatives_probed(spark, sf_dir):
+    """Multi-probe hard-negative mining (probe_bits=1): every anchor
+    additionally probes the bucket with its FIRST sign bit flipped —
+    the standard sign-LSH probe that rescues anchors whose home bucket
+    has no cross-label member. Work bound doubles to ≤ 2·n·C, still
+    linear; the probed anchor relation is a union of two bucket
+    stampings of one scan. Rescued-anchor coverage is the delta vs
+    sim_hard_negative_coverage.
+    llm/similarity.py::hard_negative_mining(probe_bits=1)."""
+    from rclabsapi_spark.llm.similarity import hard_negative_mining
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    return hard_negative_mining(
+        emb,
+        docs,
+        label_key_col="doc_id",
+        label_col="lang",
+        num_bits=None,
+        target_bucket_size=64,
+        max_bucket_candidates=_HARDNEG_CAP,
+        probe_bits=1,
+    )
