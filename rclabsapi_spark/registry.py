@@ -59,23 +59,134 @@ def query(name: str, oracle: str | None, bench: bool = False):
     return deco
 
 
-def spec_digest(spec: QuerySpec) -> str:
-    """Content hash of a query's semantics: the query function's source
-    plus its (fully resolved) oracle SQL. Recorded in ``verified.json``
-    when a green driver row lands; any later edit to either component
-    changes the digest and auto-invalidates the green row, so the query
-    re-front-loads into the driver's 50-query verification window.
-    (An edit to a shared operator the function merely *calls* is not
-    captured — but those edits nearly always change the oracle too, and
-    the stale-row rotation below re-verifies everything every ~2 rounds
-    regardless.) Decorator lines are stripped: flipping ``bench=True``
-    changes no semantics and must not discard correctness evidence."""
-    src = inspect.getsource(spec.fn)
+_PKG = "rclabsapi_spark"
+
+
+def _strip_decorators(src: str) -> str:
+    """Drop decorator lines: flipping ``bench=True`` changes no semantics
+    and must not discard correctness evidence."""
     body_at = src.find("\ndef ")
-    src = src[body_at + 1:] if body_at >= 0 else src
-    return hashlib.sha256(
-        (src + "\x00" + (spec.oracle or "")).encode()
-    ).hexdigest()
+    return src[body_at + 1:] if body_at >= 0 else src
+
+
+def _code_names(code) -> set[str]:
+    """All names referenced by a code object and its nested code objects
+    (comprehensions, lambdas, closures): globals, attribute accesses, and
+    the dotted targets of function-local ``import`` statements all appear
+    in ``co_names``."""
+    names: set[str] = set(code.co_names)
+    for const in code.co_consts:
+        if hasattr(const, "co_names"):
+            names |= _code_names(const)
+    return names
+
+
+def _in_pkg(obj) -> bool:
+    mod = getattr(obj, "__module__", None)
+    return isinstance(mod, str) and (
+        mod == _PKG or mod.startswith(_PKG + ".")
+    )
+
+
+def _walk_deps(fn, seen: dict[str, str]) -> None:
+    """Transitively collect the sources of every ``rclabsapi_spark``
+    function/class reachable from ``fn``'s code, into ``seen`` keyed by
+    ``module:qualname``. Resolution is bytecode-based, so it catches
+    module-level imports (via ``fn.__globals__``), attribute calls like
+    ``dedup.duplicate_spans(...)``, and function-local
+    ``from rclabsapi_spark.x import y`` (the dotted module path and the
+    imported name both land in ``co_names``). Over-approximation (a name
+    that happens to match an unused module attr) only costs an occasional
+    extra invalidation, never a missed one."""
+    import importlib
+
+    code = getattr(fn, "__code__", None)
+    if code is None:
+        return
+    names = _code_names(code)
+    g = getattr(fn, "__globals__", {})
+
+    candidates = []
+    modules = []
+    for name in names:
+        obj = g.get(name)
+        if obj is not None:
+            if inspect.ismodule(obj) and _in_pkg_module(obj):
+                modules.append(obj)
+            elif (inspect.isfunction(obj) or inspect.isclass(obj)) and _in_pkg(obj):
+                candidates.append(obj)
+        if name.startswith(_PKG):  # function-local `from pkg.x import y`
+            try:
+                modules.append(importlib.import_module(name))
+            except ImportError:
+                pass
+    for mod in modules:
+        for name in names:
+            obj = getattr(mod, name, None)
+            if obj is not None and (
+                inspect.isfunction(obj) or inspect.isclass(obj)
+            ) and _in_pkg(obj):
+                candidates.append(obj)
+    # closures: functions captured in cells
+    if fn.__closure__:
+        for cell in fn.__closure__:
+            try:
+                obj = cell.cell_contents
+            except ValueError:
+                continue
+            if (inspect.isfunction(obj) or inspect.isclass(obj)) and _in_pkg(obj):
+                candidates.append(obj)
+
+    for obj in candidates:
+        key = f"{obj.__module__}:{obj.__qualname__}"
+        if key in seen:
+            continue
+        try:
+            seen[key] = _strip_decorators(inspect.getsource(obj))
+        except (OSError, TypeError):
+            continue
+        if inspect.isfunction(obj):
+            _walk_deps(obj, seen)
+        elif inspect.isclass(obj):
+            for meth in vars(obj).values():
+                if inspect.isfunction(meth):
+                    _walk_deps(meth, seen)
+
+
+def _in_pkg_module(mod) -> bool:
+    name = getattr(mod, "__name__", "")
+    return name == _PKG or name.startswith(_PKG + ".")
+
+
+def spec_deps(spec: QuerySpec) -> dict[str, str]:
+    """``module:qualname -> source`` for every in-package function/class
+    transitively reachable from the query function. Exposed for the
+    static registry tests."""
+    seen: dict[str, str] = {}
+    _walk_deps(spec.fn, seen)
+    seen.pop(f"{spec.fn.__module__}:{spec.fn.__qualname__}", None)
+    return seen
+
+
+def spec_digest(spec: QuerySpec) -> str:
+    """Content hash of a query's semantics: the query function's source,
+    its (fully resolved) oracle SQL, and — since round 10 — the sources
+    of every in-package operator function/class the query transitively
+    calls (``spec_deps``). Recorded in ``verified.json`` when a green
+    driver row lands; any later edit to any component changes the digest
+    and auto-invalidates the green row, so the query re-front-loads into
+    the driver's 50-query verification window. (Pre-r10 the digest
+    covered only the query fn + oracle; that blind spot let shared-
+    operator rewrites ship past recorded sweeps — VERDICT r9 §Missing 1.)
+    When this algorithm itself changes, re-stamp the ledger with
+    ``scripts/record_verified.py --restamp`` *before* editing any
+    operator code."""
+    src = _strip_decorators(inspect.getsource(spec.fn))
+    deps = spec_deps(spec)
+    payload = src + "\x00" + (spec.oracle or "")
+    for key in sorted(deps):
+        payload += "\x00" + key + "\x00" + deps[key]
+    return hashlib.sha256(payload.encode()).hexdigest()
 
 
 # verified.json: name -> {"digest": spec_digest at green time, "round": N}

@@ -43,10 +43,34 @@ def is_green(row: dict) -> bool:
     )
 
 
+def restamp() -> None:
+    """Recompute every existing ledger digest under the *current*
+    ``spec_digest`` algorithm, keeping evidence rounds. ONLY valid when
+    the ledger is zero-stale and no query/operator source has changed
+    since the evidence landed — i.e. immediately after a digest-algorithm
+    change, before any code edit. Anything else would launder staleness."""
+    reg = get_registry()
+    verified = json.loads(_VERIFIED_PATH.read_text())
+    for name, rec in verified.items():
+        if name in reg:
+            rec["digest"] = spec_digest(reg[name])
+    _VERIFIED_PATH.write_text(
+        json.dumps(verified, indent=1, sort_keys=True) + "\n"
+    )
+    print(f"restamped {len(verified)} records under current digest algorithm")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("round", type=int)
+    ap.add_argument("round", nargs="?", type=int)
+    ap.add_argument("--restamp", action="store_true")
     args = ap.parse_args()
+
+    if args.restamp:
+        restamp()
+        return
+    if args.round is None:
+        ap.error("round is required unless --restamp")
 
     reg = get_registry()
     rows = json.loads(
