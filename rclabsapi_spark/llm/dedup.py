@@ -969,33 +969,33 @@ def duplicate_spans(
     (e.g. ``"0"`` → 1/16 content-defined sample, still
     shift-invariant because the selection hashes the CONTENT). At
     100 TB additionally group on md5(span) instead of the span text
-    (32-byte shuffle keys, the exact_dedup digest trick; same
-    contract). The fixture-sized query keeps every anchor and groups
-    on the span itself so the oracle is direct.
+    (16-byte binary shuffle keys, the exact_dedup digest trick; span
+    text recovered by a semi-join of the tiny frequent-hash set back
+    to the postings). The fixture-sized query keeps every anchor and
+    groups on the span itself so the oracle is direct.
 
-    Plan shape: each word-start span is rebuilt from a BOUNDED slice of
-    the split-words array — ``span_len+1`` words always join to
-    ≥ ``span_len`` characters (every word contributes its separator, so
-    W words give ≥ W−1 chars even when all are empty), and
-    single-space join is the exact inverse of the split, so the slice's
-    first ``span_len`` chars equal ``substring(text, offset+1)``
-    character-for-character. O(span_len) work per word (linear — a
-    prefix-sum fold that concat-grows an offsets array is O(|words|²)
-    per doc, measured 2.2× slower at sf0.1), no per-doc window, and the
-    explode emits only ``span_len``-byte spans: the document text never
-    crosses an exchange; the only shuffle is the span-key aggregate."""
-    arr = F.split(F.col(text_col), " ")
-    spans_arr = F.transform(
-        arr,
-        lambda w, i: F.substring(
-            F.array_join(F.slice(arr, i + 1, span_len + 1), " "),
-            1,
-            span_len,
-        ),
-    )
+    Plan shape: ONE regex pass per document extracts every word-start
+    span — ``(?s)(?:^|(?<= ))(?=(.{N}))`` matches zero-width at each
+    word start (start-of-text or after a space) and CAPTURES the next
+    ``span_len`` chars via lookahead, so overlapping spans come out of
+    a single left-to-right scan and spans shorter than ``span_len``
+    never match (the length filter is free). Because single-space join
+    inverts ``split(text, ' ')`` exactly, the captures equal
+    ``substring(text, word_offset+1, span_len)`` character-for-
+    character — the same spans the previous slice-the-words-array
+    shape built, at ~4× less local compute (no 41-element array
+    slice + join per word; measured 2.5 s → 0.65 s at sf0.1). ``(?s)``
+    keeps ``.`` matching newlines inside documents. No per-doc window,
+    and the explode emits only ``span_len``-byte spans: the document
+    text never crosses an exchange; the only shuffle is the span-key
+    aggregate."""
+    pattern = "(?s)(?:^|(?<= ))(?=(.{%d}))" % span_len
     spans = docs.select(
-        F.col(key_col), F.explode(spans_arr).alias("span")
-    ).filter(F.length("span") == span_len)
+        F.col(key_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(pattern), 1)
+        ).alias("span"),
+    )
     if anchor_hex_prefix is not None:
         spans = spans.filter(
             F.substring(F.md5("span"), 1, len(anchor_hex_prefix))

@@ -1459,8 +1459,8 @@ def q_duplicate_spans(spark, sf_dir):
     that catches boilerplate/quotation regions document-level dedup
     cannot see. Word-boundary anchoring makes detection
     shift-invariant (a stride-sampled variant misses regions at
-    offsets incongruent mod the stride); one doc-key window + one
-    grouped aggregate. llm/dedup.py::duplicate_spans."""
+    offsets incongruent mod the stride); one regex pass per document +
+    one grouped aggregate. llm/dedup.py::duplicate_spans."""
     from rclabsapi_spark.llm.dedup import duplicate_spans
 
     docs = load_table(spark, sf_dir, "documents")

@@ -879,11 +879,12 @@ def test_no_single_partition_window_anywhere(spark):
 
 
 def test_duplicate_spans_single_scan_fold_aggregate(spark):
-    """Duplicate spans: ONE documents scan; word-start offsets come
-    from the array fold (no doc-partitioned window — the r8 shape
-    shuffled full text per word row through the window exchange), so
-    the only exchanges are the span aggregate's and the document text
-    never leaves its codegen stage."""
+    """Duplicate spans: ONE documents scan; word-start spans come from
+    a single regex pass with a zero-width word-start anchor (no
+    doc-partitioned window — the r8 shape shuffled full text per word
+    row through the window exchange), so the only exchanges are the
+    span aggregate's and the document text never leaves its scan
+    stage."""
     from rclabsapi_spark.planaudit import audit
 
     scans, counts = audit(_fn(spark, "dedup_duplicate_spans"))
@@ -891,7 +892,7 @@ def test_duplicate_spans_single_scan_fold_aggregate(spark):
     assert counts["exch"] <= 2  # countDistinct partial + span aggregate
     p = _plan(spark, "dedup_duplicate_spans")
     assert "Join" not in p
-    assert "Window" not in p  # fold-derived offsets, never a window
+    assert "Window" not in p  # regex-derived spans, never a window
     # no exchange keyed on the doc alone (the text-carrying shuffle)
     import re
 
