@@ -396,17 +396,16 @@ def canonicalize_url(url: Column) -> Column:
 
 
 def url_registrable_domain(canon_url: Column) -> Column:
-    """Registrable domain of a CANONICAL URL (last two host labels —
-    the documented public-suffix simplification; a production pipeline
-    swaps in the PSL table as a broadcast join). The domain is the
-    rollup key for per-site corpus accounting and crawl budgeting."""
+    """Registrable domain (eTLD+1) of a CANONICAL URL, resolved
+    against the Public Suffix List subset in ``llm/psl.py`` — so
+    ``news.bbc.co.uk`` rolls up to ``bbc.co.uk``, not ``co.uk`` (the
+    r9 last-two-labels simplification mis-rolled every
+    ccTLD-second-level site). The lookup is a map-literal codegen
+    chain, so this stays a pure Project; the domain is the rollup key
+    for per-site corpus accounting and crawl budgeting."""
+    from rclabsapi_spark.llm.psl import registrable_domain
+
     host = F.regexp_replace(
         F.regexp_extract(canon_url, _URL_HOST_RE, 1), ":[0-9]+$", ""
     )
-    parts = F.split(host, r"\.")
-    return F.when(
-        F.size(parts) >= 2,
-        F.concat(
-            F.element_at(parts, -2), F.lit("."), F.element_at(parts, -1)
-        ),
-    ).otherwise(host)
+    return registrable_domain(host)

@@ -342,16 +342,31 @@ def _v(h, k):
     return F.substring(h, k, 1) < "8"
 
 
+_PSEUDO_TLDS = (".com", ".co.uk", ".gov.uk", ".com.au",
+                ".co.jp", ".github.io", ".ck", ".org")
+
+
 def _pseudo_url_col():
     h = F.md5(F.concat(F.lit("url:"), F.col("doc_id").cast("string")))
     scheme = F.when(_v(h, 1), F.lit("HTTPS")).otherwise(F.lit("https"))
     www = F.when(_v(h, 2), F.lit("WWW.")).otherwise(F.lit(""))
-    host = F.concat(
-        F.when(_v(h, 3), F.upper(F.col("source"))).otherwise(
-            F.col("source")
-        ),
-        F.lit(".COM"),
+    # TLD from hash nibble 9 (2 hex chars per suffix) — exercises the
+    # PSL tiers: mandated second levels (co.uk/gov.uk/com.au/co.jp),
+    # a private hosting suffix (github.io), a wildcard family (ck),
+    # and plain TLDs; nibble 10 adds a subdomain so multi-label hosts
+    # exist (news.SOURCE.co.uk must roll up to SOURCE.co.uk, not
+    # co.uk — the bug the PSL closes).
+    c9 = F.substring(h, 9, 1)
+    tld = F.lit(_PSEUDO_TLDS[-1])
+    for i, t in enumerate(reversed(_PSEUDO_TLDS[:-1])):
+        bound = format(2 * (len(_PSEUDO_TLDS) - 1 - i), "x")
+        tld = F.when(c9 < bound, F.lit(t)).otherwise(tld)
+    base = F.concat(
+        F.when(_v(h, 10), F.lit("news.")).otherwise(F.lit("")),
+        F.col("source"),
+        tld,
     )
+    host = F.when(_v(h, 3), F.upper(base)).otherwise(base)
     port = F.when(_v(h, 4), F.lit(":443")).otherwise(F.lit(""))
     path = F.concat(
         F.lit("/p/"),
@@ -375,10 +390,27 @@ def _vsql(k):
     return f"substring(md5('url:' || CAST(doc_id AS VARCHAR)), {k}, 1) < '8'"
 
 
+def _tld_sql():
+    c9 = "substring(md5('url:' || CAST(doc_id AS VARCHAR)), 9, 1)"
+    arms = "".join(
+        f"WHEN {c9} < '{format(2 * (j + 1), 'x')}' THEN '{t}' "
+        for j, t in enumerate(_PSEUDO_TLDS[:-1])
+    )
+    return f"(CASE {arms}ELSE '{_PSEUDO_TLDS[-1]}' END)"
+
+
+_PSEUDO_HOST_SQL = f"""
+    (CASE WHEN {_vsql(3)}
+          THEN upper((CASE WHEN {_vsql(10)} THEN 'news.' ELSE '' END)
+                     || source || {_tld_sql()})
+          ELSE (CASE WHEN {_vsql(10)} THEN 'news.' ELSE '' END)
+               || source || {_tld_sql()} END)
+"""
+
 _PSEUDO_URL_SQL = f"""
     (CASE WHEN {_vsql(1)} THEN 'HTTPS' ELSE 'https' END) || '://'
     || (CASE WHEN {_vsql(2)} THEN 'WWW.' ELSE '' END)
-    || (CASE WHEN {_vsql(3)} THEN upper(source) ELSE source END) || '.COM'
+    || {_PSEUDO_HOST_SQL}
     || (CASE WHEN {_vsql(4)} THEN ':443' ELSE '' END)
     || '/p/' || CAST(doc_id % 25 AS VARCHAR)
     || (CASE WHEN {_vsql(5)} THEN '/' ELSE '' END)
@@ -392,6 +424,10 @@ _PSEUDO_URL_SQL = f"""
 
 # the DuckDB mirror of llm/cleaning.py::canonicalize_url — same regex
 # text (RE2-compatible), same param-drop list, same sort
+from rclabsapi_spark.llm.psl import psl_values_sql as _psl_values_sql
+
+_PSL_VALUES = _psl_values_sql()
+
 _URL_CANON_CTE = f"""
 raw AS (
     SELECT doc_id, {_PSEUDO_URL_SQL} AS raw_url FROM documents
@@ -451,14 +487,61 @@ chost AS (
                ':[0-9]+$', '') AS chost
     FROM canon
 ),
+psl AS (
+    SELECT * FROM {_PSL_VALUES}
+),
+spx AS (
+    SELECT doc_id, raw_url, canon_url, chost,
+           string_split(chost, '.') AS sp,
+           len(string_split(chost, '.')) AS n
+    FROM chost
+),
+cand AS (
+    SELECT *,
+           CASE WHEN n >= 4
+                THEN array_to_string(list_slice(sp, n - 3, n), '.')
+           END AS c4,
+           CASE WHEN n >= 3
+                THEN array_to_string(list_slice(sp, n - 2, n), '.')
+           END AS c3,
+           CASE WHEN n >= 2
+                THEN array_to_string(list_slice(sp, n - 1, n), '.')
+           END AS c2,
+           sp[n] AS c1
+    FROM spx
+),
+typed AS (
+    SELECT *,
+           (SELECT typ FROM psl WHERE rule = c4) AS t4,
+           (SELECT typ FROM psl WHERE rule = c3) AS t3,
+           (SELECT typ FROM psl WHERE rule = c2) AS t2,
+           (SELECT typ FROM psl WHERE rule = c1) AS t1
+    FROM cand
+),
+-- PSL prevailing rule: exception first (public suffix = its parent),
+-- else the LONGEST match (normal rule of length k, or a wildcard whose
+-- parent is the last k-1 labels), else the implicit '*' default
+pslen AS (
+    SELECT *,
+           COALESCE(
+               CASE WHEN t4 = 3 THEN 3 END,
+               CASE WHEN t3 = 3 THEN 2 END,
+               CASE WHEN t2 = 3 THEN 1 END,
+               CASE WHEN t1 = 3 THEN 0 END,
+               CASE WHEN t4 = 1 OR (t3 = 2 AND n >= 4) THEN 4 END,
+               CASE WHEN t3 = 1 OR (t2 = 2 AND n >= 3) THEN 3 END,
+               CASE WHEN t2 = 1 OR (t1 = 2 AND n >= 2) THEN 2 END,
+               CASE WHEN t1 = 1 THEN 1 END,
+               1) AS pl
+    FROM typed
+),
 dom AS (
     SELECT doc_id, raw_url, canon_url,
-           CASE WHEN len(string_split(chost, '.')) >= 2
-                THEN string_split(chost, '.')[-2] || '.'
-                  || string_split(chost, '.')[-1]
+           CASE WHEN n > pl
+                THEN array_to_string(list_slice(sp, n - pl, n), '.')
                 ELSE chost
            END AS domain
-    FROM chost
+    FROM pslen
 )"""
 
 _URL_CANON_ORACLE = f"""

@@ -286,3 +286,104 @@ def test_canonicalize_url_rules(spark):
         assert got[i][0] == want_c, (raw, got[i][0], want_c)
         if want_d is not None:
             assert got[i][1] == want_d, (raw, got[i][1], want_d)
+
+
+def test_registrable_domain_psl(spark):
+    """PSL semantics on the canonical textbook cases (publicsuffix.org
+    algorithm): ccTLD second-levels (bbc.co.uk, NOT co.uk — the r9
+    last-two-labels bug), private hosting suffixes, wildcard families,
+    exception rules, unknown-TLD fallback, and suffix-only hosts."""
+    from pyspark.sql import functions as F
+
+    from rclabsapi_spark.llm.psl import registrable_domain
+
+    cases = [
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("bbc.co.uk", "bbc.co.uk"),
+        ("co.uk", "co.uk"),            # host IS a public suffix
+        ("www.gov.uk", "www.gov.uk"),  # direct child of gov.uk
+        ("a.b.example.com", "example.com"),
+        ("myblog.github.io", "myblog.github.io"),  # private suffix
+        ("pages.myblog.github.io", "myblog.github.io"),
+        ("anything.example.ck", "anything.example.ck"),  # *.ck wildcard
+        ("example.ck", "example.ck"),  # equals a wildcard public suffix
+        ("www.ck", "www.ck"),          # !www.ck exception
+        ("sub.www.ck", "www.ck"),
+        ("city.kawasaki.jp", "city.kawasaki.jp"),  # exception
+        ("x.other.kawasaki.jp", "x.other.kawasaki.jp"),  # wildcard
+        ("shop.example.com.au", "example.com.au"),
+        ("foo.bar.co.jp", "bar.co.jp"),
+        ("example.unknowntld", "example.unknowntld"),  # '*' default
+        ("deep.example.unknowntld", "example.unknowntld"),
+        ("localhost", "localhost"),
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(cases)], "i long, host string"
+    )
+    got = {
+        r["i"]: r["d"]
+        for r in df.select(
+            "i", registrable_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    for i, (host, want) in enumerate(cases):
+        assert got[i] == want, (host, got[i], want)
+
+
+def test_registrable_domain_psl_matches_oracle_sql(spark):
+    """The DuckDB oracle re-implements the PSL matching algorithm
+    independently (correlated rule lookups + CASE chain) — run both
+    implementations over the same host list and require identity, so a
+    shared-design bug can't hide behind a mirrored oracle (the BPE
+    lesson)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from rclabsapi_spark.llm.psl import psl_values_sql, registrable_domain
+
+    hosts = [
+        "news.bbc.co.uk", "bbc.co.uk", "co.uk", "a.b.example.com",
+        "myblog.github.io", "anything.example.ck", "www.ck",
+        "sub.www.ck", "city.kawasaki.jp", "x.other.kawasaki.jp",
+        "shop.example.com.au", "example.unknowntld", "localhost",
+        "deep.a.gov.uk", "s.t.u.v.co.in", "blogspot.com",
+        "me.blogspot.com",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    spark_out = {
+        r["host"]: r["d"]
+        for r in df.select(
+            "host", registrable_domain(F.col("host")).alias("d")
+        ).collect()
+    }
+    con = duckdb.connect()
+    host_rows = ", ".join(f"('{h}')" for h in hosts)
+    sql = f"""
+    WITH hosts(host) AS (VALUES {host_rows}),
+    psl AS (SELECT * FROM {psl_values_sql()}),
+    spx AS (SELECT host, string_split(host, '.') AS sp,
+                   len(string_split(host, '.')) AS n FROM hosts),
+    cand AS (SELECT *,
+        CASE WHEN n >= 4 THEN array_to_string(list_slice(sp, n-3, n), '.') END AS c4,
+        CASE WHEN n >= 3 THEN array_to_string(list_slice(sp, n-2, n), '.') END AS c3,
+        CASE WHEN n >= 2 THEN array_to_string(list_slice(sp, n-1, n), '.') END AS c2,
+        sp[n] AS c1 FROM spx),
+    typed AS (SELECT *,
+        (SELECT typ FROM psl WHERE rule = c4) AS t4,
+        (SELECT typ FROM psl WHERE rule = c3) AS t3,
+        (SELECT typ FROM psl WHERE rule = c2) AS t2,
+        (SELECT typ FROM psl WHERE rule = c1) AS t1 FROM cand),
+    pslen AS (SELECT *, COALESCE(
+        CASE WHEN t4 = 3 THEN 3 END, CASE WHEN t3 = 3 THEN 2 END,
+        CASE WHEN t2 = 3 THEN 1 END, CASE WHEN t1 = 3 THEN 0 END,
+        CASE WHEN t4 = 1 OR (t3 = 2 AND n >= 4) THEN 4 END,
+        CASE WHEN t3 = 1 OR (t2 = 2 AND n >= 3) THEN 3 END,
+        CASE WHEN t2 = 1 OR (t1 = 2 AND n >= 2) THEN 2 END,
+        CASE WHEN t1 = 1 THEN 1 END, 1) AS pl FROM typed)
+    SELECT host, CASE WHEN n > pl
+                 THEN array_to_string(list_slice(sp, n-pl, n), '.')
+                 ELSE host END AS d
+    FROM pslen
+    """
+    duck_out = dict(con.execute(sql).fetchall())
+    assert spark_out == duck_out
