@@ -931,6 +931,97 @@ def hard_negative_coverage(
     )
 
 
+def semantic_decontaminate(
+    train_emb: DataFrame,
+    eval_emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    num_bits: int | None = None,
+    target_bucket_size: int = 16,
+    threshold: float = 0.9,
+    max_eval_bucket: int | None = 64,
+    probe_bits: int = 1,
+) -> DataFrame:
+    """Semantic eval-set decontamination: flag training documents whose
+    EMBEDDING is near-identical to an eval/benchmark document — the
+    paraphrase-level leakage the n-gram tier (``llm.cleaning.
+    decontaminate``) cannot see, because rewording shares no 3-grams
+    (public practice: embedding-similarity decontamination as used for
+    open LLM training corpora, the semantic sibling of the
+    exact-overlap gate).
+
+    Per train vector, the best same-bucket eval neighbor with ROUNDED
+    cosine ≥ ``threshold`` → (train key, eval key, cosine_sim); train
+    docs with no flagged neighbor yield no row (the downstream action
+    is "drop these", so the relation IS the drop list).
+
+    100 TB shape — the asymmetry does the work: the eval side is MBs
+    against a corpus of TBs, so the bucketed (and per-bucket capped,
+    md5-ranked like every sibling tier) eval relation is
+    **broadcast** — the corpus never shuffles at all; the only
+    corpus-side work is one scan computing buckets + in-bucket
+    cosines (≈``target_bucket_size`` candidates per row, constant).
+    ``num_bits`` defaults to ``derive_num_bits`` of the EVAL count
+    (one eager count of the small side, never the corpus), so
+    per-train candidate work stays ≈constant as the eval suite grows.
+    ``probe_bits=1`` probes the Hamming-1 bucket on the train side
+    (the sign-LSH multi-probe rescue), trading 2× in-stage compute
+    for recall at zero extra shuffle — a train/eval pair can match in
+    at most one probed bucket (the eval doc lives in exactly one), so
+    no pair dedup is needed."""
+    if num_bits is None:
+        num_bits = derive_num_bits(
+            eval_emb.count(), target_bucket_size=target_bucket_size
+        )
+    v = _as_double(F.col(vec_col))
+    ev = eval_emb.select(
+        F.col(key_col).alias("eval_id"),
+        v.alias("ev"),
+        sign_bucket(v, num_bits).alias("bkt"),
+    )
+    if max_eval_bucket is not None:
+        wc = Window.partitionBy("bkt").orderBy(
+            F.md5(F.concat(F.lit("sdcap:"), F.col("eval_id").cast("string"))),
+            F.col("eval_id"),
+        )
+        ev = (
+            ev.withColumn("__c", F.row_number().over(wc))
+            .filter(F.col("__c") <= max_eval_bucket)
+            .drop("__c")
+        )
+    tr = train_emb.select(
+        F.col(key_col).alias("train_id"),
+        v.alias("tv"),
+        sign_bucket(v, num_bits).alias("bkt"),
+    )
+    if probe_bits > 0:
+        flips = [F.col("bkt")] + [
+            F.concat(
+                F.substring("bkt", 1, i),
+                F.when(
+                    F.substring("bkt", i + 1, 1) == "1", F.lit("0")
+                ).otherwise(F.lit("1")),
+                F.substring("bkt", i + 2, num_bits - i - 1),
+            )
+            for i in range(min(probe_bits, num_bits))
+        ]
+        tr = tr.withColumn("bkt", F.explode(F.array(*flips)))
+    scored = tr.join(F.broadcast(ev), "bkt").select(
+        "train_id",
+        "eval_id",
+        F.round(cosine(F.col("tv"), F.col("ev")), 6).alias("cosine_sim"),
+    ).filter(F.col("cosine_sim") >= threshold)
+    w = Window.partitionBy("train_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("eval_id")
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+
 def truncation_energy_audit(
     embeddings: DataFrame,
     *,

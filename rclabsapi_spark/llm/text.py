@@ -87,11 +87,18 @@ def mean_token_len(text: Column) -> Column:
 
 
 def quality_features(
-    docs: DataFrame, *, text_col: str = "text", key_col: str = "doc_id"
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    carry: tuple[Column, ...] = (),
 ) -> DataFrame:
     """Length / token / stopword / punctuation features + a composite
     quality score in [0,1] (clamped-term mean, the A13 shape applied to
-    text quality)."""
+    text quality). ``carry`` columns (already aliased) ride along the
+    same single scan — so a caller composing quality with another
+    per-doc derivation (e.g. the registrable domain for a per-domain
+    quality prior) never self-joins the corpus on the doc key."""
     text = F.col(text_col)
     t = tokens(text)
     n_tok = F.size(t)
@@ -99,6 +106,7 @@ def quality_features(
     punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", ""))
     out = docs.select(
         F.col(key_col),
+        *carry,
         char_len.cast("long").alias("char_len"),
         n_tok.cast("long").alias("n_tokens"),
         mean_token_len(text).alias("mean_token_len"),

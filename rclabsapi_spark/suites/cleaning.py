@@ -677,3 +677,97 @@ def q_url_keeper(spark, sf_dir):
             ).alias("n_losers"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain quality prior (crawl-budget ranking)
+# ---------------------------------------------------------------------------
+
+def _domain_quality_oracle() -> str:
+    # composes the URL-canonicalization CTE (PSL domains) with the
+    # text-quality oracle (imported from the llm suite — ONE source of
+    # truth for the score SQL) — mirrors the Spark side's single-scan
+    # carry composition.
+    from rclabsapi_spark.functions.scalars import sql_round_half_up as rhu
+    from rclabsapi_spark.suites.llm import _QUALITY_ORACLE
+
+    return f"""
+WITH {_URL_CANON_CTE},
+quality AS ({_QUALITY_ORACLE}),
+per_doc AS (
+    SELECT d.domain, d.canon_url, q.quality_score
+    FROM dom d JOIN quality q USING (doc_id)
+),
+agg AS (
+    -- mean via exact integer-micro sums: quality_score is already
+    -- 6dp-rounded, so summing round(score * 1e6) as BIGINT is exact and
+    -- accumulation-order-independent (a raw AVG of doubles diverged by
+    -- one ulp at a 6dp boundary: src15.gov.uk, 0.7550175)
+    SELECT domain,
+           COUNT(*)::BIGINT AS n_docs,
+           COUNT(DISTINCT canon_url)::BIGINT AS n_canon_urls,
+           {rhu("(COUNT(*) - COUNT(DISTINCT canon_url)) / COUNT(*)::DOUBLE", 6)} AS dup_rate,
+           {rhu("CAST(SUM(CAST(ROUND(quality_score * 1000000, 0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1000000.0)", 6)} AS mean_quality
+    FROM per_doc GROUP BY domain
+)
+SELECT domain, n_docs, n_canon_urls, dup_rate, mean_quality,
+       {rhu("mean_quality * (1.0 - dup_rate)", 6)} AS priority
+FROM agg
+"""
+
+
+@query("clean_domain_quality_prior", _domain_quality_oracle())
+def q_domain_quality_prior(spark, sf_dir):
+    """Per-domain quality prior — the crawl-budget/ sampling-weight
+    table a web curation pipeline keeps per registrable domain: mean
+    text quality x (1 - URL-duplicate rate), composed from two
+    verified operators (PSL domain rollup + quality_features) in ONE
+    corpus scan: the domain/canon-URL columns ride the quality scan
+    via ``carry`` (no doc-key self-join), then a single groupBy(domain)
+    with two-phase count-distinct. mean_quality rounds half-up at the
+    aggregate edge (multi-row double sum); priority is derived from
+    the two ROUNDED aggregates, so it is bit-identical across engines.
+    llm/text.py::quality_features + llm/psl.py::registrable_domain."""
+    from rclabsapi_spark.functions.scalars import round_half_up
+    from rclabsapi_spark.llm.cleaning import (
+        canonicalize_url,
+        url_registrable_domain,
+    )
+    from rclabsapi_spark.llm.text import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    canon = canonicalize_url(_pseudo_url_col())
+    qf = quality_features(
+        docs,
+        carry=(
+            url_registrable_domain(canon).alias("domain"),
+            canon.alias("canon_url"),
+        ),
+    )
+    agg = qf.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("canon_url").alias("n_canon_urls"),
+        round_half_up(
+            (F.count(F.lit(1)) - F.countDistinct("canon_url"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_rate"),
+        # exact integer-micro sum (order-independent) — see oracle note
+        round_half_up(
+            F.sum(
+                F.round(F.col("quality_score") * 1000000, 0).cast("long")
+            ).cast("double")
+            / (F.count(F.lit(1)) * 1000000.0),
+            6,
+        ).alias("mean_quality"),
+    )
+    return agg.select(
+        "domain",
+        "n_docs",
+        "n_canon_urls",
+        "dup_rate",
+        "mean_quality",
+        round_half_up(
+            F.col("mean_quality") * (1.0 - F.col("dup_rate")), 6
+        ).alias("priority"),
+    )

@@ -1861,3 +1861,95 @@ def q_hard_negatives_probed(spark, sf_dir):
         max_bucket_candidates=_HARDNEG_CAP,
         probe_bits=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination (embedding-cosine eval leakage)
+# ---------------------------------------------------------------------------
+
+# eval split as a pure md5 function of the key — stamped identically on
+# both engines (the dedup_cross_split_leakage precedent); 1/8 of vectors
+_SD_EVAL_SQL = (
+    "substring(md5('evalsplit:' || CAST(vec_id AS VARCHAR)), 1, 1) < '2'"
+)
+_SD_CAP = 64
+_SD_THRESHOLD = 0.3  # fixture-tuned: random-ish synthetic embeddings
+# rarely exceed cosine 0.5; a production corpus with a real embedding
+# model runs ~0.9+. 39 flagged at sf0.01, 378 at sf0.1.
+
+_SEMANTIC_DECONTAM_ORACLE = f"""
+WITH nbd AS (
+    SELECT least(greatest(length(bin(
+               greatest((n + 15) // 16, 1) - 1)), 4), 16) AS b
+    FROM (SELECT COUNT(*)::BIGINT AS n FROM embeddings
+          WHERE {_SD_EVAL_SQL})
+),
+base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           {_SD_EVAL_SQL} AS is_eval,
+           array_to_string([CASE WHEN embedding[i + 1] >= 0
+                                 THEN '1' ELSE '0' END
+                            FOR i IN range(nbd.b)], '') AS bucket
+    FROM embeddings, nbd
+),
+ev AS (
+    SELECT vec_id AS eval_id, v, bucket FROM base WHERE is_eval
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY bucket
+        ORDER BY md5('sdcap:' || CAST(eval_id AS VARCHAR)), eval_id
+    ) <= {_SD_CAP}
+),
+tr AS (
+    SELECT vec_id AS train_id, v, bucket FROM base WHERE NOT is_eval
+    UNION ALL
+    SELECT vec_id, v,
+           (CASE WHEN substring(bucket, 1, 1) = '1' THEN '0' ELSE '1' END)
+               || substring(bucket, 2) AS bucket
+    FROM base WHERE NOT is_eval
+),
+scored AS (
+    SELECT t.train_id, e.eval_id,
+           ROUND({_cos_sql("t.v", "e.v")}, 6) AS cosine_sim
+    FROM tr t JOIN ev e ON t.bucket = e.bucket
+)
+SELECT train_id, eval_id, cosine_sim FROM scored
+WHERE cosine_sim >= {_SD_THRESHOLD}
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY train_id ORDER BY cosine_sim DESC, eval_id) = 1
+"""
+
+
+@query("clean_semantic_decontaminate", _SEMANTIC_DECONTAM_ORACLE,
+       bench=True)
+def q_semantic_decontaminate(spark, sf_dir):
+    """Semantic eval-set decontamination: training vectors whose best
+    same-bucket eval neighbor has rounded cosine >= threshold — the
+    paraphrase-level leakage the n-gram tier (clean_decontaminate)
+    cannot see. The asymmetry does the scale work: the bucketed,
+    per-bucket-capped eval relation is BROADCAST (eval suites are MBs
+    against a TB corpus), so the corpus never shuffles; bucket width
+    derives from the EVAL count so per-train candidate work stays
+    constant; probe_bits=1 rescues Hamming-1 misses at 2x in-stage
+    compute, zero extra shuffle.
+    llm/similarity.py::semantic_decontaminate."""
+    from rclabsapi_spark.llm.similarity import semantic_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_eval = (
+        F.substring(
+            F.md5(F.concat(F.lit("evalsplit:"),
+                           F.col("vec_id").cast("string"))), 1, 1
+        ) < "2"
+    )
+    out = semantic_decontaminate(
+        emb.filter(~is_eval),
+        emb.filter(is_eval),
+        num_bits=None,
+        target_bucket_size=16,
+        threshold=_SD_THRESHOLD,
+        max_eval_bucket=_SD_CAP,
+        probe_bits=1,
+    )
+    return out.select(
+        F.col("train_id"), F.col("eval_id"), F.col("cosine_sim")
+    )

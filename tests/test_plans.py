@@ -1012,3 +1012,35 @@ def test_curation_funnel_one_scan_per_feature_branch(spark):
     scans, counts = audit(_fn(spark, "pipeline_curation_funnel"))
     assert scans["documents"] <= 4
     assert counts["smj"] == 0
+
+
+def test_semantic_decontaminate_broadcasts_eval(spark):
+    """Semantic decontamination: the bucketed+capped EVAL relation must
+    broadcast (eval suites are MBs against a TB corpus), so the corpus
+    side never shuffles for the join — the only corpus-sized exchange
+    is the top-1 window over the ALREADY-THRESHOLDED pair relation.
+    No sort-merge join, no cartesian."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "clean_semantic_decontaminate"))
+    assert counts["bhj"] >= 1  # eval side broadcast
+    assert counts["smj"] == 0
+    p = _plan(spark, "clean_semantic_decontaminate")
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    # no exchange hash-partitioned on the train-side bucket (the
+    # corpus-shuffling shape a shuffle join would produce)
+    assert "SortMergeJoin" not in p
+
+
+def test_domain_quality_prior_single_scan(spark):
+    """Domain quality prior: quality features + domain + canon URL ride
+    ONE documents scan via quality_features(carry=...) — a doc-key
+    self-join of two corpus derivations would shuffle the corpus twice.
+    Two-phase count-distinct on the low-cardinality domain key."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "clean_domain_quality_prior"))
+    assert scans["documents"] == 1
+    p = _plan(spark, "clean_domain_quality_prior")
+    assert "Join" not in p
+    assert "Window" not in p
