@@ -938,6 +938,30 @@ def incremental_lsh_pairs(
     return out
 
 
+def span_posting(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    span_len: int = 40,
+) -> DataFrame:
+    """(key, span) posting of every ``span_len``-char span anchored at
+    a word start — ONE regex pass per document: the pattern matches
+    zero-width at each word start (start-of-text or after a space) and
+    CAPTURES the next ``span_len`` chars via lookahead, so overlapping
+    spans fall out of a single left-to-right scan and short tails never
+    match. ``(?s)`` keeps ``.`` matching newlines inside documents.
+    Shared by ``duplicate_spans`` (detection) and
+    ``duplicate_span_exposure`` (the per-doc apply/report step)."""
+    pattern = "(?s)(?:^|(?<= ))(?=(.{%d}))" % span_len
+    return docs.select(
+        F.col(key_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(pattern), 1)
+        ).alias("span"),
+    )
+
+
 def duplicate_spans(
     docs: DataFrame,
     *,
@@ -989,12 +1013,8 @@ def duplicate_spans(
     and the explode emits only ``span_len``-byte spans: the document
     text never crosses an exchange; the only shuffle is the span-key
     aggregate."""
-    pattern = "(?s)(?:^|(?<= ))(?=(.{%d}))" % span_len
-    spans = docs.select(
-        F.col(key_col),
-        F.explode(
-            F.regexp_extract_all(F.col(text_col), F.lit(pattern), 1)
-        ).alias("span"),
+    spans = span_posting(
+        docs, text_col=text_col, key_col=key_col, span_len=span_len
     )
     if anchor_hex_prefix is not None:
         spans = spans.filter(
@@ -1008,4 +1028,70 @@ def duplicate_spans(
             F.count(F.lit(1)).alias("n_occurrences"),
         )
         .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def duplicate_span_exposure(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    span_len: int = 40,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The APPLY step of ExactSubstr dedup: per document, how much of
+    it is corpus-duplicated boilerplate — (key, n_spans,
+    n_flagged, flagged_frac) where n_flagged counts the doc's
+    word-start spans that appear in ≥ ``min_docs`` distinct documents
+    (i.e. ``duplicate_spans`` hits). The downstream decision is
+    policy (drop the doc above a threshold, or strip the regions);
+    this relation is the evidence either policy reads — the
+    ``dedup_cluster_audit`` pattern applied to the span tier.
+
+    Plan shape: the corpus is scanned twice (detection aggregate +
+    exposure posting — both are the same one-regex-pass posting,
+    ``span_posting``); the flagged-span relation is corpus-duplicated
+    BOILERPLATE, orders smaller than the corpus, and stamps a hit flag
+    back onto the posting as a broadcast left join feeding ONE per-doc
+    aggregate. Docs too short for any span report 0/0/0.0
+    via the left join with the doc base. flagged_frac is an integer
+    ratio — bit-identical across engines before the display round."""
+    posting = span_posting(
+        docs, text_col=text_col, key_col=key_col, span_len=span_len
+    )
+    flagged = (
+        duplicate_spans(
+            docs,
+            text_col=text_col,
+            key_col=key_col,
+            span_len=span_len,
+            min_docs=min_docs,
+        )
+        .select("span")
+    )
+    # one broadcast left join stamps the flag; ONE per-doc aggregate
+    # then counts both totals (map-side partial) — never two doc-keyed
+    # shuffles of the posting
+    marked = posting.join(
+        F.broadcast(flagged.withColumn("__hit", F.lit(1))), "span", "left"
+    )
+    per_doc = marked.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.count(F.col("__hit")).alias("n_flagged"),
+    )
+    base = docs.select(F.col(key_col))
+    out = base.join(per_doc, key_col, "left").select(
+        F.col(key_col),
+        F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+        F.coalesce(F.col("n_flagged"), F.lit(0)).alias("n_flagged"),
+    )
+    return out.withColumn(
+        "flagged_frac",
+        F.round(
+            F.when(
+                F.col("n_spans") > 0,
+                F.col("n_flagged") / F.col("n_spans").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ),
     )

@@ -1953,3 +1953,113 @@ def q_semantic_decontaminate(spark, sf_dir):
     return out.select(
         F.col("train_id"), F.col("eval_id"), F.col("cosine_sim")
     )
+
+
+_SPAN_EXPOSURE_ORACLE = """
+WITH t AS (
+    SELECT doc_id, text, string_split(text, ' ') AS l FROM documents
+),
+w AS (
+    SELECT doc_id, text,
+           CASE WHEN i = 1 THEN 0
+                ELSE length(array_to_string(l[1:i - 1], ' ')) + 1
+           END AS off
+    FROM t, UNNEST(range(1, len(l) + 1)) AS u(i)
+),
+spans AS (
+    SELECT doc_id, substring(text, off + 1, 40) AS span
+    FROM w WHERE length(text) - off >= 40
+),
+freq AS (
+    SELECT span FROM spans GROUP BY span
+    HAVING COUNT(DISTINCT doc_id) >= 2
+),
+per_doc AS (
+    SELECT s.doc_id, COUNT(*)::BIGINT AS n_spans,
+           COUNT(f.span)::BIGINT AS n_flagged
+    FROM spans s LEFT JOIN freq f USING (span)
+    GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_spans, 0)::BIGINT AS n_spans,
+       COALESCE(p.n_flagged, 0)::BIGINT AS n_flagged,
+       ROUND(CASE WHEN COALESCE(p.n_spans, 0) > 0
+                  THEN p.n_flagged / p.n_spans::DOUBLE
+                  ELSE 0.0 END, 6) AS flagged_frac
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@query("dedup_span_exposure", _SPAN_EXPOSURE_ORACLE, bench=True)
+def q_span_exposure(spark, sf_dir):
+    """The APPLY step of ExactSubstr dedup: per document, the fraction
+    of its word-start 40-char spans that are corpus-duplicated
+    (appear in >= 2 distinct docs) — the evidence relation a drop or
+    strip policy reads, extending the detection tier
+    (dedup_duplicate_spans) the way dedup_cluster_audit extends CC.
+    Two posting passes (detection aggregate + exposure stamp), the
+    flagged-boilerplate set broadcasts, ONE per-doc aggregate.
+    llm/dedup.py::duplicate_span_exposure."""
+    from rclabsapi_spark.llm.dedup import duplicate_span_exposure
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_span_exposure(docs, span_len=40, min_docs=2)
+
+
+_XSOURCE_ORACLE = f"""
+WITH lsh AS ({_MINHASH_ORACLE}),
+sp AS (
+    SELECT l.jaccard, da.source AS source_a, db.source AS source_b
+    FROM lsh l
+    JOIN documents da ON da.doc_id = l.doc_a
+    JOIN documents db ON db.doc_id = l.doc_b
+    WHERE l.jaccard >= 0.5
+)
+SELECT least(source_a, source_b) AS source_lo,
+       greatest(source_a, source_b) AS source_hi,
+       COUNT(*)::BIGINT AS n_pairs,
+       MAX(jaccard) AS max_jaccard
+FROM sp WHERE source_a <> source_b
+GROUP BY source_lo, source_hi
+"""
+
+
+@query("dedup_cross_source_syndication", _XSOURCE_ORACLE)
+def q_cross_source_syndication(spark, sf_dir):
+    """Cross-SOURCE near-duplicate matrix: verified LSH pairs (Jaccard
+    >= 0.5) whose endpoints come from different sources — the
+    syndication/mirror structure that tells a curation pipeline which
+    source pairs double-count content (and which source to keep when
+    a dedup keeper policy dedupes across feeds). Unlike the split
+    labels (pure md5 functions), source is a real attribute, so the
+    TINY verified-pair relation is BROADCAST against the corpus for
+    each endpoint stamp — the corpus streams, never shuffles; MAX over
+    rounded jaccards keeps the summary order-insensitive.
+    llm/dedup.py::lsh_candidate_pairs + the dedup_cross_split_leakage
+    pattern."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        docs,
+        num_hashes=8,
+        bands=4,
+        max_bucket_size=50,
+    ).filter(F.col("jaccard") >= 0.5).select("doc_a", "doc_b", "jaccard")
+    src = docs.select("doc_id", "source")
+    stamped = (
+        src.withColumnRenamed("source", "source_a")
+        .join(F.broadcast(pairs), F.col("doc_id") == F.col("doc_a"))
+        .drop("doc_id")
+    )
+    stamped = (
+        src.withColumnRenamed("source", "source_b")
+        .join(F.broadcast(stamped), F.col("doc_id") == F.col("doc_b"))
+        .drop("doc_id")
+    )
+    sp = stamped.filter(F.col("source_a") != F.col("source_b"))
+    return sp.groupBy(
+        F.least("source_a", "source_b").alias("source_lo"),
+        F.greatest("source_a", "source_b").alias("source_hi"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.max("jaccard").alias("max_jaccard"),
+    )

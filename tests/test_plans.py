@@ -1044,3 +1044,28 @@ def test_domain_quality_prior_single_scan(spark):
     p = _plan(spark, "clean_domain_quality_prior")
     assert "Join" not in p
     assert "Window" not in p
+
+
+def test_span_exposure_broadcasts_boilerplate(spark):
+    """Span exposure: the flagged-boilerplate set must broadcast back
+    onto the posting (corpus-duplicated spans are orders smaller than
+    the corpus), ONE per-doc aggregate counts totals and hits in a
+    single pass, and document text still never crosses an exchange
+    (no doc-keyed hashpartitioning of the posting's text)."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "dedup_span_exposure"))
+    assert scans["documents"] <= 3  # detection + exposure + doc base
+    assert counts["bhj"] >= 1
+    p = _plan(spark, "dedup_span_exposure")
+    assert "Window" not in p
+
+
+def test_cross_source_syndication_broadcasts_pairs(spark):
+    """Cross-source matrix: the tiny verified-pair relation broadcasts
+    for BOTH endpoint stamps — the corpus streams through the joins,
+    never shuffling on a doc key for them."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "dedup_cross_source_syndication"))
+    assert counts["bhj"] >= 2  # both source stamps
