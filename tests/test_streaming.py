@@ -1501,3 +1501,76 @@ def test_streaming_incremental_lsh_matches_cross_batch_pairs(
     }
     assert expected, "fixture has no cross-slice near-dups to verify"
     assert streamed == expected
+
+
+def test_streaming_semantic_decontamination_matches_batch(spark, tmp_path):
+    """Semantic decontamination run as a REAL stream: new training
+    vectors arrive in micro-batches and each batch is flagged against
+    the STATIC broadcast eval index (the production shape — the eval
+    suite doesn't change mid-ingest). The operator is per-row
+    independent (each train vector's verdict depends only on itself
+    and the eval side), so the union of streamed verdicts must equal
+    the batch run exactly — same flagged set, same rounded cosines.
+    ``num_bits`` is derived once from the eval side and passed to both
+    paths, exactly as a daily pipeline would pin it."""
+    from rclabsapi_spark.catalog import load_table
+    from rclabsapi_spark.llm.similarity import (
+        derive_num_bits,
+        semantic_decontaminate,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    is_eval = (
+        F.substring(
+            F.md5(F.concat(F.lit("evalsplit:"),
+                           F.col("vec_id").cast("string"))), 1, 1
+        ) < "2"
+    )
+    ev = emb.filter(is_eval)
+    tr = emb.filter(~is_eval)
+    bits = derive_num_bits(ev.count(), target_bucket_size=16)
+
+    in_dir = str(tmp_path / "train_in")
+    ranked = tr.withColumn("slice", F.ntile(3).over(Window.orderBy("vec_id")))
+    for i in range(1, 4):
+        ranked.filter(F.col("slice") == i).drop("slice").coalesce(
+            1
+        ).write.mode("append").parquet(in_dir)
+
+    out_dir = str(tmp_path / "flags_out")
+
+    def flag_batch(batch_df, _batch_id):
+        out = semantic_decontaminate(
+            batch_df, ev, num_bits=bits, threshold=0.3, probe_bits=1
+        )
+        out.write.mode("append").parquet(out_dir)
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(in_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(flag_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_sdc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    streamed = {
+        (r["train_id"], r["eval_id"]): r["cosine_sim"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    expected = {
+        (r["train_id"], r["eval_id"]): r["cosine_sim"]
+        for r in semantic_decontaminate(
+            tr, ev, num_bits=bits, threshold=0.3, probe_bits=1
+        ).collect()
+    }
+    assert streamed == expected
+    assert expected  # non-vacuous: the fixture must flag something
