@@ -2063,3 +2063,96 @@ def q_cross_source_syndication(spark, sf_dir):
         F.count(F.lit(1)).alias("n_pairs"),
         F.max("jaccard").alias("max_jaccard"),
     )
+
+
+_QUALITY_KEEPER_ORACLE = f"""
+WITH RECURSIVE thr AS (
+    SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE}) AS mh WHERE jaccard >= 0.5
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM thr
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM thr
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+),
+clusters AS (
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+    FROM reach GROUP BY src
+),
+quality AS ({_QUALITY_ORACLE}),
+memb AS (
+    SELECT c.cluster_id, c.doc_id, q.quality_score
+    FROM clusters c JOIN quality q USING (doc_id)
+),
+-- window formulation (vs Spark's one-pass max_by aggregate): keeper =
+-- highest quality, smallest doc id on rounded-score ties
+win AS (
+    SELECT cluster_id, doc_id, quality_score,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+               ORDER BY quality_score DESC, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+           MAX(CASE WHEN doc_id = cluster_id THEN quality_score END)
+               OVER (PARTITION BY cluster_id) AS minid_quality
+    FROM memb
+)
+SELECT cluster_id, n_members::BIGINT AS n_members,
+       doc_id AS keeper_doc_id,
+       quality_score AS keeper_quality,
+       minid_quality,
+       ROUND(quality_score - minid_quality, 6) AS quality_gain
+FROM win WHERE rn = 1
+"""
+
+
+@query("dedup_quality_keeper", _QUALITY_KEEPER_ORACLE)
+def q_quality_keeper(spark, sf_dir):
+    """Quality-aware keeper selection per near-dup cluster: instead of
+    the min-doc-id keeper the CC tier defaults to, keep the HIGHEST-
+    quality member (rounded-score tie -> smallest id) and report the
+    quality gained over the min-id policy — the curation decision a
+    real pipeline makes when syndicated copies differ in OCR/boiler-
+    plate quality. Composes three verified operators (LSH pairs ->
+    CC clusters -> quality features): the small clustered relation
+    broadcasts onto the quality scan, then ONE aggregate per cluster
+    computes members, max_by keeper (tie-broken via struct(quality,
+    -doc_id) — unique, so engine tie behavior never matters), and the
+    min-id member's quality. llm/dedup.py::dedup_clusters +
+    llm/text.py::quality_features."""
+    from rclabsapi_spark.llm.dedup import dedup_clusters
+    from rclabsapi_spark.llm.text import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        docs, num_hashes=8, bands=4, max_bucket_size=50
+    ).filter(F.col("jaccard") >= 0.5)
+    clusters = dedup_clusters(pairs)
+    qf = quality_features(docs).select("doc_id", "quality_score")
+    memb = qf.join(F.broadcast(clusters), "doc_id")
+    agg = memb.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max_by(
+            F.col("doc_id"),
+            F.struct(F.col("quality_score"), (-F.col("doc_id")).alias("nid")),
+        ).alias("keeper_doc_id"),
+        F.max("quality_score").alias("keeper_quality"),
+        F.max(
+            F.when(
+                F.col("doc_id") == F.col("cluster_id"),
+                F.col("quality_score"),
+            )
+        ).alias("minid_quality"),
+    )
+    return agg.select(
+        "cluster_id",
+        "n_members",
+        "keeper_doc_id",
+        "keeper_quality",
+        "minid_quality",
+        F.round(
+            F.col("keeper_quality") - F.col("minid_quality"), 6
+        ).alias("quality_gain"),
+    )

@@ -1069,3 +1069,17 @@ def test_cross_source_syndication_broadcasts_pairs(spark):
 
     scans, counts = audit(_fn(spark, "dedup_cross_source_syndication"))
     assert counts["bhj"] >= 2  # both source stamps
+
+
+def test_quality_keeper_broadcasts_clusters(spark):
+    """Quality keeper: the clustered relation (near-dup docs only) must
+    broadcast onto the quality scan — never a corpus shuffle on the doc
+    key — and keeper selection is ONE aggregate (max_by), not a
+    per-cluster window over the corpus."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "dedup_quality_keeper"))
+    assert counts["bhj"] >= 1
+    assert counts["smj"] == 0
+    p = _plan(spark, "dedup_quality_keeper")
+    assert "Window" not in p
