@@ -163,6 +163,61 @@ def unigram_score(
     )
 
 
+def doc_bigrams(
+    docs: DataFrame, *, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document adjacent word pairs — (key, w1, w2), one row per
+    bigram occurrence. Adjacency is over the empty-filtered token
+    sequence (consecutive spaces collapse), so 'a  b' yields ('a','b').
+    Docs with <2 words contribute no rows. Pure codegen: filter + indexed
+    transform + one explode, no shuffle."""
+    w = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.struct(
+            F.element_at(w, i + 1).alias("w1"),
+            F.element_at(w, i + 2).alias("w2"),
+        ),
+    )
+    return (
+        docs.filter(F.size(w) >= 2)
+        .select(F.col(key_col), F.explode(pairs).alias("b"))
+        .select(key_col, "b.w1", "b.w2")
+    )
+
+
+def bigram_score(
+    docs: DataFrame, *, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document average bigram conditional log-probability — the
+    CCNet-style n-gram LM quality filter one order up from
+    ``unigram_score``: fluent word-order scores high, shuffled bags of
+    common words (which fool the unigram proxy) score low. MLE model,
+    ln(c(w1,w2)/c(w1)); every scored bigram is in the training corpus by
+    construction, so no smoothing term is needed.
+
+    Returns (key, n_bigrams, avg_logprob); <2-word docs drop out.
+
+    Scale: the bigram model can be ~100× the unigram vocab, so it is NOT
+    broadcast — the doc-bigram posting joins it ON the (w1,w2) key,
+    co-partitioned with the model aggregate's own shuffle (one exchange
+    per side, partial-combined). The context totals c(w1) re-aggregate
+    the already-reduced model relation (vocab-sized → broadcast back)."""
+    bg = doc_bigrams(docs, text_col=text_col, key_col=key_col)
+    c12 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt12")
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("cnt12").alias("cnt1"))
+    model = c12.join(F.broadcast(c1), "w1")
+    scored = bg.join(model, ["w1", "w2"])
+    return scored.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg(F.log(F.col("cnt12") / F.col("cnt1"))), 6).alias(
+            "avg_logprob"
+        ),
+    )
+
+
 def vocab_topk(words: DataFrame, *, k: int) -> DataFrame:
     """Top-k words by frequency (ties break on the word itself, so the
     boundary of the vocabulary is deterministic across engines)."""

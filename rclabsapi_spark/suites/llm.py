@@ -16,6 +16,7 @@ from rclabsapi_spark.functions.scalars import sql_round_half_up as _rhu
 from rclabsapi_spark.llm.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
+    minhash_signatures,
     ngram_jaccard_pairs,
     simhash16,
 )
@@ -2155,4 +2156,223 @@ def q_quality_keeper(spark, sf_dir):
         F.round(
             F.col("keeper_quality") - F.col("minid_quality"), 6
         ).alias("quality_gain"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator calibration + cluster-aware splitting + centroid drift
+# ---------------------------------------------------------------------------
+
+_CALIBRATION_ORACLE = f"""
+WITH cal AS (
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           ({" + ".join(f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END"
+                        for i in range(8))}) AS est_lanes
+    FROM ({_MINHASH_ORACLE}) p
+    JOIN ({_MINHASH_SQL}) sa ON sa.doc_id = p.doc_a
+    JOIN ({_MINHASH_SQL}) sb ON sb.doc_id = p.doc_b
+)
+SELECT est_lanes::BIGINT AS est_lanes,
+       est_lanes / 8.0 AS est_jaccard,
+       COUNT(*)::BIGINT AS n_pairs,
+       ROUND(AVG(jaccard), 6) AS mean_exact,
+       ROUND(AVG(ABS(est_lanes / 8.0 - jaccard)), 6) AS mean_abs_err
+FROM cal GROUP BY est_lanes
+"""
+
+
+@query("dedup_minhash_calibration", _CALIBRATION_ORACLE)
+def q_minhash_calibration(spark, sf_dir):
+    """MinHash estimator calibration: for every LSH candidate pair,
+    compare the signature-level Jaccard estimate (fraction of the 8
+    one-permutation lanes that agree) against the exact shingle-set
+    Jaccard, bucketed by lane-agreement count — the diagnostic that
+    tells you whether num_hashes/bands are sized right BEFORE burning a
+    100 TB pass on a mis-tuned index (estimator bias shows up as
+    mean_exact diverging from est_jaccard; variance as mean_abs_err).
+    The candidate-pair relation is tiny next to the corpus, so it
+    broadcasts onto the signature relation twice (doc_a, doc_b stamps);
+    signatures are 8×4 hex chars/doc — bodies never move. Same
+    sketch-verification posture as llm/dedup.py::lsh_candidate_pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=8)
+    pairs = lsh_candidate_pairs(
+        docs, num_hashes=8, bands=4, max_bucket_size=50
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh_{i}").alias(f"a_{i}") for i in range(8)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh_{i}").alias(f"b_{i}") for i in range(8)],
+    )
+    stamped = a.join(F.broadcast(pairs), "doc_a")
+    stamped = b.join(F.broadcast(stamped), "doc_b")
+    est_lanes = sum(
+        (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int") for i in range(8)
+    ).cast("long")
+    cal = stamped.select(
+        "jaccard", est_lanes.alias("est_lanes")
+    )
+    return cal.groupBy("est_lanes").agg(
+        (F.col("est_lanes") / F.lit(8.0)).alias("est_jaccard"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("jaccard"), 6).alias("mean_exact"),
+        F.round(
+            F.avg(F.abs(F.col("est_lanes") / F.lit(8.0) - F.col("jaccard"))), 6
+        ).alias("mean_abs_err"),
+    )
+
+
+_CLUSTER_SPLIT_ORACLE = f"""
+WITH RECURSIVE thr AS (
+    SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE}) AS mh WHERE jaccard >= 0.5
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM thr
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM thr
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+),
+clusters AS (
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+    FROM reach GROUP BY src
+),
+base AS (
+    SELECT d.doc_id, c.cluster_id,
+           COALESCE(c.cluster_id, d.doc_id) AS root
+    FROM documents d LEFT JOIN clusters c USING (doc_id)
+),
+lab AS (
+    SELECT doc_id, cluster_id,
+           CASE WHEN substring(md5('clsplit' || CAST(root AS VARCHAR)), 1, 4)
+                     < '0ccc' THEN 'val'
+                WHEN substring(md5('clsplit' || CAST(root AS VARCHAR)), 1, 4)
+                     < '1999' THEN 'test'
+                ELSE 'train' END AS split,
+           CASE WHEN substring(md5('clsplit' || CAST(doc_id AS VARCHAR)), 1, 4)
+                     < '0ccc' THEN 'val'
+                WHEN substring(md5('clsplit' || CAST(doc_id AS VARCHAR)), 1, 4)
+                     < '1999' THEN 'test'
+                ELSE 'train' END AS naive_split
+    FROM base
+)
+SELECT split, COUNT(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN cluster_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_clustered_docs,
+       SUM(CASE WHEN split <> naive_split THEN 1 ELSE 0 END)::BIGINT
+           AS n_moved
+FROM lab GROUP BY split
+"""
+
+
+@query("train_cluster_split", _CLUSTER_SPLIT_ORACLE)
+def q_cluster_split(spark, sf_dir):
+    """Cluster-aware train/val/test splitting: hash the near-dup CLUSTER
+    root instead of the doc id, so every member of a near-duplicate
+    cluster lands in the same split BY CONSTRUCTION — the leakage-proof
+    splitter that `train_split_contamination` audits for (and hash-by-id
+    splitting cannot give). Per split: doc count, how many docs are
+    near-dup cluster members, and how many the cluster policy MOVED
+    relative to naive id-hash splitting (the correction applied).
+    Composes the verified LSH->CC cluster relation (tiny — broadcast
+    left onto the corpus scan) with the pure-Project split_assign
+    bucketing; split membership stays a pure function of (salt, root),
+    so corpus growth never moves an existing cluster across splits.
+    llm/dedup.py::dedup_clusters + llm/sampling.py::split_assign."""
+    from rclabsapi_spark.llm.dedup import dedup_clusters
+    from rclabsapi_spark.llm.sampling import hash_bucket, pct_threshold
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        docs, num_hashes=8, bands=4, max_bucket_size=50
+    ).filter(F.col("jaccard") >= 0.5)
+    clusters = dedup_clusters(pairs)
+    base = docs.select("doc_id").join(F.broadcast(clusters), "doc_id", "left")
+
+    def split_of(key):
+        b = hash_bucket(key, salt="clsplit")
+        return (
+            F.when(b < F.lit(pct_threshold(5.0)), F.lit("val"))
+            .when(b < F.lit(pct_threshold(10.0)), F.lit("test"))
+            .otherwise(F.lit("train"))
+        )
+
+    lab = base.select(
+        "cluster_id",
+        split_of(F.coalesce("cluster_id", "doc_id")).alias("split"),
+        split_of(F.col("doc_id")).alias("naive_split"),
+    )
+    return lab.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("cluster_id").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_clustered_docs"),
+        F.sum((F.col("split") != F.col("naive_split")).cast("int"))
+        .cast("long")
+        .alias("n_moved"),
+    )
+
+
+_CENTROID_ORACLE = """
+WITH flat AS (
+    SELECT label,
+           unnest(range(1, len(embedding) + 1)) AS pos,
+           unnest(embedding)::DOUBLE AS x
+    FROM embeddings
+),
+per AS (
+    SELECT label, pos, ROUND(AVG(x), 6) AS c, COUNT(*)::BIGINT AS n
+    FROM flat GROUP BY label, pos
+),
+gctr AS (
+    SELECT pos, ROUND(AVG(x), 6) AS g FROM flat GROUP BY pos
+)
+SELECT label, MAX(n) AS n_vecs,
+       ROUND(sqrt(SUM(c * c)), 6) AS centroid_norm,
+       ROUND(SUM(c * g) / (sqrt(SUM(c * c)) * sqrt(SUM(g * g))), 6)
+           AS cosine_to_global
+FROM per JOIN gctr USING (pos)
+GROUP BY label
+"""
+
+
+@query("sim_centroid_drift", _CENTROID_ORACLE, bench=True)
+def q_centroid_drift(spark, sf_dir):
+    """Per-label embedding centroid drift: each label's mean vector,
+    its norm, and its cosine to the GLOBAL centroid — the data-mixture
+    diagnostic that flags an embedding subpopulation drifting away from
+    the corpus (stale encoder, shifted domain) before it poisons the
+    ANN tier. Shape: one posexplode to (label, pos, x) rows, then two
+    partial-combining aggregates share the pass — per-(label,pos) means
+    and per-pos global means; only |labels|x|dim| and |dim| rows survive
+    the exchange (at 100 TB the n x dim explode combines map-side, so
+    shuffle bytes are centroid-sized, never corpus-sized). The |dim|-row
+    global centroid broadcasts back onto the per-label components.
+    Centroid components round to 6 on both engines before the cosine so
+    the second-level sums fold identical doubles; the final cosine/norm
+    round absorbs accumulation order. llm/similarity.py cosine
+    conventions."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    per = comp.groupBy("label", "pos").agg(
+        F.round(F.avg("x"), 6).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    glob = comp.groupBy("pos").agg(F.round(F.avg("x"), 6).alias("g"))
+    j = per.join(F.broadcast(glob), "pos")
+    cc = F.sum(F.col("c") * F.col("c"))
+    gg = F.sum(F.col("g") * F.col("g"))
+    cg = F.sum(F.col("c") * F.col("g"))
+    return j.groupBy("label").agg(
+        F.max("n").alias("n_vecs"),
+        F.round(F.sqrt(cc), 6).alias("centroid_norm"),
+        F.round(cg / (F.sqrt(cc) * F.sqrt(gg)), 6).alias("cosine_to_global"),
     )

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from rclabsapi_spark.catalog import load_table
 from rclabsapi_spark.functions.scalars import sql_round_half_up
 from rclabsapi_spark.llm.training import (
+    bigram_score,
     cross_source_leakage,
     pack_bins,
     unigram_score,
@@ -88,6 +89,44 @@ def q_unigram(spark, sf_dir):
     log-prob of its words. The model broadcasts (vocab ≪ corpus); the
     word relation partial-combines before every aggregate."""
     return unigram_score(load_table(spark, sf_dir, "documents"))
+
+
+_BIGRAM_ORACLE = """
+WITH arr AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS w
+    FROM documents
+),
+bg AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(w)),
+                  i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+    FROM arr WHERE len(w) >= 2
+),
+bge AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+c12 AS (
+    SELECT w1, w2, COUNT(*)::DOUBLE AS cnt12 FROM bge GROUP BY w1, w2
+),
+c1 AS (SELECT w1, SUM(cnt12) AS cnt1 FROM c12 GROUP BY w1)
+SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+       ROUND(AVG(ln(cnt12 / cnt1)), 6) AS avg_logprob
+FROM bge JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY doc_id
+"""
+
+
+@query("train_bigram_lm_score", _BIGRAM_ORACLE, bench=True)
+def q_bigram(spark, sf_dir):
+    """Bigram-LM document scoring — the CCNet-style fluency filter one
+    order above ``train_unigram_lm_score``: MLE conditional log-prob
+    ln(c(w1,w2)/c(w1)) averaged over each doc's adjacent word pairs, so
+    word ORDER matters (shuffled bags of common words stop scoring
+    high). The bigram model is shuffle-joined on its own (w1,w2)
+    partitioning — bigram vocab is ~100× unigram and must not broadcast;
+    context totals are vocab-sized and broadcast back. Reference
+    semantics: corpus-statistics quality gates
+    (log_processor.hpp:231-247) raised to conditional n-gram form."""
+    return bigram_score(load_table(spark, sf_dir, "documents"))
 
 
 _VOCAB_K = 50

@@ -1083,3 +1083,58 @@ def test_quality_keeper_broadcasts_clusters(spark):
     assert counts["smj"] == 0
     p = _plan(spark, "dedup_quality_keeper")
     assert "Window" not in p
+
+
+def test_bigram_model_not_broadcast_by_plan(spark):
+    """Bigram LM: the corpus is scanned exactly three times (scoring
+    posting + model count + context totals) and nothing rides a window —
+    the model join is free to be AQE-chosen, but the SHAPE must stay
+    aggregate+join, no per-doc window."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "train_bigram_lm_score"))
+    assert scans["documents"] == 3
+    p = _plan(spark, "train_bigram_lm_score")
+    assert "Window" not in p
+
+
+def test_minhash_calibration_broadcasts_pairs(spark):
+    """Calibration: the candidate-pair relation broadcasts for both
+    signature stamps (the corpus-sized signature relation streams);
+    shingle/signature relations come from the shared cache, so the
+    corpus is scanned at most twice."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "dedup_minhash_calibration"))
+    assert scans["documents"] <= 2
+    assert counts["bhj"] >= 2
+    assert counts["smj"] == 0
+
+
+def test_cluster_split_broadcasts_clusters(spark):
+    """Cluster-aware split: the clustered relation broadcasts onto the
+    corpus id scan; split labels are pure projections (no window, no
+    corpus shuffle on a doc key before the 3-row aggregate)."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "train_cluster_split"))
+    assert scans["documents"] == 1
+    assert counts["bhj"] >= 1
+    assert counts["smj"] == 0
+    p = _plan(spark, "train_cluster_split")
+    assert "Window" not in p
+
+
+def test_centroid_drift_single_pass_shape(spark):
+    """Centroid drift: the n x dim explode feeds BOTH aggregates
+    (per-label and global) with map-side partial combine — two scans of
+    the embedding table, the dim-row global centroid broadcasts back,
+    and no window/sort touches the exploded relation."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "sim_centroid_drift"))
+    assert scans["embeddings"] == 2
+    assert counts["bhj"] >= 1
+    assert counts["smj"] == 0
+    p = _plan(spark, "sim_centroid_drift")
+    assert "Window" not in p
