@@ -1,0 +1,123 @@
+"""Reference-implementation tests for the n-gram LM scoring operators
+and the cluster-aware splitter — known-answer checks independent of the
+DuckDB oracles (the BPE lesson: cross-engine parity cannot catch a
+design bug mirrored into both engines)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_doc_bigrams_adjacency_and_empty_filter(spark):
+    """Adjacency is over the empty-filtered token stream: consecutive
+    spaces collapse, <2-word docs emit nothing."""
+    from rclabsapi_spark.llm.training import doc_bigrams
+
+    df = _docs(
+        spark,
+        [(1, "a  b c"), (2, "solo"), (3, ""), (4, " x  y ")],
+    )
+    got = {
+        (r.doc_id, r.w1, r.w2) for r in doc_bigrams(df).collect()
+    }
+    assert got == {(1, "a", "b"), (1, "b", "c"), (4, "x", "y")}
+
+
+def test_bigram_score_mle_known_corpus(spark):
+    """Hand-computed MLE conditionals on a 2-doc corpus.
+
+    Corpus bigrams: doc1 'a b a c' -> (a,b),(b,a),(a,c);
+    doc2 'a b' -> (a,b).
+    c(a,b)=2 c(b,a)=1 c(a,c)=1; c(a.)=3 c(b.)=1.
+    doc1 avg = (ln(2/3) + ln(1/1) + ln(1/3)) / 3; doc2 avg = ln(2/3).
+    """
+    from rclabsapi_spark.llm.training import bigram_score
+
+    df = _docs(spark, [(1, "a b a c"), (2, "a b")])
+    got = {r.doc_id: r for r in bigram_score(df).collect()}
+    assert got[1].n_bigrams == 3
+    assert got[2].n_bigrams == 1
+    exp1 = (math.log(2 / 3) + math.log(1.0) + math.log(1 / 3)) / 3
+    assert got[1].avg_logprob == pytest.approx(exp1, abs=1e-6)
+    assert got[2].avg_logprob == pytest.approx(math.log(2 / 3), abs=1e-6)
+
+
+def test_bigram_score_orders_unlike_unigram(spark):
+    """The property the operator exists for: same bag of words, different
+    order -> different bigram score (the unigram proxy scores both
+    identically). The doc following the corpus-dominant word order must
+    score strictly higher than the shuffled one."""
+    from rclabsapi_spark.llm.training import bigram_score, unigram_score
+
+    rows = [(i, "the cat sat on the mat") for i in range(1, 6)]
+    rows.append((10, "the cat sat on the mat"))
+    rows.append((11, "mat the on sat cat the"))
+    df = _docs(spark, rows)
+    bi = {r.doc_id: r.avg_logprob for r in bigram_score(df).collect()}
+    uni = {r.doc_id: r.avg_logprob for r in unigram_score(df).collect()}
+    assert uni[10] == uni[11]  # unigram is order-blind
+    assert bi[10] > bi[11]
+
+
+def test_cluster_split_no_cluster_straddles(spark):
+    """Property the splitter is FOR: every member of a near-dup cluster
+    lands in the same split. Checked against the operator composition
+    directly (clusters from a synthetic pair list)."""
+    from rclabsapi_spark.llm.dedup import dedup_clusters
+    from rclabsapi_spark.llm.sampling import hash_bucket, pct_threshold
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "doc_a long, doc_b long"
+    )
+    clusters = dedup_clusters(pairs)
+    docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    base = docs.join(F.broadcast(clusters), "doc_id", "left")
+    root = F.coalesce("cluster_id", "doc_id")
+    b = hash_bucket(root, salt="clsplit")
+    split = (
+        F.when(b < F.lit(pct_threshold(5.0)), F.lit("val"))
+        .when(b < F.lit(pct_threshold(10.0)), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    lab = base.select("doc_id", "cluster_id", split.alias("split")).collect()
+    by_cluster: dict[int, set[str]] = {}
+    for r in lab:
+        if r.cluster_id is not None:
+            by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert by_cluster, "fixture must produce clustered docs"
+    for cid, splits in by_cluster.items():
+        assert len(splits) == 1, f"cluster {cid} straddles {splits}"
+    # and the label is the md5 bucket of the ROOT, not the member id
+    r2 = next(r for r in lab if r.doc_id == 2)
+    bucket = hashlib.md5(b"clsplit1").hexdigest()[:4]  # root of {1,2,3} is 1
+    exp = "val" if bucket < "0ccc" else ("test" if bucket < "1999" else "train")
+    assert r2.split == exp
+
+
+def test_minhash_lane_agreement_bounds(spark):
+    """Identical docs agree on all 8 lanes; disjoint-shingle docs agree
+    on (almost surely) none — the estimator endpoints the calibration
+    query buckets by."""
+    from rclabsapi_spark.llm.dedup import minhash_signatures
+
+    df = _docs(
+        spark,
+        [
+            (1, "w1 w2 w3 w4 w5"),
+            (2, "w1 w2 w3 w4 w5"),
+            (3, "z1 z2 z3 z4 z5"),
+        ],
+    )
+    sig = {r.doc_id: [r[f"mh_{i}"] for i in range(8)] for r in
+           minhash_signatures(df).collect()}
+    assert sig[1] == sig[2]
+    agree_13 = sum(a == b for a, b in zip(sig[1], sig[3]))
+    assert agree_13 <= 2  # md5 lanes of disjoint shingle sets
