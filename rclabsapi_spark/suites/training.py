@@ -772,3 +772,56 @@ def q_epoch_mixture(spark, sf_dir):
         tau=_EPOCH_TAU,
         budget_multiplier=_EPOCH_BUDGET_MULT,
     )
+
+
+from rclabsapi_spark.suites.llm import _QUALITY_ORACLE as _QUALITY_SQL
+
+_QUALITY_VS_LM_ORACLE = f"""
+WITH quality AS ({_QUALITY_SQL}),
+uni AS ({_UNIGRAM_ORACLE.strip()}),
+bi AS ({_BIGRAM_ORACLE.strip()}),
+j AS (
+    SELECT LEAST(FLOOR(q.quality_score * 10), 9)::BIGINT AS quality_decile,
+           u.avg_logprob AS uni_lp, b.avg_logprob AS bi_lp
+    FROM quality q
+    JOIN uni u USING (doc_id)
+    JOIN bi b USING (doc_id)
+)
+SELECT quality_decile, COUNT(*)::BIGINT AS n_docs,
+       ROUND(AVG(uni_lp), 6) AS mean_unigram_lp,
+       ROUND(AVG(bi_lp), 6) AS mean_bigram_lp
+FROM j GROUP BY quality_decile
+"""
+
+
+@query("text_quality_vs_lm", _QUALITY_VS_LM_ORACLE)
+def q_quality_vs_lm(spark, sf_dir):
+    """Filter-validation audit: per heuristic quality-score decile, the
+    mean unigram and bigram LM log-probs — the cross-check that the
+    cheap length/punct/stopword quality gate and the LM fluency filters
+    rank documents consistently before a 100 TB pass trusts either one
+    alone (a decile where they diverge is where human review goes).
+    Three per-doc derivations (quality, unigram, bigram) reduce the
+    corpus to doc-count-sized score relations (~16 B/row) before any
+    join; the joins co-partition on doc_id and the final rollup is 10
+    rows. Decile = floor(quality*10) on the 6dp-rounded score — the
+    same double on both engines, so bucketing is bit-identical."""
+    from rclabsapi_spark.llm.text import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    qf = quality_features(docs).select("doc_id", "quality_score")
+    uni = unigram_score(docs).select(
+        "doc_id", F.col("avg_logprob").alias("uni_lp")
+    )
+    bi = bigram_score(docs).select(
+        "doc_id", F.col("avg_logprob").alias("bi_lp")
+    )
+    j = qf.join(uni, "doc_id").join(bi, "doc_id")
+    decile = F.least(F.floor(F.col("quality_score") * 10), F.lit(9)).cast(
+        "long"
+    )
+    return j.groupBy(decile.alias("quality_decile")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("uni_lp"), 6).alias("mean_unigram_lp"),
+        F.round(F.avg("bi_lp"), 6).alias("mean_bigram_lp"),
+    )

@@ -1138,3 +1138,16 @@ def test_centroid_drift_single_pass_shape(spark):
     assert counts["smj"] == 0
     p = _plan(spark, "sim_centroid_drift")
     assert "Window" not in p
+
+
+def test_quality_vs_lm_reduces_before_joins(spark):
+    """Quality-vs-LM audit: the corpus reduces to doc-count-sized score
+    relations before any doc-key join (6 scans — quality + unigram's 2 +
+    bigram's 3 — all partial-combined), no window, no sort-merge of
+    corpus-sized text relations."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "text_quality_vs_lm"))
+    assert scans["documents"] == 6
+    p = _plan(spark, "text_quality_vs_lm")
+    assert "Window" not in p
