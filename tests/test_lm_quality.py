@@ -121,3 +121,47 @@ def test_minhash_lane_agreement_bounds(spark):
     assert sig[1] == sig[2]
     agree_13 = sum(a == b for a, b in zip(sig[1], sig[3]))
     assert agree_13 <= 2  # md5 lanes of disjoint shingle sets
+
+
+def test_cluster_split_stable_under_corpus_growth(spark):
+    """The splitter's headline property: adding NEW documents (and new
+    clusters among them) never moves an EXISTING doc across splits —
+    split is a pure function of (salt, root), and growth that doesn't
+    touch an old cluster's edges leaves its root unchanged."""
+    from rclabsapi_spark.llm.dedup import dedup_clusters
+    from rclabsapi_spark.llm.sampling import hash_bucket, pct_threshold
+
+    def labels(pair_rows, n_docs):
+        pairs = spark.createDataFrame(pair_rows, "doc_a long, doc_b long")
+        clusters = dedup_clusters(pairs)
+        docs = spark.range(0, n_docs).withColumnRenamed("id", "doc_id")
+        base = docs.join(F.broadcast(clusters), "doc_id", "left")
+        b = hash_bucket(F.coalesce("cluster_id", "doc_id"), salt="clsplit")
+        split = (
+            F.when(b < F.lit(pct_threshold(5.0)), F.lit("val"))
+            .when(b < F.lit(pct_threshold(10.0)), F.lit("test"))
+            .otherwise(F.lit("train"))
+        )
+        return {
+            r.doc_id: r.s
+            for r in base.select("doc_id", split.alias("s")).collect()
+        }
+
+    before = labels([(1, 2), (2, 3), (10, 11)], 20)
+    after = labels([(1, 2), (2, 3), (10, 11), (30, 31), (31, 32)], 40)
+    for d in range(20):
+        assert after[d] == before[d], f"doc {d} moved on growth"
+
+
+def test_bigram_score_row_order_invariant(spark):
+    """Model counts and per-doc averages are aggregates — reordering or
+    repartitioning the corpus must not change any score."""
+    from rclabsapi_spark.llm.training import bigram_score
+
+    rows = [(i, f"w{i % 3} w{(i + 1) % 3} w{i % 5} w{(i + 2) % 7}")
+            for i in range(1, 30)]
+    df = _docs(spark, rows)
+    a = {r.doc_id: r.avg_logprob for r in bigram_score(df).collect()}
+    shuffled = df.orderBy(F.reverse(F.col("text"))).repartition(7)
+    b = {r.doc_id: r.avg_logprob for r in bigram_score(shuffled).collect()}
+    assert a == b
