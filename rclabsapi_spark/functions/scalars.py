@@ -12,8 +12,26 @@ so parity can be checked.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def let(value: Column, body: Callable[[Column], Column]) -> Column:
+    """Expression-level let-binding: evaluate ``value`` once, hand it to
+    ``body`` as a lambda variable (a cheap leaf reference). Catalyst has
+    no named subexpressions — reusing a Column object textually copies
+    its whole subtree per reference, so a deep tree referenced k times
+    in a composed expression grows the plan k-fold (nested composition
+    multiplies: the r10 PSL domain chain hit 47 MB task binaries and a
+    60 s sf0.01 wall from exactly this). A higher-order-function lambda
+    is the one place Spark gives a true variable, at the cost of that
+    subtree leaving whole-stage codegen (HOFs are CodegenFallback) —
+    worth it when plan size, not per-row eval, dominates. Nests: inner
+    ``let`` lambdas may reference outer lambda variables."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
 
 # --------------------------------------------------------------------------
 # String functions (data_transformer.cpp:122-140, string_utils.hpp:46-217,

@@ -359,9 +359,19 @@ def canonicalize_url(url: Column) -> Column:
       removed, the survivors SORTED (param order never distinguishes
       pages); an emptied query string drops its ``?``
 
-    Pure codegen string/regexp/array expressions — no UDF, no shuffle;
-    path and query VALUE case is preserved (only scheme/host are
-    case-insensitive per RFC 3986)."""
+    String/regexp/array expressions — no UDF, no shuffle. The input is
+    bound ONCE via ``let`` (the composed expression references it ~15
+    times; callers additionally nest this inside the PSL domain chain,
+    and the unbound r9 shape multiplied those copies into 47 MB task
+    binaries — see functions/scalars.py::let); the bound subtree leaves
+    whole-stage codegen but the per-row regex cost dominates either
+    way."""
+    from rclabsapi_spark.functions.scalars import let
+
+    return let(url, _canonicalize_of)
+
+
+def _canonicalize_of(url: Column) -> Column:
     no_frag = F.regexp_replace(url, "#.*$", "")
     scheme = F.lower(F.regexp_extract(no_frag, _URL_SCHEME_RE, 1))
     hostport = F.lower(F.regexp_extract(no_frag, _URL_HOST_RE, 1))
@@ -400,9 +410,10 @@ def url_registrable_domain(canon_url: Column) -> Column:
     against the Public Suffix List subset in ``llm/psl.py`` — so
     ``news.bbc.co.uk`` rolls up to ``bbc.co.uk``, not ``co.uk`` (the
     r9 last-two-labels simplification mis-rolled every
-    ccTLD-second-level site). The lookup is a map-literal codegen
-    chain, so this stays a pure Project; the domain is the rollup key
-    for per-site corpus accounting and crawl budgeting."""
+    ccTLD-second-level site). The lookup is a map-literal chain with
+    let-bound subtrees, so this stays a single exchange-free Project;
+    the domain is the rollup key for per-site corpus accounting and
+    crawl budgeting."""
     from rclabsapi_spark.llm.psl import registrable_domain
 
     host = F.regexp_replace(

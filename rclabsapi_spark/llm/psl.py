@@ -20,9 +20,9 @@ List, public data):
 ``PSL_RULES`` ships a curated subset of the public list (the full list
 is ~9k rules; swapping it in is a data change, not a code change — the
 lookup is rule-count-agnostic). At 100 TB the lookup stays a
-**map-literal codegen expression** (the PQ-codebook pattern), NOT a
-broadcast join: a few-KB literal in the plan beats shipping a build
-side to every exchange, and keeps callers pure Projects.
+**map-literal expression** (the PQ-codebook pattern), NOT a broadcast
+join: a few-KB literal in the plan beats shipping a build side to
+every exchange, and keeps callers single exchange-free Projects.
 
 Reference parity note: the reference has no URL/domain layer (its ETL
 is log/metric-shaped); this module serves the web-corpus curation tier
@@ -90,11 +90,28 @@ def _rule_map() -> Column:
 
 def registrable_domain(host: Column) -> Column:
     """eTLD+1 of a bare (already lowercased, port-free) host, per the
-    PSL algorithm above. Pure codegen: split + a fixed chain of
-    map-literal lookups — no join, no shuffle, rides along any plan.
-    When the host IS a public suffix (or has a single label), the host
-    itself is returned so downstream rollup keys are never null."""
-    parts = F.split(host, r"\.")
+    PSL algorithm above. One split + a fixed chain of map-literal
+    lookups — no join, no shuffle, rides along any plan. When the host
+    IS a public suffix (or has a single label), the host itself is
+    returned so downstream rollup keys are never null.
+
+    The host, its label array, and the prevailing-rule length are each
+    bound ONCE via ``let`` (functions/scalars.py): the rule chain
+    references them ~15/11/3 times respectively, and since the caller's
+    ``host`` is itself a composed canonical-URL tree, unbound reuse
+    multiplied copies into 47 MB task binaries / 60 s sf0.01 plans in
+    the r9 shape."""
+    from rclabsapi_spark.functions.scalars import let
+
+    return let(
+        host,
+        lambda h: let(F.split(h, r"\."), lambda ps: _prevailing(h, ps)),
+    )
+
+
+def _prevailing(host: Column, parts: Column) -> Column:
+    from rclabsapi_spark.functions.scalars import let
+
     n = F.size(parts)
 
     def cand(k: int) -> Column:
@@ -120,11 +137,13 @@ def registrable_domain(host: Column) -> Column:
     branches.append(F.when(typ[1] == 1, F.lit(1)))
     ps_len = F.coalesce(*branches, F.lit(1))  # implicit ``*`` default
 
-    reg_len = ps_len + 1
-    return F.when(
-        n > ps_len,
-        F.array_join(F.slice(parts, -reg_len, reg_len), "."),
-    ).otherwise(host)
+    return let(
+        ps_len,
+        lambda pl: F.when(
+            n > pl,
+            F.array_join(F.slice(parts, -(pl + F.lit(1)), pl + F.lit(1)), "."),
+        ).otherwise(host),
+    )
 
 
 def psl_values_sql() -> str:
