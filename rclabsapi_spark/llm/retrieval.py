@@ -91,19 +91,32 @@ def tfidf_topk(
 
     Returns (key, score, n_terms) ordered by (score desc, key). df and N
     broadcast; the only shuffle of consequence is the postings aggregate."""
+    return (
+        tfidf_scores(docs, terms, text_col=text_col, key_col=key_col)
+        .orderBy(F.col("score").desc(), key_col)
+        .limit(k)
+    )
+
+
+def tfidf_scores(
+    docs: DataFrame,
+    terms: Sequence[str],
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Unranked TF-IDF score relation (key, score, n_terms) over every
+    document containing ≥1 query term — the full posting-scored relation
+    `tfidf_topk` heap-selects from, exposed for scorer-agreement audits
+    that need the whole distribution, not the top of it."""
     postings = term_postings(docs, terms, text_col=text_col, key_col=key_col)
     scored = postings.join(F.broadcast(_doc_freq(postings)), "word").join(
         F.broadcast(_corpus_size(docs))
     )
     weight = F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
-    return (
-        scored.groupBy(key_col)
-        .agg(
-            round_half_up(F.sum(weight)).alias("score"),
-            F.count(F.lit(1)).alias("n_terms"),
-        )
-        .orderBy(F.col("score").desc(), key_col)
-        .limit(k)
+    return scored.groupBy(key_col).agg(
+        round_half_up(F.sum(weight)).alias("score"),
+        F.count(F.lit(1)).alias("n_terms"),
     )
 
 
@@ -137,6 +150,25 @@ def bm25_topk(
     consumer re-aggregates it: dl per doc, the query postings filter, df,
     and the avgdl scalar. dl joins postings on the doc key
     (co-partitioned: both sides are outputs of aggregates keyed on doc)."""
+    return (
+        bm25_scores(docs, terms, k1=k1, b=b, text_col=text_col, key_col=key_col)
+        .orderBy(F.col("score").desc(), key_col)
+        .limit(k)
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: Sequence[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Unranked BM25 score relation (key, score, n_terms) — see
+    `bm25_topk` for the physical shape; this is the same relation
+    without the TakeOrdered heap, for whole-distribution consumers."""
     words = corpus_words(docs, text_col=text_col, extra_cols=(key_col,))
     tf_all = words.groupBy(key_col, "word").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
@@ -150,14 +182,9 @@ def bm25_topk(
         .join(F.broadcast(_corpus_size(docs)))
         .join(F.broadcast(avgdl))
     )
-    return (
-        scored.groupBy(key_col)
-        .agg(
-            round_half_up(F.sum(_bm25_weight(k1, b))).alias("score"),
-            F.count(F.lit(1)).alias("n_terms"),
-        )
-        .orderBy(F.col("score").desc(), key_col)
-        .limit(k)
+    return scored.groupBy(key_col).agg(
+        round_half_up(F.sum(_bm25_weight(k1, b))).alias("score"),
+        F.count(F.lit(1)).alias("n_terms"),
     )
 
 

@@ -467,3 +467,62 @@ def epoch_mixture_schedule(
             target.cast("double") / n, 6
         ).alias("epochs"),
     )
+
+
+def crawl_budget_allocation(
+    domain_stats: DataFrame,
+    *,
+    strat_col: str,
+    size_col: str = "n_docs",
+    priority_col: str = "priority",
+    tau: float = 0.5,
+    budget_multiplier: float = 1.0,
+) -> DataFrame:
+    """Priority-weighted crawl/sampling budget per stratum (domain):
+    w_s = n_s^τ · priority_s / Σ_t n_t^τ · priority_t, target_s =
+    ⌊budget · w_s⌋ with budget = multiplier · Σ n_t — the allocation a
+    web-curation pipeline derives from its per-domain quality prior
+    (Common-Crawl-style crawl budgeting: quality raises a domain's
+    share, the τ<1 flattening keeps megadomains from eating the whole
+    budget). A target above the domain's availability caps at n_s and
+    sets the ``capped`` bit — the signal to crawl that domain MORE, not
+    to oversample what's already there.
+
+    Physical/determinism contract mirrors :func:`epoch_mixture_schedule`:
+    the input is the |domains| relation (corpus already aggregated), the
+    normalizer Z folds over the stratum-sorted list so the double sum is
+    order-fixed, τ=0.5 makes pow an IEEE sqrt, priorities arrive
+    6dp-rounded (exact), and targets derive by floor from bit-identical
+    doubles. Z rides back as a 1-row broadcast (reviewed BNLJ)."""
+    from rclabsapi_spark.functions.scalars import round_half_up
+
+    z = domain_stats.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(strat_col).alias("s"),
+                        F.col(size_col).cast("double").alias("n"),
+                        F.col(priority_col).cast("double").alias("p"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + F.pow(x["n"], F.lit(float(tau))) * x["p"],
+        ).alias("_z"),
+        F.sum(F.col(size_col)).alias("_total"),
+    )
+    n = F.col(size_col).cast("double")
+    w = F.pow(n, F.lit(float(tau))) * F.col(priority_col) / F.col("_z")
+    budget = F.lit(float(budget_multiplier)) * F.col("_total").cast("double")
+    target = F.floor(budget * w).cast("long")
+    size_long = F.col(size_col).cast("long")
+    return domain_stats.crossJoin(F.broadcast(z)).select(
+        strat_col,
+        size_long.alias("n_docs"),
+        F.col(priority_col).alias("priority"),
+        round_half_up(w, 6).alias("w_temp"),
+        target.alias("target_docs"),
+        F.least(target, size_long).alias("effective_docs"),
+        (target > size_long).alias("capped"),
+    )

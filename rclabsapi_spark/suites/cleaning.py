@@ -683,11 +683,13 @@ def q_url_keeper(spark, sf_dir):
 # Per-domain quality prior (crawl-budget ranking)
 # ---------------------------------------------------------------------------
 
-def _domain_quality_oracle() -> str:
+def _domain_quality_cte() -> str:
     # composes the URL-canonicalization CTE (PSL domains) with the
     # text-quality oracle (imported from the llm suite — ONE source of
     # truth for the score SQL) — mirrors the Spark side's single-scan
-    # carry composition.
+    # carry composition. Ends with a ``prior`` CTE carrying the full
+    # per-domain stats row (shared by the quality-prior query and the
+    # crawl-budget allocator built on top of it).
     from rclabsapi_spark.functions.scalars import sql_round_half_up as rhu
     from rclabsapi_spark.suites.llm import _QUALITY_ORACLE
 
@@ -709,25 +711,26 @@ agg AS (
            {rhu("(COUNT(*) - COUNT(DISTINCT canon_url)) / COUNT(*)::DOUBLE", 6)} AS dup_rate,
            {rhu("CAST(SUM(CAST(ROUND(quality_score * 1000000, 0) AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1000000.0)", 6)} AS mean_quality
     FROM per_doc GROUP BY domain
-)
-SELECT domain, n_docs, n_canon_urls, dup_rate, mean_quality,
-       {rhu("mean_quality * (1.0 - dup_rate)", 6)} AS priority
-FROM agg
+),
+prior AS (
+    SELECT domain, n_docs, n_canon_urls, dup_rate, mean_quality,
+           {rhu("mean_quality * (1.0 - dup_rate)", 6)} AS priority
+    FROM agg
+)"""
+
+
+def _domain_quality_oracle() -> str:
+    return f"""
+{_domain_quality_cte()}
+SELECT domain, n_docs, n_canon_urls, dup_rate, mean_quality, priority
+FROM prior
 """
 
 
-@query("clean_domain_quality_prior", _domain_quality_oracle())
-def q_domain_quality_prior(spark, sf_dir):
-    """Per-domain quality prior — the crawl-budget/ sampling-weight
-    table a web curation pipeline keeps per registrable domain: mean
-    text quality x (1 - URL-duplicate rate), composed from two
-    verified operators (PSL domain rollup + quality_features) in ONE
-    corpus scan: the domain/canon-URL columns ride the quality scan
-    via ``carry`` (no doc-key self-join), then a single groupBy(domain)
-    with two-phase count-distinct. mean_quality rounds half-up at the
-    aggregate edge (multi-row double sum); priority is derived from
-    the two ROUNDED aggregates, so it is bit-identical across engines.
-    llm/text.py::quality_features + llm/psl.py::registrable_domain."""
+def _domain_quality_frame(spark, sf_dir):
+    """Per-domain stats frame (domain, n_docs, n_canon_urls, dup_rate,
+    mean_quality, priority) — the single-scan carry composition shared
+    by the quality-prior query and the crawl-budget allocator."""
     from rclabsapi_spark.functions.scalars import round_half_up
     from rclabsapi_spark.llm.cleaning import (
         canonicalize_url,
@@ -770,4 +773,88 @@ def q_domain_quality_prior(spark, sf_dir):
         round_half_up(
             F.col("mean_quality") * (1.0 - F.col("dup_rate")), 6
         ).alias("priority"),
+    )
+
+
+@query("clean_domain_quality_prior", _domain_quality_oracle())
+def q_domain_quality_prior(spark, sf_dir):
+    """Per-domain quality prior — the crawl-budget/ sampling-weight
+    table a web curation pipeline keeps per registrable domain: mean
+    text quality x (1 - URL-duplicate rate), composed from two
+    verified operators (PSL domain rollup + quality_features) in ONE
+    corpus scan: the domain/canon-URL columns ride the quality scan
+    via ``carry`` (no doc-key self-join), then a single groupBy(domain)
+    with two-phase count-distinct. mean_quality rounds half-up at the
+    aggregate edge (multi-row double sum); priority is derived from
+    the two ROUNDED aggregates, so it is bit-identical across engines.
+    llm/text.py::quality_features + llm/psl.py::registrable_domain."""
+    return _domain_quality_frame(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Crawl-budget allocation (temperature-flattened priority targets)
+# ---------------------------------------------------------------------------
+
+_BUDGET_TAU = 0.5
+_BUDGET_MULT = 1.25
+
+
+def _crawl_budget_oracle() -> str:
+    from rclabsapi_spark.functions.scalars import sql_round_half_up as rhu
+
+    w_raw = f"(pow(n_docs::DOUBLE, {_BUDGET_TAU}) * priority) / z.z"
+    return f"""
+{_domain_quality_cte()},
+z AS (
+    SELECT list_reduce(
+               list_transform(
+                   list(struct_pack(s := domain, n := n_docs::DOUBLE,
+                                    p := priority) ORDER BY domain),
+                   x -> pow(x.n, {_BUDGET_TAU}) * x.p),
+               (a, b) -> a + b) AS z,
+           SUM(n_docs)::BIGINT AS total
+    FROM prior
+),
+sched AS (
+    SELECT domain, n_docs, priority,
+           {w_raw} AS w_raw,
+           CAST(FLOOR(({_BUDGET_MULT} * z.total::DOUBLE) * ({w_raw}))
+                AS BIGINT) AS target_docs
+    FROM prior, z
+)
+SELECT domain, n_docs, priority,
+       {rhu("w_raw", 6)} AS w_temp,
+       target_docs,
+       LEAST(target_docs, n_docs) AS effective_docs,
+       target_docs > n_docs AS capped
+FROM sched
+"""
+
+
+@query("clean_crawl_budget", _crawl_budget_oracle())
+def q_crawl_budget(spark, sf_dir):
+    """Crawl-budget allocation: allocate a 1.25×-growth crawl/
+    sampling budget (multiplier 1.25) across registrable
+    domains by temperature-flattened priority — w_d ∝ √n_d · priority_d
+    (τ=0.5, the mT5-style flattening at domain granularity) — and
+    report each domain's floor-integer target, the effective target
+    after capping at availability, and whether the cap bit (the signal
+    to raise that domain's crawl frequency, not its sample weight).
+    Composes the verified quality-prior stats; everything downstream of
+    the corpus aggregate runs on the |domains| relation with a
+    sorted-fold 1-row normalizer broadcast (the epoch-mixture pattern),
+    τ=0.5 ⇒ pow = IEEE sqrt and floor-derived integers are
+    bit-identical. llm/sampling.py::crawl_budget_allocation."""
+    from rclabsapi_spark.llm.sampling import crawl_budget_allocation
+
+    stats = _domain_quality_frame(spark, sf_dir).select(
+        "domain", "n_docs", "priority"
+    )
+    return crawl_budget_allocation(
+        stats,
+        strat_col="domain",
+        size_col="n_docs",
+        priority_col="priority",
+        tau=_BUDGET_TAU,
+        budget_multiplier=_BUDGET_MULT,
     )

@@ -632,6 +632,132 @@ def q_emb_neardup(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Cosine near-dup threshold sweep (dedup threshold-selection curve)
+# ---------------------------------------------------------------------------
+
+# Coarser 4-bit buckets than the near-dup query: the sweep's job is the
+# curve BELOW the production threshold, so it needs the recall of bigger
+# buckets; the bucket-size cap keeps the in-bucket pair count linear.
+_SWEEP_THRESHOLDS = (0.2, 0.25, 0.3, 0.35, 0.4, 0.45, 0.5)
+_SWEEP_MAX_BUCKET = 512
+
+_EMB_BUCKET4_SQL = "concat(" + ", ".join(
+    f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(4)
+) + ")"
+
+_SWEEP_VALUES_SQL = ", ".join(f"({t}::DOUBLE)" for t in _SWEEP_THRESHOLDS)
+
+
+@query(
+    "dedup_cosine_threshold_sweep",
+    f"""
+    WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, {_EMB_BUCKET4_SQL} AS bucket
+        FROM embeddings
+    ),
+    bc AS (SELECT bucket, COUNT(*)::BIGINT AS c FROM b GROUP BY 1),
+    pr AS (
+        SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+               ROUND({_COS_SQL.replace('b.v', 'bb.v')}, 6) AS cosine_sim
+        FROM b a
+        JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+        JOIN bc ON bc.bucket = a.bucket
+        WHERE bc.c <= {_SWEEP_MAX_BUCKET}
+          AND ROUND({_COS_SQL.replace('b.v', 'bb.v')}, 6)
+              >= {_SWEEP_THRESHOLDS[0]}
+    ),
+    th AS (SELECT * FROM (VALUES {_SWEEP_VALUES_SQL}) t(threshold)),
+    sw AS (
+        SELECT th.threshold, pr.id_a, pr.id_b, pr.cosine_sim
+        FROM th JOIN pr ON pr.cosine_sim >= th.threshold
+    ),
+    pa AS (
+        SELECT threshold, COUNT(*)::BIGINT AS n_pairs,
+               SUM(CAST(ROUND(cosine_sim * 1000000.0, 0) AS BIGINT)) AS micro
+        FROM sw GROUP BY 1
+    ),
+    ids AS (
+        SELECT threshold, COUNT(DISTINCT vid)::BIGINT AS n_vecs
+        FROM (SELECT threshold, id_a AS vid FROM sw
+              UNION ALL SELECT threshold, id_b FROM sw) u
+        GROUP BY 1
+    )
+    SELECT th.threshold,
+           COALESCE(pa.n_pairs, 0)::BIGINT AS n_pairs,
+           COALESCE(ids.n_vecs, 0)::BIGINT AS n_vecs,
+           CASE WHEN pa.n_pairs > 0
+                THEN {sql_round_half_up(
+                    "pa.micro::DOUBLE / (pa.n_pairs * 1000000.0)", 6)}
+                ELSE 0.0 END AS mean_cosine
+    FROM th LEFT JOIN pa USING (threshold) LEFT JOIN ids USING (threshold)
+    """,
+    bench=True,
+)
+def q_cosine_threshold_sweep(spark, sf_dir):
+    """Near-dup threshold-selection curve: pair counts, affected-vector
+    counts, and mean cosine at each candidate dedup threshold, from ONE
+    pass over the sign-LSH candidate pairs — the sweep a curation team
+    runs before fixing the semantic-dedup cutoff (too low merges topics,
+    too high leaves dups in). The capped 4-bit-bucket pair relation is
+    built once and cached; each threshold row is a filter over it (an
+    explode of the 7-literal threshold array — no join, no re-scoring),
+    so at 100 TB the sweep costs one candidate generation regardless of
+    how many thresholds are probed. Zero-count thresholds survive via
+    the 7-row spine left-join. llm/similarity.py::embedding_near_dup_pairs."""
+    pairs = (
+        embedding_near_dup_pairs(
+            load_table(spark, sf_dir, "embeddings"),
+            num_bits=4,
+            threshold=_SWEEP_THRESHOLDS[0],
+            max_bucket_size=_SWEEP_MAX_BUCKET,
+        )
+        .select("id_a", "id_b", "cosine_sim")
+        .cache()
+    )
+    th_arr = F.array(*[F.lit(t) for t in _SWEEP_THRESHOLDS])
+    sw = pairs.select(
+        "id_a", "id_b", "cosine_sim", F.explode(th_arr).alias("threshold")
+    ).filter(F.col("cosine_sim") >= F.col("threshold"))
+    pa = sw.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.round(F.col("cosine_sim") * 1000000.0, 0).cast("long")
+        ).alias("micro"),
+    )
+    ids = (
+        sw.select(
+            "threshold", F.explode(F.array("id_a", "id_b")).alias("vid")
+        )
+        .groupBy("threshold")
+        .agg(F.countDistinct("vid").alias("n_vecs"))
+    )
+    spine = spark.range(1).select(F.explode(th_arr).alias("threshold"))
+    return (
+        spine.join(pa, "threshold", "left")
+        .join(ids, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce(F.col("n_pairs"), F.lit(0).cast("long")).alias(
+                "n_pairs"
+            ),
+            F.coalesce(F.col("n_vecs"), F.lit(0).cast("long")).alias(
+                "n_vecs"
+            ),
+            F.when(
+                F.col("n_pairs") > 0,
+                round_half_up(
+                    F.col("micro").cast("double")
+                    / (F.col("n_pairs") * 1000000.0),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mean_cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Data-quality: CHECK-constraint audit (§1.2 — init.sql enum CHECKs)
 # ---------------------------------------------------------------------------
 

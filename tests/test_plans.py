@@ -645,6 +645,9 @@ def test_no_accidental_cartesian_anywhere(spark):
         "retr_bm25_topk",
         "retr_tfidf_topk",
         "train_unigram_lm_score",
+        # 1-row corpus-total broadcast inherited via the unigram-LM
+        # composition (same relation as train_unigram_lm_score's)
+        "text_quality_vs_lm",
         "text_pmi_collocations",
         "approx_cms_bound",
         "approx_mg_topk_bound",
@@ -682,6 +685,13 @@ def test_no_accidental_cartesian_anywhere(spark):
         "sim_ann_recall",
         # empty⇒pass-all subscription-rule relation (tiny, by contract)
         "p9_subscription_routing",
+        # 1-row (Z, total-docs) crawl-budget normalizer broadcast onto
+        # the |domains| relation (the epoch-mixture pattern)
+        "clean_crawl_budget",
+        # corpus totals / avgdl 1-row broadcasts (the retr_* pattern)
+        # plus the 1-row top-15-overlap count joined onto the 1-row
+        # sufficient-statistics aggregate
+        "retr_score_agreement",
     }
     offenders = {}
     for name in sorted(_REG):
@@ -1151,3 +1161,49 @@ def test_quality_vs_lm_reduces_before_joins(spark):
     assert scans["documents"] == 6
     p = _plan(spark, "text_quality_vs_lm")
     assert "Window" not in p
+
+
+def test_crawl_budget_single_scan_sorted_fold(spark):
+    """Crawl budget: the per-domain stats ride the SAME single documents
+    scan as the quality prior (carry composition), and the allocation
+    arithmetic runs on the |domains| relation against a 1-row sorted-fold
+    (Z, total) broadcast — whitelisted BNLJ, no window, no second corpus
+    pass for the targets."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, _counts = audit(_fn(spark, "clean_crawl_budget"))
+    assert scans["documents"] == 1
+    p = _plan(spark, "clean_crawl_budget")
+    assert "Window" not in p
+
+
+def test_score_agreement_single_row_statistics(spark):
+    """Scorer agreement: both score relations re-aggregate shared cached
+    (doc, term, tf) indexes — ONE physical documents scan feeds the
+    cached explodes — and the correlation reduces to a single 1-row
+    aggregate of five exact integer sufficient statistics. No window,
+    no sort-merge join, no corpus sort anywhere."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "retr_score_agreement"))
+    assert scans.get("documents", 0) <= 2
+    assert counts["smj"] == 0
+    p = _plan(spark, "retr_score_agreement")
+    assert "Window" not in p
+
+
+def test_cosine_threshold_sweep_one_candidate_pass(spark):
+    """Threshold sweep: the capped 4-bit-bucket candidate-pair relation
+    is built once (cached) and every threshold row derives from it by a
+    literal-array explode — no join against the pair relation, no
+    re-scoring per threshold, no window; the 7-row spine joins are
+    broadcast hash joins."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "dedup_cosine_threshold_sweep"))
+    assert scans.get("embeddings", 0) <= 2  # cached pair relation
+    assert counts["smj"] == 0
+    assert counts["bhj"] >= 2
+    p = _plan(spark, "dedup_cosine_threshold_sweep")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
