@@ -2172,11 +2172,21 @@ WITH cal AS (
     JOIN ({_MINHASH_SQL}) sa ON sa.doc_id = p.doc_a
     JOIN ({_MINHASH_SQL}) sb ON sb.doc_id = p.doc_b
 )
+-- means via exact integer-nano sums: per-pair jaccard doubles are
+-- bit-identical across engines, so rounding each to a 9dp grid and
+-- summing BIGINTs is accumulation-order-independent (a raw AVG
+-- diverged one ulp at a 6dp boundary in the 50-pair lanes=7 bucket
+-- at sf0.1: 0.951167 vs 0.951168)
 SELECT est_lanes::BIGINT AS est_lanes,
        est_lanes / 8.0 AS est_jaccard,
        COUNT(*)::BIGINT AS n_pairs,
-       ROUND(AVG(jaccard), 6) AS mean_exact,
-       ROUND(AVG(ABS(est_lanes / 8.0 - jaccard)), 6) AS mean_abs_err
+       FLOOR((SUM(CAST(FLOOR(jaccard * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE
+              / (COUNT(*) * 1000000000.0)) * 1000000.0 + 0.5)
+           / 1000000.0 AS mean_exact,
+       FLOOR((SUM(CAST(FLOOR(ABS(est_lanes / 8.0 - jaccard)
+                             * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE
+              / (COUNT(*) * 1000000000.0)) * 1000000.0 + 0.5)
+           / 1000000.0 AS mean_abs_err
 FROM cal GROUP BY est_lanes
 """
 
@@ -2212,15 +2222,32 @@ def q_minhash_calibration(spark, sf_dir):
     est_lanes = sum(
         (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int") for i in range(8)
     ).cast("long")
+    from rclabsapi_spark.functions.scalars import round_half_up
+
     cal = stamped.select(
         "jaccard", est_lanes.alias("est_lanes")
     )
+    # exact integer-nano sums (order-independent) — see oracle note
+    j_nano = F.floor(F.col("jaccard") * 1000000000.0 + F.lit(0.5)).cast(
+        "long"
+    )
+    err_nano = F.floor(
+        F.abs(F.col("est_lanes") / F.lit(8.0) - F.col("jaccard"))
+        * 1000000000.0
+        + F.lit(0.5)
+    ).cast("long")
     return cal.groupBy("est_lanes").agg(
         (F.col("est_lanes") / F.lit(8.0)).alias("est_jaccard"),
         F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.avg("jaccard"), 6).alias("mean_exact"),
-        F.round(
-            F.avg(F.abs(F.col("est_lanes") / F.lit(8.0) - F.col("jaccard"))), 6
+        round_half_up(
+            F.sum(j_nano).cast("double")
+            / (F.count(F.lit(1)) * 1000000000.0),
+            6,
+        ).alias("mean_exact"),
+        round_half_up(
+            F.sum(err_nano).cast("double")
+            / (F.count(F.lit(1)) * 1000000000.0),
+            6,
         ).alias("mean_abs_err"),
     )
 
