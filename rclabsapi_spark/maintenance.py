@@ -308,3 +308,82 @@ def missing_partitions(
         "present": sorted(present & exp),
         "unexpected": sorted(present - exp),
     }
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    fp_col: str = "fp",
+    group_col: str = "source",
+) -> DataFrame:
+    """Snapshot-to-snapshot corpus diff — the day-over-day ingest audit
+    run before promoting a new corpus snapshot: per group, old/new row
+    counts and the added / removed / changed / unchanged breakdown with
+    a churn rate (extends the reference's rotation/archival accounting,
+    log_file_manager.hpp:78-203, from files to row-level content).
+
+    Inputs are (key, group, fingerprint) relations — fingerprints are
+    computed at the scan, so document BODIES never reach the join; the
+    FULL OUTER equi-join on the key shuffles 32 B digests. Counts are
+    one partial-combining aggregate over the |keys| join output;
+    churn = (added+removed+changed)/n_new is an integer ratio
+    (bit-identical across engines)."""
+    from rclabsapi_spark.functions.scalars import round_half_up
+
+    o = old.select(
+        F.col(key_col),
+        F.col(group_col).alias("_g_old"),
+        F.col(fp_col).alias("_fp_old"),
+    )
+    n = new.select(
+        F.col(key_col),
+        F.col(group_col).alias("_g_new"),
+        F.col(fp_col).alias("_fp_new"),
+    )
+    j = o.join(n, key_col, "full_outer")
+    status = (
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    lab = j.select(
+        F.coalesce("_g_new", "_g_old").alias(group_col),
+        status.alias("status"),
+        F.col("_fp_old").isNotNull().cast("int").alias("in_old"),
+        F.col("_fp_new").isNotNull().cast("int").alias("in_new"),
+    )
+    agg = lab.groupBy(group_col).agg(
+        F.sum("in_old").cast("long").alias("n_old"),
+        F.sum("in_new").cast("long").alias("n_new"),
+        F.sum((F.col("status") == "added").cast("int"))
+        .cast("long")
+        .alias("n_added"),
+        F.sum((F.col("status") == "removed").cast("int"))
+        .cast("long")
+        .alias("n_removed"),
+        F.sum((F.col("status") == "changed").cast("int"))
+        .cast("long")
+        .alias("n_changed"),
+        F.sum((F.col("status") == "unchanged").cast("int"))
+        .cast("long")
+        .alias("n_unchanged"),
+    )
+    return agg.select(
+        group_col,
+        "n_old",
+        "n_new",
+        "n_added",
+        "n_removed",
+        "n_changed",
+        "n_unchanged",
+        round_half_up(
+            (
+                F.col("n_added") + F.col("n_removed") + F.col("n_changed")
+            ).cast("double")
+            / F.col("n_new").cast("double"),
+            6,
+        ).alias("churn_rate"),
+    )

@@ -2346,6 +2346,10 @@ def q_cluster_split(spark, sf_dir):
     )
 
 
+# centroid components and the norm/cosine sums all accumulate as exact
+# integers (9dp grid for per-row components, the 6dp-rounded components
+# as micro ints for the second level) — a raw AVG/SUM of doubles is
+# accumulation-ordered and only boundary-lucky (the calibration lesson)
 _CENTROID_ORACLE = """
 WITH flat AS (
     SELECT label,
@@ -2354,17 +2358,33 @@ WITH flat AS (
     FROM embeddings
 ),
 per AS (
-    SELECT label, pos, ROUND(AVG(x), 6) AS c, COUNT(*)::BIGINT AS n
+    SELECT label, pos,
+           FLOOR((SUM(CAST(FLOOR(x * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE
+                  / (COUNT(*) * 1000000000.0)) * 1000000.0 + 0.5)
+               / 1000000.0 AS c,
+           COUNT(*)::BIGINT AS n
     FROM flat GROUP BY label, pos
 ),
 gctr AS (
-    SELECT pos, ROUND(AVG(x), 6) AS g FROM flat GROUP BY pos
+    SELECT pos,
+           FLOOR((SUM(CAST(FLOOR(x * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE
+                  / (COUNT(*) * 1000000000.0)) * 1000000.0 + 0.5)
+               / 1000000.0 AS g
+    FROM flat GROUP BY pos
+),
+micro AS (
+    SELECT label, n,
+           CAST(ROUND(c * 1000000.0, 0) AS BIGINT) AS cm,
+           CAST(ROUND(g * 1000000.0, 0) AS BIGINT) AS gm
+    FROM per JOIN gctr USING (pos)
 )
 SELECT label, MAX(n) AS n_vecs,
-       ROUND(sqrt(SUM(c * c)), 6) AS centroid_norm,
-       ROUND(SUM(c * g) / (sqrt(SUM(c * c)) * sqrt(SUM(g * g))), 6)
-           AS cosine_to_global
-FROM per JOIN gctr USING (pos)
+       FLOOR((sqrt(SUM(cm * cm)::DOUBLE) / 1000000.0) * 1000000.0 + 0.5)
+           / 1000000.0 AS centroid_norm,
+       FLOOR((SUM(cm * gm)::DOUBLE
+              / (sqrt(SUM(cm * cm)::DOUBLE) * sqrt(SUM(gm * gm)::DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS cosine_to_global
+FROM micro
 GROUP BY label
 """
 
@@ -2385,21 +2405,35 @@ def q_centroid_drift(spark, sf_dir):
     the second-level sums fold identical doubles; the final cosine/norm
     round absorbs accumulation order. llm/similarity.py cosine
     conventions."""
+    from rclabsapi_spark.functions.scalars import round_half_up
+
     emb = load_table(spark, sf_dir, "embeddings")
     comp = emb.select(
         "label", F.posexplode("embedding").alias("pos", "x")
     ).withColumn("x", F.col("x").cast("double"))
-    per = comp.groupBy("label", "pos").agg(
-        F.round(F.avg("x"), 6).alias("c"),
-        F.count(F.lit(1)).alias("n"),
+    # exact integer-nano component sums + micro-int second level — see
+    # oracle note (raw double AVG/SUM is accumulation-ordered)
+    x_nano = F.floor(F.col("x") * 1000000000.0 + F.lit(0.5)).cast("long")
+    mean_c = round_half_up(
+        F.sum(x_nano).cast("double") / (F.count(F.lit(1)) * 1000000000.0), 6
     )
-    glob = comp.groupBy("pos").agg(F.round(F.avg("x"), 6).alias("g"))
-    j = per.join(F.broadcast(glob), "pos")
-    cc = F.sum(F.col("c") * F.col("c"))
-    gg = F.sum(F.col("g") * F.col("g"))
-    cg = F.sum(F.col("c") * F.col("g"))
+    per = comp.groupBy("label", "pos").agg(
+        mean_c.alias("c"), F.count(F.lit(1)).alias("n")
+    )
+    glob = comp.groupBy("pos").agg(mean_c.alias("g"))
+    j = per.join(F.broadcast(glob), "pos").select(
+        "label",
+        "n",
+        F.round(F.col("c") * 1000000.0, 0).cast("long").alias("cm"),
+        F.round(F.col("g") * 1000000.0, 0).cast("long").alias("gm"),
+    )
+    cc = F.sum(F.col("cm") * F.col("cm")).cast("double")
+    gg = F.sum(F.col("gm") * F.col("gm")).cast("double")
+    cg = F.sum(F.col("cm") * F.col("gm")).cast("double")
     return j.groupBy("label").agg(
         F.max("n").alias("n_vecs"),
-        F.round(F.sqrt(cc), 6).alias("centroid_norm"),
-        F.round(cg / (F.sqrt(cc) * F.sqrt(gg)), 6).alias("cosine_to_global"),
+        round_half_up(F.sqrt(cc) / 1000000.0, 6).alias("centroid_norm"),
+        round_half_up(cg / (F.sqrt(cc) * F.sqrt(gg)), 6).alias(
+            "cosine_to_global"
+        ),
     )

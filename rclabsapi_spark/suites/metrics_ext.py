@@ -797,6 +797,92 @@ def q_dq(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Data-quality: corpus snapshot diff (row-level ingest/versioning audit)
+# ---------------------------------------------------------------------------
+
+# Deterministic pseudo-snapshots derived from the one documents fixture
+# on BOTH engines (the PII-tail precedent — the operator under test is
+# the DIFF, not the synthesis): yesterday lacked the doc_id%17==0 docs
+# (today's "added"), today dropped the %19==0 docs ("removed"), and the
+# %13==0 docs carried an older revision yesterday ("changed").
+
+
+@query(
+    "dq_snapshot_diff",
+    """
+    WITH old_snap AS (
+        SELECT doc_id, source,
+               md5(CASE WHEN doc_id % 13 = 0 THEN text || ' rev0'
+                        ELSE text END) AS fp
+        FROM documents WHERE doc_id % 17 <> 0
+    ),
+    new_snap AS (
+        SELECT doc_id, source, md5(text) AS fp
+        FROM documents WHERE doc_id % 19 <> 0
+    ),
+    j AS (
+        SELECT COALESCE(n.source, o.source) AS source,
+               CASE WHEN o.fp IS NULL THEN 'added'
+                    WHEN n.fp IS NULL THEN 'removed'
+                    WHEN o.fp <> n.fp THEN 'changed'
+                    ELSE 'unchanged' END AS status,
+               CASE WHEN o.fp IS NOT NULL THEN 1 ELSE 0 END AS in_old,
+               CASE WHEN n.fp IS NOT NULL THEN 1 ELSE 0 END AS in_new
+        FROM old_snap o FULL OUTER JOIN new_snap n USING (doc_id)
+    ),
+    agg AS (
+        SELECT source,
+               SUM(in_old)::BIGINT AS n_old,
+               SUM(in_new)::BIGINT AS n_new,
+               SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_added,
+               SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_removed,
+               SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_changed,
+               SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_unchanged
+        FROM j GROUP BY source
+    )
+    SELECT source, n_old, n_new, n_added, n_removed, n_changed,
+           n_unchanged,
+           FLOOR(((n_added + n_removed + n_changed)::DOUBLE
+                  / n_new::DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+               AS churn_rate
+    FROM agg
+    """,
+)
+def q_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot diff: per-source added/removed/changed/unchanged
+    breakdown between two snapshot fingerprint relations — the
+    row-level ingest/versioning audit run before promoting a corpus
+    snapshot (did today's crawl really only touch what the pipeline
+    claims?). Fingerprints are md5 projections computed at each scan,
+    so the FULL OUTER join on doc_id shuffles 32-B digests, never
+    document bodies; counts partial-combine. A FULL OUTER join cannot
+    broadcast, so this is a designed fact-to-fact shuffle join on the
+    key — the honest shape at 100 TB (both sides reduce to key+fp+group
+    first). maintenance.py::snapshot_diff."""
+    from rclabsapi_spark.maintenance import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.col("text"), F.lit(" rev0")),
+            ).otherwise(F.col("text"))
+        ).alias("fp"),
+    )
+    new = docs.filter(F.col("doc_id") % 19 != 0).select(
+        "doc_id", "source", F.md5("text").alias("fp")
+    )
+    return snapshot_diff(old, new)
+
+
+# ---------------------------------------------------------------------------
 # Sessionization (extension: the canonical large-scale event-log op)
 # ---------------------------------------------------------------------------
 

@@ -788,8 +788,15 @@ j AS (
     JOIN bi b USING (doc_id)
 )
 SELECT quality_decile, COUNT(*)::BIGINT AS n_docs,
-       ROUND(AVG(uni_lp), 6) AS mean_unigram_lp,
-       ROUND(AVG(bi_lp), 6) AS mean_bigram_lp
+       -- per-doc log-probs arrive 6dp-rounded, so micro-int sums are
+       -- exact and order-independent (raw AVG of doubles is
+       -- accumulation-ordered — the calibration lesson)
+       FLOOR((SUM(CAST(ROUND(uni_lp * 1000000.0, 0) AS BIGINT))::DOUBLE
+              / (COUNT(*) * 1000000.0)) * 1000000.0 + 0.5) / 1000000.0
+           AS mean_unigram_lp,
+       FLOOR((SUM(CAST(ROUND(bi_lp * 1000000.0, 0) AS BIGINT))::DOUBLE
+              / (COUNT(*) * 1000000.0)) * 1000000.0 + 0.5) / 1000000.0
+           AS mean_bigram_lp
 FROM j GROUP BY quality_decile
 """
 
@@ -806,6 +813,7 @@ def q_quality_vs_lm(spark, sf_dir):
     join; the joins co-partition on doc_id and the final rollup is 10
     rows. Decile = floor(quality*10) on the 6dp-rounded score — the
     same double on both engines, so bucketing is bit-identical."""
+    from rclabsapi_spark.functions.scalars import round_half_up
     from rclabsapi_spark.llm.text import quality_features
 
     docs = load_table(spark, sf_dir, "documents")
@@ -820,8 +828,18 @@ def q_quality_vs_lm(spark, sf_dir):
     decile = F.least(F.floor(F.col("quality_score") * 10), F.lit(9)).cast(
         "long"
     )
+    # exact micro-int sums over the 6dp-rounded per-doc log-probs — see
+    # oracle note (raw AVG of doubles is accumulation-ordered)
+    u_micro = F.round(F.col("uni_lp") * 1000000.0, 0).cast("long")
+    b_micro = F.round(F.col("bi_lp") * 1000000.0, 0).cast("long")
     return j.groupBy(decile.alias("quality_decile")).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.avg("uni_lp"), 6).alias("mean_unigram_lp"),
-        F.round(F.avg("bi_lp"), 6).alias("mean_bigram_lp"),
+        round_half_up(
+            F.sum(u_micro).cast("double") / (F.count(F.lit(1)) * 1000000.0),
+            6,
+        ).alias("mean_unigram_lp"),
+        round_half_up(
+            F.sum(b_micro).cast("double") / (F.count(F.lit(1)) * 1000000.0),
+            6,
+        ).alias("mean_bigram_lp"),
     )

@@ -78,3 +78,21 @@ def test_score_agreement_bounds(spark):
     assert -1.0 <= row["pearson_r"] <= 1.0
     assert 0 <= row["top15_overlap"] <= 15
     assert row["n_docs"] > 15
+
+
+def test_snapshot_diff_known_answer(spark):
+    from rclabsapi_spark.maintenance import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "s", "a"), (2, "s", "b"), (3, "s", "c")],
+        "doc_id long, source string, fp string",
+    )
+    new = spark.createDataFrame(
+        [(2, "s", "b"), (3, "s", "C2"), (4, "s", "d")],
+        "doc_id long, source string, fp string",
+    )
+    r = snapshot_diff(old, new).collect()[0]
+    assert (r["n_old"], r["n_new"]) == (3, 3)
+    assert (r["n_added"], r["n_removed"], r["n_changed"], r["n_unchanged"]) \
+        == (1, 1, 1, 1)
+    assert r["churn_rate"] == 1.0  # (1+1+1)/3

@@ -1207,3 +1207,18 @@ def test_cosine_threshold_sweep_one_candidate_pass(spark):
     p = _plan(spark, "dedup_cosine_threshold_sweep")
     assert "Window" not in p
     assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_snapshot_diff_digest_only_fact_join(spark):
+    """Snapshot diff: two fingerprint-projected scans FULL-OUTER join on
+    the doc key — a designed fact-to-fact shuffle join (full outer
+    cannot broadcast) whose exchange carries 32-B digests, never bodies;
+    counts partial-combine, no window."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "dq_snapshot_diff"))
+    assert scans["documents"] == 2
+    p = _plan(spark, "dq_snapshot_diff")
+    assert "Window" not in p
+    # the join must not carry the text column — digests only
+    assert "FullOuter" in p.replace(" ", "")
