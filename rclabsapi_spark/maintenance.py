@@ -328,8 +328,11 @@ def snapshot_diff(
     computed at the scan, so document BODIES never reach the join; the
     FULL OUTER equi-join on the key shuffles 32 B digests. Counts are
     one partial-combining aggregate over the |keys| join output;
-    churn = (added+removed+changed)/n_new is an integer ratio
-    (bit-identical across engines)."""
+    churn = (added+removed+changed) / (n_old+n_added) — the union key
+    count, which is ≥1 for every emitted group (a group whose docs were
+    ALL removed has n_new = 0, so a new-snapshot denominator divides by
+    zero — caught by the hypothesis identity test) — an integer ratio,
+    bit-identical across engines."""
     from rclabsapi_spark.functions.scalars import round_half_up
 
     o = old.select(
@@ -383,7 +386,7 @@ def snapshot_diff(
             (
                 F.col("n_added") + F.col("n_removed") + F.col("n_changed")
             ).cast("double")
-            / F.col("n_new").cast("double"),
+            / (F.col("n_old") + F.col("n_added")).cast("double"),
             6,
         ).alias("churn_rate"),
     )

@@ -847,8 +847,8 @@ def q_dq(spark, sf_dir):
     SELECT source, n_old, n_new, n_added, n_removed, n_changed,
            n_unchanged,
            FLOOR(((n_added + n_removed + n_changed)::DOUBLE
-                  / n_new::DOUBLE) * 1000000.0 + 0.5) / 1000000.0
-               AS churn_rate
+                  / (n_old + n_added)::DOUBLE) * 1000000.0 + 0.5)
+               / 1000000.0 AS churn_rate
     FROM agg
     """,
 )

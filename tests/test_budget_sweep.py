@@ -95,4 +95,4 @@ def test_snapshot_diff_known_answer(spark):
     assert (r["n_old"], r["n_new"]) == (3, 3)
     assert (r["n_added"], r["n_removed"], r["n_changed"], r["n_unchanged"]) \
         == (1, 1, 1, 1)
-    assert r["churn_rate"] == 1.0  # (1+1+1)/3
+    assert r["churn_rate"] == 0.75  # (1+1+1) / (3 old + 1 added)

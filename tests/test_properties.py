@@ -273,3 +273,82 @@ def test_cms_bound_holds_on_random_streams(spark, items):
     bound = 2.0 * len(items) / 256.0
     for r in exact.collect():
         assert r["n"] <= est[r["item"]] <= r["n"] + bound
+
+
+# ---------------------------------------------------------------------------
+# r10 operators: snapshot-diff count identities, crawl-budget conservation
+# ---------------------------------------------------------------------------
+
+_snap_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),       # key
+        st.sampled_from(["s0", "s1", "s2"]),          # group
+        st.sampled_from(["fa", "fb", "fc"]),          # fingerprint
+    ),
+    min_size=0,
+    max_size=25,
+    unique_by=lambda t: t[0],
+)
+
+
+@SETTINGS
+@given(_snap_rows, _snap_rows)
+def test_snapshot_diff_count_identities(spark, old_rows, new_rows):
+    """For ANY pair of snapshots: per-group n_old decomposes into
+    removed+changed+unchanged and n_new into added+changed+unchanged,
+    and the global added/removed counts equal the key-set differences —
+    the invariants a row-level diff must satisfy regardless of data."""
+    from rclabsapi_spark.maintenance import snapshot_diff
+
+    schema = "doc_id long, source string, fp string"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    out = snapshot_diff(old, new).collect()
+    for r in out:
+        assert r["n_old"] == r["n_removed"] + r["n_changed"] + r["n_unchanged"]
+        assert r["n_new"] == r["n_added"] + r["n_changed"] + r["n_unchanged"]
+    old_keys = {t[0] for t in old_rows}
+    new_keys = {t[0] for t in new_rows}
+    assert sum(r["n_added"] for r in out) == len(new_keys - old_keys)
+    assert sum(r["n_removed"] for r in out) == len(old_keys - new_keys)
+    assert sum(r["n_old"] for r in out) == len(old_keys)
+    assert sum(r["n_new"] for r in out) == len(new_keys)
+    for r in out:
+        assert 0.0 <= r["churn_rate"] <= 1.0
+
+
+_domain_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=25),                  # domain idx
+        st.integers(min_value=1, max_value=10_000),              # n_docs
+        st.integers(min_value=1, max_value=1_000_000),           # priority µ
+    ),
+    min_size=1,
+    max_size=20,
+    unique_by=lambda t: t[0],
+)
+
+
+@SETTINGS
+@given(_domain_rows, st.sampled_from([0.5, 1.0, 2.0]))
+def test_crawl_budget_conservation(spark, rows, mult):
+    """For ANY domain-stats relation: floor targets never overshoot the
+    budget in total (Σ⌊b·w⌋ ≤ b·Σw = b), every effective target respects
+    availability, capped ⟺ target exceeds it, and the temperature
+    weights sum to ~1."""
+    from rclabsapi_spark.llm.sampling import crawl_budget_allocation
+
+    stats = spark.createDataFrame(
+        [(f"d{i}.com", n, round(p / 1e6, 6)) for i, n, p in rows],
+        "domain string, n_docs long, priority double",
+    )
+    out = crawl_budget_allocation(
+        stats, strat_col="domain", tau=0.5, budget_multiplier=mult
+    ).collect()
+    total = sum(n for _, n, _ in rows)
+    assert sum(r["target_docs"] for r in out) <= mult * total + 1e-9
+    for r in out:
+        assert r["effective_docs"] == min(r["target_docs"], r["n_docs"])
+        assert r["capped"] == (r["target_docs"] > r["n_docs"])
+        assert r["target_docs"] >= 0
+    assert abs(sum(r["w_temp"] for r in out) - 1.0) < 1e-4
