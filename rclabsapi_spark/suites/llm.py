@@ -695,6 +695,99 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
+# SimHash threshold-selection sweep: the hamming sibling of the cosine
+# sweep — pair/doc counts at every candidate hamming cutoff from ONE
+# banded candidate pass at the WIDEST cutoff (pigeonhole banding at
+# max_hamming=6 has 100% recall for every tighter threshold, so the
+# tighter tiers are pure filters over the cached pair relation).
+_HAMMING_SWEEP_MAX = 6
+
+_HAMMING_SWEEP_ORACLE = (
+    "WITH fp AS ("
+    + _SIMHASH60_SQL
+    + f"""
+),
+pr AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_SWEEP_MAX}
+),
+th AS (SELECT UNNEST(range(0, {_HAMMING_SWEEP_MAX + 1})) AS max_hamming),
+sw AS (
+    SELECT th.max_hamming, pr.doc_a, pr.doc_b
+    FROM th JOIN pr ON pr.hamming <= th.max_hamming
+),
+pa AS (
+    SELECT max_hamming, COUNT(*)::BIGINT AS n_pairs FROM sw GROUP BY 1
+),
+ids AS (
+    SELECT max_hamming, COUNT(DISTINCT d)::BIGINT AS n_docs
+    FROM (SELECT max_hamming, doc_a AS d FROM sw
+          UNION ALL SELECT max_hamming, doc_b FROM sw) u
+    GROUP BY 1
+)
+SELECT th.max_hamming,
+       COALESCE(pa.n_pairs, 0)::BIGINT AS n_pairs,
+       COALESCE(ids.n_docs, 0)::BIGINT AS n_docs
+FROM th LEFT JOIN pa USING (max_hamming) LEFT JOIN ids USING (max_hamming)
+"""
+)
+
+
+@query("dedup_simhash_hamming_sweep", _HAMMING_SWEEP_ORACLE)
+def q_simhash_hamming_sweep(spark, sf_dir):
+    """SimHash band-width selection curve: near-dup pair and affected-doc
+    counts at every hamming cutoff 0..6, from ONE pigeonhole-banded
+    candidate pass at the widest cutoff — banding at max_hamming=6 is
+    100%-recall for every tighter threshold (any pair within k ≤ 6 bits
+    shares one of the 7 bands), so each tier is a filter over the cached
+    pair relation, not a re-index. The curve is what sizes the
+    production cutoff/band count before a 100 TB pass commits to one
+    (too-wide bands blow up bucket pair generation; too-tight cutoffs
+    leave near-dups in). The 7-row spine keeps empty tiers visible.
+    llm/dedup.py::simhash_near_dup_pairs."""
+    from rclabsapi_spark.llm.dedup import simhash_near_dup_pairs
+
+    pairs = (
+        simhash_near_dup_pairs(
+            load_table(spark, sf_dir, "documents"),
+            max_hamming=_HAMMING_SWEEP_MAX,
+            bits=60,
+        )
+        .select("doc_a", "doc_b", "hamming")
+        .cache()
+    )
+    ks = F.array(
+        *[F.lit(k).cast("long") for k in range(_HAMMING_SWEEP_MAX + 1)]
+    )
+    sw = pairs.select(
+        "doc_a", "doc_b", "hamming", F.explode(ks).alias("max_hamming")
+    ).filter(F.col("hamming") <= F.col("max_hamming"))
+    pa = sw.groupBy("max_hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
+    ids = (
+        sw.select(
+            "max_hamming", F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        .groupBy("max_hamming")
+        .agg(F.countDistinct("d").alias("n_docs"))
+    )
+    spine = spark.range(1).select(F.explode(ks).alias("max_hamming"))
+    return (
+        spine.join(pa, "max_hamming", "left")
+        .join(ids, "max_hamming", "left")
+        .select(
+            "max_hamming",
+            F.coalesce(F.col("n_pairs"), F.lit(0).cast("long")).alias(
+                "n_pairs"
+            ),
+            F.coalesce(F.col("n_docs"), F.lit(0).cast("long")).alias(
+                "n_docs"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF ANN (the scale path beyond sign-LSH: coarse quantize → probe lists)
 # ---------------------------------------------------------------------------

@@ -843,3 +843,134 @@ def q_quality_vs_lm(spark, sf_dir):
             6,
         ).alias("mean_bigram_lp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source dataset card (the "datasheet" rollup)
+# ---------------------------------------------------------------------------
+
+_DATASET_CARD_ORACLE = f"""
+WITH quality AS ({_QUALITY_SQL}),
+base AS (
+    SELECT d.doc_id, d.source, d.lang,
+           md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp,
+           q.char_len,
+           len(regexp_extract_all(d.text,
+               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT AS n_tok_bpe,
+           q.quality_score
+    FROM documents d JOIN quality q USING (doc_id)
+),
+per_src AS (
+    SELECT source,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(n_tok_bpe)::BIGINT AS n_tokens,
+           SUM(char_len)::BIGINT AS n_chars,
+           FLOOR((CAST(SUM(CAST(ROUND(quality_score * 1000000, 0) AS BIGINT))
+                       AS DOUBLE) / (COUNT(*) * 1000000.0))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_quality,
+           FLOOR(((COUNT(*) - COUNT(DISTINCT fp)) / COUNT(*)::DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS exact_dup_rate
+    FROM base GROUP BY source
+),
+lc AS (SELECT source, lang, COUNT(*)::BIGINT AS c FROM base GROUP BY 1, 2),
+lt AS (SELECT source, SUM(c)::BIGINT AS n FROM lc GROUP BY 1),
+terms AS (
+    SELECT lc.source, lc.lang,
+           (lc.c::DOUBLE / lt.n::DOUBLE) * ln(lc.c::DOUBLE / lt.n::DOUBLE)
+               AS term
+    FROM lc JOIN lt USING (source)
+),
+ent AS (
+    SELECT source,
+           FLOOR((-(list_reduce(list(term ORDER BY lang), (a, b) -> a + b)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS lang_entropy
+    FROM terms GROUP BY source
+)
+SELECT p.source, p.n_docs, p.n_tokens, p.n_chars, p.mean_quality,
+       p.exact_dup_rate, e.lang_entropy
+FROM per_src p JOIN ent e USING (source)
+"""
+
+
+@query("train_dataset_card", _DATASET_CARD_ORACLE)
+def q_dataset_card(spark, sf_dir):
+    """Per-source dataset card — the datasheet row a curation pipeline
+    publishes per corpus slice (Datasheets for Datasets, Gebru et al.):
+    doc/token/char volume, mean heuristic quality, exact-duplicate rate
+    (normalized-fingerprint distinct), and the Shannon entropy of the
+    language mix. Pure composition of verified pieces on ONE corpus
+    scan: fingerprint, BPE-ish token count, and (source, lang) ride the
+    quality scan via ``carry``; the card is two source-keyed aggregates
+    (stats + lang counts) joined on the |sources| relation. Float
+    posture: mean quality sums exact micro ints, dup rate is an integer
+    ratio, and the entropy folds per-lang terms in lang order (sorted
+    fold — each term is per-row IEEE arithmetic on integer ratios).
+    llm/text.py::quality_features + llm/training.py fingerprint norm."""
+    from rclabsapi_spark.functions.scalars import round_half_up
+    from rclabsapi_spark.llm.text import bpe_ish_count, quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = quality_features(
+        docs,
+        carry=(
+            F.col("source"),
+            F.col("lang"),
+            F.md5(
+                F.regexp_replace(
+                    F.lower(F.trim(F.col("text"))), r"\s+", " "
+                )
+            ).alias("fp"),
+            bpe_ish_count(F.col("text")).alias("n_tok_bpe"),
+        ),
+    ).select(
+        "source", "lang", "fp", "char_len", "n_tok_bpe", "quality_score"
+    )
+    per_src = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok_bpe").alias("n_tokens"),
+        F.sum("char_len").alias("n_chars"),
+        round_half_up(
+            F.sum(
+                F.round(F.col("quality_score") * 1000000, 0).cast("long")
+            ).cast("double")
+            / (F.count(F.lit(1)) * 1000000.0),
+            6,
+        ).alias("mean_quality"),
+        round_half_up(
+            (F.count(F.lit(1)) - F.countDistinct("fp"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("exact_dup_rate"),
+    )
+    lc = base.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    lt = lc.groupBy("source").agg(F.sum("c").alias("n"))
+    ratio = F.col("c").cast("double") / F.col("n").cast("double")
+    terms = lc.join(lt, "source").select(
+        "source", "lang", (ratio * F.log(ratio)).alias("term")
+    )
+    ent = terms.groupBy("source").agg(
+        round_half_up(
+            -F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("lang").alias("l"),
+                            F.col("term").alias("t"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda a, x: a + x["t"],
+            ),
+            6,
+        ).alias("lang_entropy")
+    )
+    return per_src.join(ent, "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        "mean_quality",
+        "exact_dup_rate",
+        "lang_entropy",
+    )

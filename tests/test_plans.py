@@ -1222,3 +1222,31 @@ def test_snapshot_diff_digest_only_fact_join(spark):
     assert "Window" not in p
     # the join must not carry the text column — digests only
     assert "FullOuter" in p.replace(" ", "")
+
+
+def test_hamming_sweep_one_candidate_pass(spark):
+    """Hamming sweep: the banded candidate-pair relation is built once
+    at the widest cutoff (cached) and every tier is a filter over the
+    7-literal explode — no per-threshold re-index, no window; the 7-row
+    spine joins broadcast."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "dedup_simhash_hamming_sweep"))
+    assert scans.get("documents", 0) <= 2  # cached pair relation
+    assert counts["bhj"] >= 2
+    p = _plan(spark, "dedup_simhash_hamming_sweep")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_dataset_card_two_source_aggregates(spark):
+    """Dataset card: fingerprint/tokens/lang ride the quality scan via
+    carry (two consumers → two scans, never a doc-key self-join); the
+    card joins two source-keyed aggregates on the tiny |sources|
+    relation. No window, no corpus-key join."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "train_dataset_card"))
+    assert scans["documents"] == 2
+    p = _plan(spark, "train_dataset_card")
+    assert "Window" not in p
