@@ -72,16 +72,29 @@ def shingle_posting(
 
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles; safe empty result for short docs. Mirrors the
-    DuckDB expression in suites/llm.py exactly."""
-    t = tokens(text)
-    idx = F.when(
-        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, i + j) for j in range(n)]
-        ),
+    DuckDB expression in suites/llm.py exactly.
+
+    The token array is bound ONCE per row via ``let`` (a lambda variable),
+    so each ``element_at`` inside the transform lambda reads a cheap leaf
+    reference. The previous shape passed the raw ``tokens(text)`` Column
+    into the lambda, which textually embedded the split+filter subtree
+    n× per shingle — HOF lambdas are interpreted with no common-
+    subexpression elimination, i.e. O(len²) string work per document
+    (the same class fixed for doc_bigrams in r10, commit b83c22b).
+    Per-doc cost only — but measured ~20% of dedup_ngram_jaccard."""
+    from rclabsapi_spark.functions.scalars import let
+
+    return let(
+        tokens(text),
+        lambda t: F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
     )
 
 
