@@ -554,6 +554,75 @@ def q_f20(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# P17 — users-by-role array-membership filter (user_repository.cpp:242:
+# WHERE '<role>' = ANY(roles) ORDER BY created_at DESC)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p_users_by_role",
+    """
+    WITH u AS (
+        SELECT c_custkey,
+               c_name,
+               string_split(c_mktsegment || ','
+                   || CASE WHEN c_acctbal >= 0 THEN 'active' ELSE 'debtor' END,
+                   ',') AS roles,
+               DATE '1995-01-01' + INTERVAL ((c_custkey * 37) % 2557) DAY
+                   AS created_at,
+               c_acctbal >= 0 AS is_active
+        FROM customer
+    )
+    SELECT c_custkey, c_name,
+           array_to_string(roles, ',') AS roles_str,
+           CAST(created_at AS DATE) AS created_at,
+           is_active
+    FROM u
+    WHERE list_contains(roles, 'BUILDING')
+    ORDER BY created_at DESC, c_custkey
+    """,
+)
+def q_users_by_role(spark, sf_dir):
+    """P17 — getUsersByRole (user_repository.cpp:230-242): the reference's
+    only array-predicate query shape, ``'<role>' = ANY(roles) ORDER BY
+    created_at DESC``. Users map per FIXTURES.md §9 (users→customer) with
+    the F20 roles model (mktsegment + active/debtor); ``created_at`` is a
+    deterministic per-user date proxy (the fixture has no signup column).
+    ``F.array_contains`` ≙ DuckDB ``list_contains`` — an O(|roles|) scan
+    predicate evaluated inside whole-stage codegen, pushed nowhere (array
+    membership can't reach the parquet scan on either engine) but applied
+    pre-shuffle so only matching users reach the global sort. At 100 TB
+    the sort is a TakeOrdered only when the caller adds a limit; unbounded
+    role listings are range-partitioned by Spark's sort exchange."""
+    c = load_table(spark, sf_dir, "customer")
+    roles = F.split(
+        F.concat_ws(
+            ",",
+            F.col("c_mktsegment"),
+            F.when(F.col("c_acctbal") >= 0, "active").otherwise("debtor"),
+        ),
+        ",",
+    )
+    created = F.date_add(
+        F.lit("1995-01-01").cast("date"),
+        ((F.col("c_custkey") * 37) % 2557).cast("int"),
+    )
+    return (
+        c.select(
+            "c_custkey",
+            "c_name",
+            F.array_join(roles, ",").alias("roles_str"),
+            created.alias("created_at"),
+            (F.col("c_acctbal") >= 0).alias("is_active"),
+            roles.alias("_roles"),
+        )
+        .filter(F.array_contains(F.col("_roles"), F.lit("BUILDING")))
+        .drop("_roles")
+        .orderBy(F.col("created_at").desc(), "c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # ST11 — job state machine transitions (etl_job_manager.cpp:671-699),
 # batch replay: consecutive event types per user = status transitions
 # ---------------------------------------------------------------------------

@@ -1250,3 +1250,15 @@ def test_dataset_card_two_source_aggregates(spark):
     assert scans["documents"] == 2
     p = _plan(spark, "train_dataset_card")
     assert "Window" not in p
+
+
+def test_users_by_role_scan_filter_sort(spark):
+    """P17 users-by-role: one customer scan, the array-membership
+    predicate applied as a codegen Filter before the single range-sort
+    exchange, projection pruned to the consumed columns (no c_address
+    etc. through the sort)."""
+    plan = _plan(spark, "p_users_by_role")
+    assert _scans(plan)["customer"] == 1
+    assert plan.count("Exchange") <= 1  # the global-sort range exchange
+    assert "array_contains" in plan
+    assert "Join" not in plan and "Window" not in plan
