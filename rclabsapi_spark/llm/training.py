@@ -153,13 +153,26 @@ def unigram_score(
     (natural-language vocabularies are ≤10⁷ rows ≈ a few hundred MB) —
     beyond that drop the hint and let the word⋈vocab join shuffle on the
     word key, which partial-combined word counts already co-partition."""
+    from rclabsapi_spark.functions.scalars import round_half_up
+
     words = corpus_words(docs, text_col=text_col, extra_cols=(key_col,))
     model = unigram_logprobs(words)
     scored = words.join(F.broadcast(model), "word")
-    logprob = F.log(F.col("cnt") / F.col("total"))
+    # Per-word log-probs are bit-identical across engines (same parquet
+    # doubles, same ln), so summing them on a 9dp integer grid makes the
+    # per-doc mean accumulation-order-independent — a raw AVG(double)
+    # over the join output is ordered by the join's row order, which no
+    # engine pins (the dedup_minhash_calibration one-ulp lesson).
+    lp_nano = F.floor(
+        F.log(F.col("cnt") / F.col("total")) * 1000000000.0 + F.lit(0.5)
+    ).cast("long")
     return scored.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n_words"),
-        F.round(F.avg(logprob), 6).alias("avg_logprob"),
+        round_half_up(
+            F.sum(lp_nano).cast("double")
+            / (F.count(F.lit(1)) * 1000000000.0),
+            6,
+        ).alias("avg_logprob"),
     )
 
 
@@ -213,6 +226,8 @@ def bigram_score(
     co-partitioned with the model aggregate's own shuffle (one exchange
     per side, partial-combined). The context totals c(w1) re-aggregate
     the already-reduced model relation (vocab-sized → broadcast back)."""
+    from rclabsapi_spark.functions.scalars import round_half_up
+
     bg = doc_bigrams(docs, text_col=text_col, key_col=key_col)
     c12 = bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("double").alias("cnt12")
@@ -220,11 +235,19 @@ def bigram_score(
     c1 = c12.groupBy("w1").agg(F.sum("cnt12").alias("cnt1"))
     model = c12.join(F.broadcast(c1), "w1")
     scored = bg.join(model, ["w1", "w2"])
+    # 9dp-integer-grid sum: per-bigram log-probs are bit-identical
+    # across engines, the post-join row order is not — see
+    # unigram_score for the full rationale.
+    lp_nano = F.floor(
+        F.log(F.col("cnt12") / F.col("cnt1")) * 1000000000.0 + F.lit(0.5)
+    ).cast("long")
     return scored.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.avg(F.log(F.col("cnt12") / F.col("cnt1"))), 6).alias(
-            "avg_logprob"
-        ),
+        round_half_up(
+            F.sum(lp_nano).cast("double")
+            / (F.count(F.lit(1)) * 1000000000.0),
+            6,
+        ).alias("avg_logprob"),
     )
 
 

@@ -76,7 +76,12 @@ vocab AS (
 ),
 tot AS (SELECT SUM(cnt) AS total FROM vocab)
 SELECT d.doc_id, COUNT(*)::BIGINT AS n_words,
-       ROUND(AVG(ln(v.cnt / t.total)), 6) AS avg_logprob
+       -- 9dp-integer-grid sum: per-word ln values are bit-identical
+       -- across engines, the post-join accumulation order is not
+       FLOOR((SUM(CAST(FLOOR(ln(v.cnt / t.total) * 1000000000.0 + 0.5)
+                       AS BIGINT))::DOUBLE
+              / (COUNT(*) * 1000000000.0)) * 1000000.0 + 0.5) / 1000000.0
+           AS avg_logprob
 FROM words d JOIN vocab v USING (word) CROSS JOIN tot t
 GROUP BY d.doc_id
 """
@@ -109,7 +114,11 @@ c12 AS (
 ),
 c1 AS (SELECT w1, SUM(cnt12) AS cnt1 FROM c12 GROUP BY w1)
 SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
-       ROUND(AVG(ln(cnt12 / cnt1)), 6) AS avg_logprob
+       -- 9dp-integer-grid sum (see the unigram oracle note)
+       FLOOR((SUM(CAST(FLOOR(ln(cnt12 / cnt1) * 1000000000.0 + 0.5)
+                       AS BIGINT))::DOUBLE
+              / (COUNT(*) * 1000000000.0)) * 1000000.0 + 0.5) / 1000000.0
+           AS avg_logprob
 FROM bge JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
 GROUP BY doc_id
 """
