@@ -137,6 +137,36 @@ def sql_round_half_up(expr: str, decimals: int = 6) -> str:
     return f"FLOOR(({expr}) * {scale} + 0.5) / {scale}"
 
 
+def grid_mean(x: Column, decimals: int = 6, grid: float = 1e9) -> Column:
+    """Accumulation-order-independent mean of per-row doubles that are
+    bit-identical across engines (same parquet inputs, same per-row
+    arithmetic) — an aggregate expression for ``agg(...)``.
+
+    A raw ``AVG(double)`` folds in whatever row order the plan delivers,
+    which neither engine pins (partial aggregates, join output order),
+    so two engines can disagree by one ulp — enough to flip the last
+    digit when the mean is then rounded (the dedup_minhash_calibration
+    sf0.1 divergence). Rounding each value to a fixed decimal grid and
+    summing integers is exact and order-free; DECIMAL(38,0) holds the
+    sum without the BIGINT-overflow asymmetry (DuckDB widens to
+    HUGEINT, a raw Spark long would wrap). NULLs drop out exactly as
+    they do under AVG (sum and count both skip them). Mirror:
+    :func:`sql_grid_mean`."""
+    g = F.floor(x * grid + F.lit(0.5)).cast("decimal(38,0)")
+    return round_half_up(
+        F.sum(g).cast("double") / (F.count(x) * grid), decimals
+    )
+
+
+def sql_grid_mean(expr: str, decimals: int = 6, grid: float = 1e9) -> str:
+    """DuckDB mirror of :func:`grid_mean` (HUGEINT ≙ DECIMAL(38,0))."""
+    scale = float(10**decimals)
+    return (
+        f"FLOOR((SUM(CAST(FLOOR(({expr}) * {grid} + 0.5) AS HUGEINT))::DOUBLE"
+        f" / (COUNT({expr}) * {grid})) * {scale} + 0.5) / {scale}"
+    )
+
+
 def guarded_div(num: Column, den: Column, default: float = 0.0) -> Column:
     """Division with the reference's divide-by-zero guard (A11,
     job_monitoring_models.cpp:160-209): ``den > 0 ? num/den : default``."""

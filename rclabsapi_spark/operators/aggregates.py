@@ -27,8 +27,12 @@ def count_by(df: DataFrame, *cols: str) -> DataFrame:
 
 def avg_positive(c: Column) -> Column:
     """A7/A8 — mean over rows where the metric > 0
-    (job_monitor_service.cpp:540-572)."""
-    return F.avg(F.when(c > 0, c))
+    (job_monitor_service.cpp:540-572), 6dp. Computed as a 9dp-integer-
+    grid sum (functions.scalars.grid_mean) rather than a raw AVG so the
+    result is accumulation-order-independent across engines."""
+    from rclabsapi_spark.functions.scalars import grid_mean
+
+    return grid_mean(F.when(c > 0, c))
 
 
 def sum_l(c: Column) -> Column:

@@ -24,7 +24,11 @@ from rclabsapi_spark.operators.windows import (
     keep_last_n,
     running_peak,
 )
-from rclabsapi_spark.functions.scalars import round_half_up
+from rclabsapi_spark.functions.scalars import (
+    grid_mean,
+    round_half_up,
+    sql_grid_mean,
+)
 from rclabsapi_spark.plans.metrics import derived_indicators
 from rclabsapi_spark.plans.monitor_jobs import monitor_jobs
 from rclabsapi_spark.registry import query
@@ -316,14 +320,20 @@ def q_j5(spark, sf_dir):
 
 @query(
     "tpch_q1_pricing_summary",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
            SUM(l_quantity) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           ROUND(AVG(l_quantity), 6) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 6) AS avg_price,
-           ROUND(AVG(l_discount), 6) AS avg_disc,
+           -- prices are 2dp (disc_price 4dp) per row, so cent/0.1-mille
+           -- integer sums are exact and accumulation-order-independent;
+           -- a raw SUM(double) lands within ulps of a representable
+           -- grid boundary and its ROUND is then fold-order-dependent
+           SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS HUGEINT))::DOUBLE
+               / 100.0 AS sum_base_price,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5)
+                    AS HUGEINT))::DOUBLE / 10000.0 AS sum_disc_price,
+           {sql_grid_mean("l_quantity")} AS avg_qty,
+           {sql_grid_mean("l_extendedprice")} AS avg_price,
+           {sql_grid_mean("l_discount")} AS avg_disc,
            COUNT(*)::BIGINT AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -333,20 +343,29 @@ def q_j5(spark, sf_dir):
 )
 def q_tpch_q1(spark, sf_dir):
     """ΔJ/A — TPC-H Q1 shape: the canonical wide-agg scan. Map-side partial
-    aggregation → 6-group shuffle."""
+    aggregation → 6-group shuffle. Money sums ride exact integer cent
+    grids and the means are 9dp-grid sums (see the oracle note) so every
+    double in the output is fold-order-independent."""
     li = load_table(spark, sf_dir, "lineitem")
+
+    def cents_sum(c, scale):
+        g = F.floor(c * scale + F.lit(0.5)).cast("decimal(38,0)")
+        return F.sum(g).cast("double") / scale
+
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            cents_sum(F.col("l_extendedprice"), 100.0).alias(
+                "sum_base_price"
+            ),
+            cents_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000.0
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            grid_mean(F.col("l_quantity")).alias("avg_qty"),
+            grid_mean(F.col("l_extendedprice")).alias("avg_price"),
+            grid_mean(F.col("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -511,13 +530,14 @@ def _metric_mapped(spark, sf_dir):
                CAST(SUM(batches) AS BIGINT) AS sum_batches,
                MAX(peak_memory) AS max_peak_memory,
                MAX(peak_cpu) AS max_peak_cpu,
-               AVG(CASE WHEN rate > 0 THEN rate END) AS avg_rate_positive
+               {sql_grid_mean("CASE WHEN rate > 0 THEN rate END")}
+                   AS avg_rate_positive
         FROM m GROUP BY l_returnflag
     )
     SELECT l_returnflag, sum_records_processed, sum_records_successful,
            sum_records_failed, sum_bytes_processed, sum_execution_time_ms,
            sum_batches, max_peak_memory, max_peak_cpu,
-           ROUND(avg_rate_positive, 6) AS avg_rate_positive,
+           avg_rate_positive,
            ROUND(CASE WHEN sum_batches > 0
                  THEN sum_records_processed / sum_batches ELSE 0.0 END, 6)
                AS avg_batch_size,
@@ -550,7 +570,7 @@ def q_a3(spark, sf_dir):
         "sum_batches",
         "max_peak_memory",
         "max_peak_cpu",
-        F.round("avg_rate_positive", 6).alias("avg_rate_positive"),
+        "avg_rate_positive",
         F.round("avg_batch_size", 6).alias("avg_batch_size"),
         F.round("processing_rate", 6).alias("processing_rate"),
         F.round("error_rate", 6).alias("error_rate"),
@@ -560,14 +580,16 @@ def q_a3(spark, sf_dir):
 
 @query(
     "a7_avg_positive",
-    "SELECT event_type, ROUND(AVG(CASE WHEN value > 0 THEN value END), 6)"
-    " AS avg_value_positive FROM events GROUP BY event_type",
+    f"SELECT event_type, "
+    f"{sql_grid_mean('CASE WHEN value > 0 THEN value END')}"
+    f" AS avg_value_positive FROM events GROUP BY event_type",
 )
 def q_a7(spark, sf_dir):
-    """A7/A8 — AVG with >0 exclusion (job_monitor_service.cpp:540-606)."""
+    """A7/A8 — AVG with >0 exclusion (job_monitor_service.cpp:540-606);
+    grid mean, see operators.aggregates.avg_positive."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.round(avg_positive(F.col("value")), 6).alias("avg_value_positive")
+        avg_positive(F.col("value")).alias("avg_value_positive")
     )
 
 

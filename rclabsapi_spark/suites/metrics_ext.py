@@ -19,7 +19,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rclabsapi_spark.catalog import load_table
-from rclabsapi_spark.functions.scalars import round_half_up, sql_round_half_up
+from rclabsapi_spark.functions.scalars import (
+    grid_mean,
+    round_half_up,
+    sql_grid_mean,
+    sql_round_half_up,
+)
 from rclabsapi_spark.llm.similarity import embedding_near_dup_pairs
 from rclabsapi_spark.operators.aggregates import efficiency_score, metric_rollup
 from rclabsapi_spark.plans.log_query import LogQueryParams, search_logs
@@ -111,12 +116,13 @@ def q_p11(spark, sf_dir):
 # (job_monitor_service.cpp:477-489, 514-538)
 # ---------------------------------------------------------------------------
 
-_ROLLUP_SELECT_SQL = """
+_ROLLUP_SELECT_SQL = f"""
     SELECT CAST(SUM(records_processed) AS BIGINT) AS sum_records_processed,
            CAST(SUM(records_failed) AS BIGINT) AS sum_records_failed,
            CAST(SUM(batches) AS BIGINT) AS sum_batches,
            MAX(peak_memory) AS max_peak_memory,
-           ROUND(AVG(CASE WHEN rate > 0 THEN rate END), 6) AS avg_rate_positive
+           {sql_grid_mean("CASE WHEN rate > 0 THEN rate END")}
+               AS avg_rate_positive
 """
 
 
@@ -162,9 +168,11 @@ def _rollup_select(df):
         F.sum("records_failed").cast("long").alias("sum_records_failed"),
         F.sum("batches").cast("long").alias("sum_batches"),
         F.max("peak_memory").alias("max_peak_memory"),
-        F.round(
-            F.avg(F.when(F.col("rate") > 0, F.col("rate"))), 6
-        ).alias("avg_rate_positive"),
+        # 9dp-grid mean: per-row rates are bit-identical doubles across
+        # engines, the aggregate's fold order is not (grid_mean note)
+        grid_mean(F.when(F.col("rate") > 0, F.col("rate"))).alias(
+            "avg_rate_positive"
+        ),
     )
 
 
@@ -196,9 +204,10 @@ def q_a6(spark, sf_dir):
     f"""
     WITH m AS ({_METRIC_MAP_SQL.replace("FROM lineitem", ", l_linestatus FROM lineitem")})
     SELECT l_linestatus,
-           ROUND(AVG(CASE WHEN records_processed > 0
-                 THEN 100.0 * records_failed / records_processed END), 6)
-               AS avg_error_rate
+           {sql_grid_mean(
+               "CASE WHEN records_processed > 0 "
+               "THEN 100.0 * records_failed / records_processed END"
+           )} AS avg_error_rate
     FROM m GROUP BY l_linestatus
     """,
 )
@@ -217,7 +226,7 @@ def q_a8(spark, sf_dir):
         100.0 * F.col("records_failed") / F.col("records_processed"),
     )
     return m.groupBy("l_linestatus").agg(
-        F.round(F.avg(er), 6).alias("avg_error_rate")
+        grid_mean(er).alias("avg_error_rate")
     )
 
 
@@ -230,8 +239,8 @@ def q_a8(spark, sf_dir):
     "a10_resource_utilization",
     f"""
     WITH m AS ({_METRIC_MAP_SQL})
-    SELECT ROUND(AVG(peak_memory / 1048576.0), 6) AS avg_memory_mb,
-           ROUND(AVG(peak_cpu), 6) AS avg_cpu,
+    SELECT {sql_grid_mean("peak_memory / 1048576.0")} AS avg_memory_mb,
+           {sql_grid_mean("peak_cpu")} AS avg_cpu,
            MAX(peak_memory) AS max_peak_memory,
            MAX(peak_cpu) AS max_peak_cpu,
            COUNT(*)::BIGINT AS n_jobs
@@ -243,8 +252,8 @@ def q_a10(spark, sf_dir):
     """A10 — AVG/MAX memory+cpu over rows with any resource signal."""
     m = _metric_mapped(spark, sf_dir)
     return m.filter((F.col("peak_memory") > 0) | (F.col("peak_cpu") > 0)).agg(
-        F.round(F.avg(F.col("peak_memory") / 1048576.0), 6).alias("avg_memory_mb"),
-        F.round(F.avg("peak_cpu"), 6).alias("avg_cpu"),
+        grid_mean(F.col("peak_memory") / 1048576.0).alias("avg_memory_mb"),
+        grid_mean(F.col("peak_cpu")).alias("avg_cpu"),
         F.max("peak_memory").alias("max_peak_memory"),
         F.max("peak_cpu").alias("max_peak_cpu"),
         F.count(F.lit(1)).alias("n_jobs"),
@@ -345,15 +354,16 @@ _A13_TERMS_SQL = """
     ),
     terms AS ({_A13_TERMS_SQL})
     SELECT l_returnflag,
-           ROUND(AVG(
-               CASE WHEN COALESCE(t_rate, t_err, t_mem, t_cpu) IS NOT NULL
+           {sql_grid_mean(
+               '''CASE WHEN COALESCE(t_rate, t_err, t_mem, t_cpu) IS NOT NULL
                     THEN (COALESCE(t_rate, 0) + COALESCE(t_err, 0)
                           + COALESCE(t_mem, 0) + COALESCE(t_cpu, 0))
                          / ((CASE WHEN t_rate IS NULL THEN 0 ELSE 1 END)
                             + (CASE WHEN t_err IS NULL THEN 0 ELSE 1 END)
                             + (CASE WHEN t_mem IS NULL THEN 0 ELSE 1 END)
                             + (CASE WHEN t_cpu IS NULL THEN 0 ELSE 1 END))
-                    ELSE 0.0 END), 6) AS avg_efficiency_score
+                    ELSE 0.0 END'''
+           )} AS avg_efficiency_score
     FROM terms GROUP BY l_returnflag
     """,
 )
@@ -392,7 +402,7 @@ def q_a13(spark, sf_dir):
     )
     return ind.select("l_returnflag", score.alias("score")).groupBy(
         "l_returnflag"
-    ).agg(F.round(F.avg("score"), 6).alias("avg_efficiency_score"))
+    ).agg(grid_mean(F.col("score")).alias("avg_efficiency_score"))
 
 
 # ---------------------------------------------------------------------------
@@ -406,19 +416,28 @@ def q_a13(spark, sf_dir):
     WITH m AS ({_METRIC_MAP_SQL}),
     per_group AS (
         SELECT l_returnflag,
-               AVG(rate) AS rate,
-               AVG(CASE WHEN records_processed > 0
-                   THEN 100.0 * records_failed / records_processed
-                   ELSE 0.0 END) AS error_rate,
-               AVG(peak_cpu) AS cpu
+               {sql_grid_mean("rate")} AS rate,
+               {sql_grid_mean(
+                   "CASE WHEN records_processed > 0 "
+                   "THEN 100.0 * records_failed / records_processed "
+                   "ELSE 0.0 END"
+               )} AS error_rate,
+               {sql_grid_mean("peak_cpu")} AS cpu
         FROM m GROUP BY l_returnflag
     ),
+    -- per_group means are 6dp-rounded, so micro-int sums over the
+    -- tiny group relation keep the baseline order-independent too
     baseline AS (
-        SELECT AVG(rate) AS b_rate, AVG(error_rate) AS b_err, AVG(cpu) AS b_cpu
+        SELECT SUM(CAST(FLOOR(rate * 1000000.0 + 0.5) AS HUGEINT))::DOUBLE
+                   / (COUNT(*) * 1000000.0) AS b_rate,
+               SUM(CAST(FLOOR(error_rate * 1000000.0 + 0.5) AS HUGEINT))::DOUBLE
+                   / (COUNT(*) * 1000000.0) AS b_err,
+               SUM(CAST(FLOOR(cpu * 1000000.0 + 0.5) AS HUGEINT))::DOUBLE
+                   / (COUNT(*) * 1000000.0) AS b_cpu
         FROM per_group
     )
     SELECT l_returnflag,
-           ROUND(rate, 6) AS rate, ROUND(error_rate, 6) AS error_rate,
+           rate, error_rate,
            ((CASE WHEN b_rate > 0 THEN rate >= 0.8 * b_rate ELSE TRUE END)
             AND (CASE WHEN b_err > 0 THEN error_rate <= 1.2 * b_err ELSE TRUE END)
             AND (CASE WHEN b_cpu > 0 THEN cpu >= 0.8 * b_cpu ELSE TRUE END))
@@ -435,20 +454,30 @@ def q_a14(spark, sf_dir):
         100.0 * F.col("records_failed") / F.col("records_processed"),
     ).otherwise(0.0)
     per_group = m.groupBy("l_returnflag").agg(
-        F.avg("rate").alias("rate"),
-        F.avg(er).alias("error_rate"),
-        F.avg("peak_cpu").alias("cpu"),
+        grid_mean(F.col("rate")).alias("rate"),
+        grid_mean(er).alias("error_rate"),
+        grid_mean(F.col("peak_cpu")).alias("cpu"),
     )
     # baseline = global mean of the per-group rows. A second .agg() on
     # per_group re-computes the whole subtree (two fact scans — caught by
     # the plan audit); an unpartitioned window over the tiny grouped
-    # relation reads it once.
+    # relation reads it once. Per-group means are 6dp-rounded, so
+    # micro-int window sums keep the baseline order-independent too.
     w_all = Window.partitionBy()
+
+    def _micro_mean(col: str):
+        g = F.floor(F.col(col) * 1000000.0 + F.lit(0.5)).cast(
+            "decimal(38,0)"
+        )
+        return F.sum(g).over(w_all).cast("double") / (
+            F.count(F.col(col)).over(w_all) * 1000000.0
+        )
+
     with_base = per_group.select(
         "*",
-        F.avg("rate").over(w_all).alias("b_rate"),
-        F.avg("error_rate").over(w_all).alias("b_err"),
-        F.avg("cpu").over(w_all).alias("b_cpu"),
+        _micro_mean("rate").alias("b_rate"),
+        _micro_mean("error_rate").alias("b_err"),
+        _micro_mean("cpu").alias("b_cpu"),
     )
     ok = (
         F.when(F.col("b_rate") > 0, F.col("rate") >= 0.8 * F.col("b_rate")).otherwise(
@@ -463,8 +492,8 @@ def q_a14(spark, sf_dir):
     )
     return with_base.select(
         "l_returnflag",
-        F.round("rate", 6).alias("rate"),
-        F.round("error_rate", 6).alias("error_rate"),
+        "rate",
+        "error_rate",
         ok.alias("is_performing_well"),
     )
 
