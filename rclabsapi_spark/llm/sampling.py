@@ -493,7 +493,9 @@ def crawl_budget_allocation(
     normalizer Z folds over the stratum-sorted list so the double sum is
     order-fixed, τ=0.5 makes pow an IEEE sqrt, priorities arrive
     6dp-rounded (exact), and targets derive by floor from bit-identical
-    doubles. Z rides back as a 1-row broadcast (reviewed BNLJ)."""
+    doubles. Z rides back as a 1-row broadcast (reviewed BNLJ). The
+    degenerate Z=0 corpus (every priority zero) allocates nothing:
+    weights and targets clamp to 0 instead of dividing to NULL/NaN."""
     from rclabsapi_spark.functions.scalars import round_half_up
 
     z = domain_stats.agg(
@@ -513,7 +515,10 @@ def crawl_budget_allocation(
         F.sum(F.col(size_col)).alias("_total"),
     )
     n = F.col(size_col).cast("double")
-    w = F.pow(n, F.lit(float(tau))) * F.col(priority_col) / F.col("_z")
+    w = F.when(
+        F.col("_z") > 0,
+        F.pow(n, F.lit(float(tau))) * F.col(priority_col) / F.col("_z"),
+    ).otherwise(F.lit(0.0))
     budget = F.lit(float(budget_multiplier)) * F.col("_total").cast("double")
     target = F.floor(budget * w).cast("long")
     size_long = F.col(size_col).cast("long")

@@ -332,7 +332,15 @@ def snapshot_diff(
     count, which is ≥1 for every emitted group (a group whose docs were
     ALL removed has n_new = 0, so a new-snapshot denominator divides by
     zero — caught by the hypothesis identity test) — an integer ratio,
-    bit-identical across engines."""
+    bit-identical across engines.
+
+    Assumes a key's group is stable between snapshots: a surviving key
+    is attributed to coalesce(new group, old group), so a key that
+    MIGRATES groups counts entirely toward the new group — the old
+    group's n_old/n_changed undercount by the migration. Document keys
+    here are content-addressed per source, so migration cannot occur in
+    this pipeline; treat a mutable group column as out of contract (or
+    pre-split migrations into removed-from-old + added-to-new rows)."""
     from rclabsapi_spark.functions.scalars import round_half_up
 
     o = old.select(

@@ -802,7 +802,11 @@ _BUDGET_MULT = 1.25
 def _crawl_budget_oracle() -> str:
     from rclabsapi_spark.functions.scalars import sql_round_half_up as rhu
 
-    w_raw = f"(pow(n_docs::DOUBLE, {_BUDGET_TAU}) * priority) / z.z"
+    w_raw = (
+        f"CASE WHEN z.z > 0 THEN"
+        f" (pow(n_docs::DOUBLE, {_BUDGET_TAU}) * priority) / z.z"
+        f" ELSE 0.0 END"
+    )
     return f"""
 {_domain_quality_cte()},
 z AS (

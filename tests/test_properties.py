@@ -321,7 +321,7 @@ _domain_rows = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=25),                  # domain idx
         st.integers(min_value=1, max_value=10_000),              # n_docs
-        st.integers(min_value=1, max_value=1_000_000),           # priority µ
+        st.integers(min_value=0, max_value=1_000_000),           # priority µ
     ),
     min_size=1,
     max_size=20,
@@ -332,10 +332,12 @@ _domain_rows = st.lists(
 @SETTINGS
 @given(_domain_rows, st.sampled_from([0.5, 1.0, 2.0]))
 def test_crawl_budget_conservation(spark, rows, mult):
-    """For ANY domain-stats relation: floor targets never overshoot the
-    budget in total (Σ⌊b·w⌋ ≤ b·Σw = b), every effective target respects
-    availability, capped ⟺ target exceeds it, and the temperature
-    weights sum to ~1."""
+    """For ANY domain-stats relation — including priority 0 and the
+    all-zero degenerate corpus (Z=0, which must allocate nothing, not
+    divide to NULL): floor targets never overshoot the budget in total
+    (Σ⌊b·w⌋ ≤ b·Σw ≤ b), every effective target respects availability,
+    capped ⟺ target exceeds it, and the temperature weights sum to ~1
+    (or exactly 0 when Z=0)."""
     from rclabsapi_spark.llm.sampling import crawl_budget_allocation
 
     stats = spark.createDataFrame(
@@ -351,4 +353,10 @@ def test_crawl_budget_conservation(spark, rows, mult):
         assert r["effective_docs"] == min(r["target_docs"], r["n_docs"])
         assert r["capped"] == (r["target_docs"] > r["n_docs"])
         assert r["target_docs"] >= 0
-    assert abs(sum(r["w_temp"] for r in out) - 1.0) < 1e-4
+        assert r["w_temp"] is not None and r["w_temp"] == r["w_temp"]
+    w_sum = sum(r["w_temp"] for r in out)
+    if all(p == 0 for _, _, p in rows):
+        assert w_sum == 0.0
+        assert all(r["target_docs"] == 0 for r in out)
+    else:
+        assert abs(w_sum - 1.0) < 1e-4
