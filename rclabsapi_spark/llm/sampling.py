@@ -493,39 +493,57 @@ def crawl_budget_allocation(
     normalizer Z folds over the stratum-sorted list so the double sum is
     order-fixed, τ=0.5 makes pow an IEEE sqrt, priorities arrive
     6dp-rounded (exact), and targets derive by floor from bit-identical
-    doubles. Z rides back as a 1-row broadcast (reviewed BNLJ). The
+    doubles. The whole allocation is ONE LINEAR pipeline: aggregate the
+    |domains| relation into a single sorted row-array, fold Z and the
+    doc total from that array, explode it back. Referencing
+    ``domain_stats`` twice (stats side + a 1-row Z broadcast) would be
+    a second derivation of the caller's corpus pipeline unless
+    exchange-reuse happens to collapse it — and map-literal operators
+    upstream (the PSL rule table) defeat plan canonicalization, so the
+    single-scan shape is now structural, not an optimizer favor. The
     degenerate Z=0 corpus (every priority zero) allocates nothing:
     weights and targets clamp to 0 instead of dividing to NULL/NaN."""
     from rclabsapi_spark.functions.scalars import round_half_up
 
-    z = domain_stats.agg(
-        F.aggregate(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col(strat_col).alias("s"),
-                        F.col(size_col).cast("double").alias("n"),
-                        F.col(priority_col).cast("double").alias("p"),
-                    )
+    one = domain_stats.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(strat_col).alias("s"),
+                    F.col(size_col).cast("double").alias("n"),
+                    F.col(priority_col).cast("double").alias("p"),
+                    F.col(size_col).cast("long").alias("n_long"),
+                    F.col(priority_col).alias("p_orig"),
                 )
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + F.pow(x["n"], F.lit(float(tau))) * x["p"],
-        ).alias("_z"),
-        F.sum(F.col(size_col)).alias("_total"),
+            )
+        ).alias("_rows")
     )
-    n = F.col(size_col).cast("double")
+    z_fold = F.aggregate(
+        F.col("_rows"),
+        F.lit(0.0),
+        lambda acc, x: acc + F.pow(x["n"], F.lit(float(tau))) * x["p"],
+    )
+    total_fold = F.aggregate(
+        F.col("_rows"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x["n_long"],
+    )
+    rows = one.select(
+        F.explode(F.col("_rows")).alias("r"),
+        z_fold.alias("_z"),
+        total_fold.alias("_total"),
+    )
     w = F.when(
         F.col("_z") > 0,
-        F.pow(n, F.lit(float(tau))) * F.col(priority_col) / F.col("_z"),
+        F.pow(F.col("r.n"), F.lit(float(tau))) * F.col("r.p") / F.col("_z"),
     ).otherwise(F.lit(0.0))
     budget = F.lit(float(budget_multiplier)) * F.col("_total").cast("double")
     target = F.floor(budget * w).cast("long")
-    size_long = F.col(size_col).cast("long")
-    return domain_stats.crossJoin(F.broadcast(z)).select(
-        strat_col,
+    size_long = F.col("r.n_long")
+    return rows.select(
+        F.col("r.s").alias(strat_col),
         size_long.alias("n_docs"),
-        F.col(priority_col).alias("priority"),
+        F.col("r.p_orig").alias("priority"),
         round_half_up(w, 6).alias("w_temp"),
         target.alias("target_docs"),
         F.least(target, size_long).alias("effective_docs"),

@@ -424,9 +424,11 @@ _PSEUDO_URL_SQL = f"""
 
 # the DuckDB mirror of llm/cleaning.py::canonicalize_url — same regex
 # text (RE2-compatible), same param-drop list, same sort
+from rclabsapi_spark.llm.psl import psl_match_sql as _psl_match_sql
 from rclabsapi_spark.llm.psl import psl_values_sql as _psl_values_sql
 
 _PSL_VALUES = _psl_values_sql()
+_PSL_MATCH = _psl_match_sql(host="chost")
 
 _URL_CANON_CTE = f"""
 raw AS (
@@ -492,55 +494,32 @@ psl AS (
 ),
 spx AS (
     SELECT doc_id, raw_url, canon_url, chost,
-           string_split(chost, '.') AS sp,
-           len(string_split(chost, '.')) AS n
+           {_PSL_MATCH["split"]}
     FROM chost
 ),
 cand AS (
     SELECT *,
-           CASE WHEN n >= 4
-                THEN array_to_string(list_slice(sp, n - 3, n), '.')
-           END AS c4,
-           CASE WHEN n >= 3
-                THEN array_to_string(list_slice(sp, n - 2, n), '.')
-           END AS c3,
-           CASE WHEN n >= 2
-                THEN array_to_string(list_slice(sp, n - 1, n), '.')
-           END AS c2,
-           sp[n] AS c1
+           {_PSL_MATCH["cands"]}
     FROM spx
 ),
 typed AS (
     SELECT *,
-           (SELECT typ FROM psl WHERE rule = c4) AS t4,
-           (SELECT typ FROM psl WHERE rule = c3) AS t3,
-           (SELECT typ FROM psl WHERE rule = c2) AS t2,
-           (SELECT typ FROM psl WHERE rule = c1) AS t1
+           {_PSL_MATCH["typed"]}
     FROM cand
 ),
 -- PSL prevailing rule: exception first (public suffix = its parent),
 -- else the LONGEST match (normal rule of length k, or a wildcard whose
--- parent is the last k-1 labels), else the implicit '*' default
+-- parent is the last k-1 labels), else the implicit '*' default;
+-- candidate/lookup/COALESCE chains are generated from the same derived
+-- max rule length as the Spark side (llm/psl.py::psl_match_sql)
 pslen AS (
     SELECT *,
-           COALESCE(
-               CASE WHEN t4 = 3 THEN 3 END,
-               CASE WHEN t3 = 3 THEN 2 END,
-               CASE WHEN t2 = 3 THEN 1 END,
-               CASE WHEN t1 = 3 THEN 0 END,
-               CASE WHEN t4 = 1 OR (t3 = 2 AND n >= 4) THEN 4 END,
-               CASE WHEN t3 = 1 OR (t2 = 2 AND n >= 3) THEN 3 END,
-               CASE WHEN t2 = 1 OR (t1 = 2 AND n >= 2) THEN 2 END,
-               CASE WHEN t1 = 1 THEN 1 END,
-               1) AS pl
+           {_PSL_MATCH["pslen"]}
     FROM typed
 ),
 dom AS (
     SELECT doc_id, raw_url, canon_url,
-           CASE WHEN n > pl
-                THEN array_to_string(list_slice(sp, n - pl, n), '.')
-                ELSE chost
-           END AS domain
+           {_PSL_MATCH["domain"]} AS domain
     FROM pslen
 )"""
 

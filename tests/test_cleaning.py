@@ -316,6 +316,34 @@ def test_registrable_domain_psl(spark):
         ("example.unknowntld", "example.unknowntld"),  # '*' default
         ("deep.example.unknowntld", "example.unknowntld"),
         ("localhost", "localhost"),
+        # full-list-only rules (absent from the old curated subset):
+        # a 5-label normal rule — mis-resolves under a hard-coded k<=4
+        (
+            "bucket.s3.dualstack.ap-south-1.amazonaws.com",
+            "bucket.s3.dualstack.ap-south-1.amazonaws.com",
+        ),
+        (
+            "x.bucket.s3.dualstack.ap-south-1.amazonaws.com",
+            "bucket.s3.dualstack.ap-south-1.amazonaws.com",
+        ),
+        # a wildcard with a 4-label parent (5-label public suffix)
+        (
+            "vm.proj.compute.amazonaws.com.cn",
+            "vm.proj.compute.amazonaws.com.cn",
+        ),
+        (
+            # the wildcard matches ONE label: the suffix under a deeper
+            # host is still proj.compute..., so eTLD+1 is 6 labels
+            "a.vm.proj.compute.amazonaws.com.cn",
+            "vm.proj.compute.amazonaws.com.cn",
+        ),
+        # private-section hosting suffix from the full list
+        ("site.freetls.fastly.net", "site.freetls.fastly.net"),
+        ("sub.site.freetls.fastly.net", "site.freetls.fastly.net"),
+        # exception only in the full list
+        ("city.kobe.jp", "city.kobe.jp"),
+        ("ward.city.kobe.jp", "city.kobe.jp"),
+        ("other.kobe.jp", "other.kobe.jp"),  # *.kobe.jp wildcard
     ]
     df = spark.createDataFrame(
         [(i, h) for i, (h, _) in enumerate(cases)], "i long, host string"
@@ -339,7 +367,11 @@ def test_registrable_domain_psl_matches_oracle_sql(spark):
     import duckdb
     from pyspark.sql import functions as F
 
-    from rclabsapi_spark.llm.psl import psl_values_sql, registrable_domain
+    from rclabsapi_spark.llm.psl import (
+        psl_match_sql,
+        psl_values_sql,
+        registrable_domain,
+    )
 
     hosts = [
         "news.bbc.co.uk", "bbc.co.uk", "co.uk", "a.b.example.com",
@@ -348,6 +380,14 @@ def test_registrable_domain_psl_matches_oracle_sql(spark):
         "shop.example.com.au", "example.unknowntld", "localhost",
         "deep.a.gov.uk", "s.t.u.v.co.in", "blogspot.com",
         "me.blogspot.com",
+        # full-list depths: 5-label normal rule, 4-label wildcard
+        # parent, full-list-only exception and private suffixes
+        "bucket.s3.dualstack.ap-south-1.amazonaws.com",
+        "x.bucket.s3.dualstack.ap-south-1.amazonaws.com",
+        "vm.proj.compute.amazonaws.com.cn",
+        "a.vm.proj.compute.amazonaws.com.cn",
+        "site.freetls.fastly.net", "sub.site.freetls.fastly.net",
+        "city.kobe.jp", "ward.city.kobe.jp", "other.kobe.jp",
     ]
     df = spark.createDataFrame([(h,) for h in hosts], "host string")
     spark_out = {
@@ -358,31 +398,15 @@ def test_registrable_domain_psl_matches_oracle_sql(spark):
     }
     con = duckdb.connect()
     host_rows = ", ".join(f"('{h}')" for h in hosts)
+    frag = psl_match_sql(host="host")
     sql = f"""
     WITH hosts(host) AS (VALUES {host_rows}),
     psl AS (SELECT * FROM {psl_values_sql()}),
-    spx AS (SELECT host, string_split(host, '.') AS sp,
-                   len(string_split(host, '.')) AS n FROM hosts),
-    cand AS (SELECT *,
-        CASE WHEN n >= 4 THEN array_to_string(list_slice(sp, n-3, n), '.') END AS c4,
-        CASE WHEN n >= 3 THEN array_to_string(list_slice(sp, n-2, n), '.') END AS c3,
-        CASE WHEN n >= 2 THEN array_to_string(list_slice(sp, n-1, n), '.') END AS c2,
-        sp[n] AS c1 FROM spx),
-    typed AS (SELECT *,
-        (SELECT typ FROM psl WHERE rule = c4) AS t4,
-        (SELECT typ FROM psl WHERE rule = c3) AS t3,
-        (SELECT typ FROM psl WHERE rule = c2) AS t2,
-        (SELECT typ FROM psl WHERE rule = c1) AS t1 FROM cand),
-    pslen AS (SELECT *, COALESCE(
-        CASE WHEN t4 = 3 THEN 3 END, CASE WHEN t3 = 3 THEN 2 END,
-        CASE WHEN t2 = 3 THEN 1 END, CASE WHEN t1 = 3 THEN 0 END,
-        CASE WHEN t4 = 1 OR (t3 = 2 AND n >= 4) THEN 4 END,
-        CASE WHEN t3 = 1 OR (t2 = 2 AND n >= 3) THEN 3 END,
-        CASE WHEN t2 = 1 OR (t1 = 2 AND n >= 2) THEN 2 END,
-        CASE WHEN t1 = 1 THEN 1 END, 1) AS pl FROM typed)
-    SELECT host, CASE WHEN n > pl
-                 THEN array_to_string(list_slice(sp, n-pl, n), '.')
-                 ELSE host END AS d
+    spx AS (SELECT host, {frag["split"]} FROM hosts),
+    cand AS (SELECT *, {frag["cands"]} FROM spx),
+    typed AS (SELECT *, {frag["typed"]} FROM cand),
+    pslen AS (SELECT *, {frag["pslen"]} FROM typed)
+    SELECT host, {frag["domain"]} AS d
     FROM pslen
     """
     duck_out = dict(con.execute(sql).fetchall())

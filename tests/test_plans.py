@@ -685,9 +685,6 @@ def test_no_accidental_cartesian_anywhere(spark):
         "sim_ann_recall",
         # empty⇒pass-all subscription-rule relation (tiny, by contract)
         "p9_subscription_routing",
-        # 1-row (Z, total-docs) crawl-budget normalizer broadcast onto
-        # the |domains| relation (the epoch-mixture pattern)
-        "clean_crawl_budget",
         # corpus totals / avgdl 1-row broadcasts (the retr_* pattern)
         # plus the 1-row top-15-overlap count joined onto the 1-row
         # sufficient-statistics aggregate
@@ -1165,10 +1162,12 @@ def test_quality_vs_lm_reduces_before_joins(spark):
 
 def test_crawl_budget_single_scan_sorted_fold(spark):
     """Crawl budget: the per-domain stats ride the SAME single documents
-    scan as the quality prior (carry composition), and the allocation
-    arithmetic runs on the |domains| relation against a 1-row sorted-fold
-    (Z, total) broadcast — whitelisted BNLJ, no window, no second corpus
-    pass for the targets."""
+    scan as the quality prior (carry composition), and the allocation is
+    one LINEAR pipeline — the |domains| relation aggregates into a single
+    sorted row-array, Z and the doc total fold from it, and the rows
+    explode back. No second corpus derivation, no crossJoin/BNLJ at all
+    (the earlier 1-row-broadcast shape depended on exchange reuse, which
+    the PSL map literal upstream defeats), no window."""
     from rclabsapi_spark.planaudit import audit
 
     scans, _counts = audit(_fn(spark, "clean_crawl_budget"))
