@@ -788,6 +788,167 @@ def q_simhash_hamming_sweep(spark, sf_dir):
     )
 
 
+# Dedup-tier agreement audit: MinHash-LSH (shingle-set Jaccard) vs
+# SimHash (token-hash hamming) candidate pair sets, per threshold tier.
+_AGREE_J_TIERS = (0.5, 0.7, 0.9)
+
+_TIER_AGREEMENT_ORACLE = f"""
+WITH mh AS ({_MINHASH_ORACLE}),
+fp AS ({_SIMHASH60_SQL}),
+sh AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_SWEEP_MAX}
+),
+u AS (
+    SELECT COALESCE(mh.doc_a, sh.doc_a) AS doc_a,
+           COALESCE(mh.doc_b, sh.doc_b) AS doc_b,
+           mh.jaccard, sh.hamming
+    FROM mh FULL OUTER JOIN sh
+      ON mh.doc_a = sh.doc_a AND mh.doc_b = sh.doc_b
+),
+spine AS (
+    SELECT jt.j_threshold, ht.max_hamming
+    FROM (VALUES ({"), (".join(f"{j}::DOUBLE" for j in _AGREE_J_TIERS)}))
+         jt(j_threshold)
+    CROSS JOIN (SELECT UNNEST(range(0, {_HAMMING_SWEEP_MAX + 1}))::BIGINT
+                    AS max_hamming) ht
+),
+flags AS (
+    SELECT s.j_threshold, s.max_hamming,
+           CASE WHEN u.jaccard >= s.j_threshold THEN 1 ELSE 0 END AS in_mh,
+           CASE WHEN u.hamming <= s.max_hamming THEN 1 ELSE 0 END AS in_sh
+    FROM spine s, u
+),
+agg AS (
+    SELECT j_threshold, max_hamming,
+           SUM(in_mh)::BIGINT AS n_minhash,
+           SUM(in_sh)::BIGINT AS n_simhash,
+           SUM(in_mh * in_sh)::BIGINT AS n_both
+    FROM flags GROUP BY 1, 2
+)
+SELECT s.j_threshold, s.max_hamming,
+       COALESCE(a.n_minhash, 0)::BIGINT AS n_minhash,
+       COALESCE(a.n_simhash, 0)::BIGINT AS n_simhash,
+       COALESCE(a.n_both, 0)::BIGINT AS n_both,
+       CASE WHEN COALESCE(a.n_minhash, 0) + COALESCE(a.n_simhash, 0)
+                 - COALESCE(a.n_both, 0) > 0
+            THEN FLOOR((a.n_both::DOUBLE
+                        / (a.n_minhash + a.n_simhash - a.n_both)::DOUBLE)
+                       * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS pair_jaccard
+FROM spine s LEFT JOIN agg a USING (j_threshold, max_hamming)
+"""
+
+
+@query("dedup_tier_agreement", _TIER_AGREEMENT_ORACLE)
+def q_dedup_tier_agreement(spark, sf_dir):
+    """Dedup-tier agreement audit: how much do the two near-dup
+    definitions — MinHash-LSH candidates thresholded on exact
+    shingle-set Jaccard, and SimHash pairs cut on fingerprint hamming
+    distance — agree about WHICH pairs are duplicates, per threshold
+    tier? For every (jaccard_threshold × hamming_cutoff) cell the audit
+    reports each tier's pair count, the pairs both tiers flag, and the
+    Jaccard of the two PAIR SETS — the evidence a pipeline owner reads
+    before picking one tier (or requiring consensus) for a 100 TB
+    dedup pass; a cell where the sets barely overlap means the two
+    sketches are catching different duplicate phenomena, not tuning
+    variants of the same one.
+
+    Physical shape: both pair relations come from their verified banded
+    passes (LSH bucket pair-gen with caps; pigeonhole banding at the
+    widest hamming cutoff) — each is tiny next to the corpus. ONE
+    full-outer equi-join on the pair key aligns them, every (tier,
+    cutoff) cell derives from a literal-array explode of that joined
+    relation (the cosine-sweep pattern — no per-tier re-index, no
+    BNLJ), and a {len(_AGREE_J_TIERS) * (_HAMMING_SWEEP_MAX + 1)}-row
+    literal spine keeps empty cells visible. pair_jaccard is an
+    integer ratio — bit-identical across engines.
+    llm/dedup.py::lsh_candidate_pairs + simhash_near_dup_pairs."""
+    from rclabsapi_spark.functions.scalars import round_half_up
+    from rclabsapi_spark.llm.dedup import (
+        lsh_candidate_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mh = lsh_candidate_pairs(
+        docs, num_hashes=8, bands=4, max_bucket_size=50
+    ).select("doc_a", "doc_b", "jaccard")
+    sh = simhash_near_dup_pairs(
+        docs, max_hamming=_HAMMING_SWEEP_MAX, bits=60
+    ).select("doc_a", "doc_b", "hamming")
+    u = mh.join(sh, ["doc_a", "doc_b"], "full_outer")
+
+    tiers = F.array(
+        *[
+            F.struct(
+                F.lit(jt).alias("j_threshold"),
+                F.lit(h).cast("long").alias("max_hamming"),
+            )
+            for jt in _AGREE_J_TIERS
+            for h in range(_HAMMING_SWEEP_MAX + 1)
+        ]
+    )
+    flags = u.select(
+        F.explode(tiers).alias("t"), "jaccard", "hamming"
+    ).select(
+        F.col("t.j_threshold").alias("j_threshold"),
+        F.col("t.max_hamming").alias("max_hamming"),
+        F.coalesce(
+            (F.col("jaccard") >= F.col("t.j_threshold")).cast("int"),
+            F.lit(0),
+        ).alias("in_mh"),
+        F.coalesce(
+            (F.col("hamming") <= F.col("t.max_hamming")).cast("int"),
+            F.lit(0),
+        ).alias("in_sh"),
+    )
+    agg = flags.groupBy("j_threshold", "max_hamming").agg(
+        F.sum("in_mh").cast("long").alias("n_minhash"),
+        F.sum("in_sh").cast("long").alias("n_simhash"),
+        F.sum(F.col("in_mh") * F.col("in_sh")).cast("long").alias("n_both"),
+    )
+    spine = spark.range(1).select(F.explode(tiers).alias("t")).select(
+        "t.j_threshold", "t.max_hamming"
+    )
+    union_sz = (
+        F.col("n_minhash") + F.col("n_simhash") - F.col("n_both")
+    )
+    return (
+        spine.join(agg, ["j_threshold", "max_hamming"], "left")
+        .select(
+            "j_threshold",
+            "max_hamming",
+            F.coalesce("n_minhash", F.lit(0).cast("long")).alias(
+                "n_minhash"
+            ),
+            F.coalesce("n_simhash", F.lit(0).cast("long")).alias(
+                "n_simhash"
+            ),
+            F.coalesce("n_both", F.lit(0).cast("long")).alias("n_both"),
+        )
+        .select(
+            "j_threshold",
+            "max_hamming",
+            "n_minhash",
+            "n_simhash",
+            "n_both",
+            F.when(
+                union_sz > 0,
+                round_half_up(
+                    F.col("n_both").cast("double")
+                    / union_sz.cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pair_jaccard"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF ANN (the scale path beyond sign-LSH: coarse quantize → probe lists)
 # ---------------------------------------------------------------------------

@@ -983,3 +983,166 @@ def q_dataset_card(spark, sf_dir):
         "exact_dup_rate",
         "lang_entropy",
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dataset card (the datasheet delta a daily ingest publishes)
+# ---------------------------------------------------------------------------
+
+# Same deterministic pseudo-snapshots as dq_snapshot_diff (the operator
+# under test is the DELTA, not the synthesis): yesterday lacked the
+# doc_id%17==0 docs, today dropped the %19==0 docs, and the %13==0 docs
+# carried an older revision (' rev0' suffix) yesterday.
+
+_INC_CARD_SQL = """
+    SELECT d.source,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(len(regexp_extract_all(d.text,
+               '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))::BIGINT)::BIGINT
+               AS n_tokens,
+           SUM(CAST(ROUND(q.quality_score * 1000000, 0) AS BIGINT))
+               AS q_micro
+    FROM {d} d JOIN {q} q USING (doc_id) GROUP BY d.source
+"""
+
+_INC_CARD_ORACLE = f"""
+WITH docs_old AS (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 13 = 0 THEN text || ' rev0'
+                ELSE text END AS text
+    FROM documents WHERE doc_id % 17 <> 0
+),
+docs_new AS (
+    SELECT doc_id, source, text FROM documents WHERE doc_id % 19 <> 0
+),
+q_old AS ({_QUALITY_SQL.replace("FROM documents", "FROM docs_old")}),
+q_new AS ({_QUALITY_SQL.replace("FROM documents", "FROM docs_new")}),
+card_old AS ({_INC_CARD_SQL.format(d="docs_old", q="q_old")}),
+card_new AS ({_INC_CARD_SQL.format(d="docs_new", q="q_new")}),
+diffrows AS (
+    SELECT COALESCE(n.source, o.source) AS source,
+           CASE WHEN o.fp IS NULL OR n.fp IS NULL OR o.fp <> n.fp
+                THEN 1 ELSE 0 END AS moved
+    FROM (SELECT doc_id, source, md5(text) AS fp FROM docs_old) o
+    FULL OUTER JOIN
+         (SELECT doc_id, source, md5(text) AS fp FROM docs_new) n
+    USING (doc_id)
+),
+churn AS (
+    SELECT source,
+           FLOOR((SUM(moved)::DOUBLE / COUNT(*)::DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS churn_rate
+    FROM diffrows GROUP BY source
+),
+cards AS (
+    SELECT o.source,
+           o.n_docs AS n_docs_old,
+           n.n_docs AS n_docs_new,
+           (n.n_docs - o.n_docs)::BIGINT AS delta_docs,
+           (n.n_tokens - o.n_tokens)::BIGINT AS delta_tokens,
+           FLOOR((o.q_micro::DOUBLE / (o.n_docs * 1000000.0))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_quality_old,
+           FLOOR((n.q_micro::DOUBLE / (n.n_docs * 1000000.0))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_quality_new
+    FROM card_old o JOIN card_new n USING (source)
+)
+SELECT source, n_docs_old, n_docs_new, delta_docs, delta_tokens,
+       mean_quality_old, mean_quality_new,
+       FLOOR((mean_quality_new - mean_quality_old) * 1000000.0 + 0.5)
+           / 1000000.0 AS delta_mean_quality,
+       churn_rate
+FROM cards JOIN churn USING (source)
+"""
+
+
+@query("train_incremental_card", _INC_CARD_ORACLE)
+def q_incremental_card(spark, sf_dir):
+    """Incremental dataset card: the per-source datasheet DELTA between
+    two corpus snapshots — doc/token volume change, mean-quality drift,
+    and row-level churn — i.e. what a daily ingest actually publishes
+    next to the full card (train_dataset_card) when a snapshot is
+    promoted. Composes two verified operators: the reduced card (one
+    quality-carry scan per snapshot → per-source sums) and
+    maintenance.snapshot_diff (fingerprint full-outer join → churn).
+
+    Physical shape at 100 TB: the two snapshots are genuinely different
+    relations (here synthesized from the one fixture, the
+    dq_snapshot_diff precedent), each reduced map-side to a |sources|
+    card; the diff shuffles 32-B md5 digests, never bodies; the final
+    three-way join runs on |sources|-sized relations. Float posture:
+    mean quality sums exact micro-ints per side, the delta re-rounds
+    the difference of two 6dp-rounded doubles (bit-identical inputs →
+    bit-identical delta), churn is an integer ratio. A source present
+    in only one snapshot is out of delta scope by contract (the diff
+    query itself reports fully-added/removed groups).
+    llm/text.py::quality_features + maintenance.py::snapshot_diff."""
+    from rclabsapi_spark.functions.scalars import round_half_up
+    from rclabsapi_spark.llm.text import bpe_ish_count, quality_features
+    from rclabsapi_spark.maintenance import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.col("text"), F.lit(" rev0")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    new = docs.filter(F.col("doc_id") % 19 != 0).select(
+        "doc_id", "source", "text"
+    )
+
+    def card(d):
+        base = quality_features(
+            d,
+            carry=(
+                F.col("source"),
+                bpe_ish_count(F.col("text")).alias("n_tok"),
+            ),
+        )
+        return base.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(
+                F.round(F.col("quality_score") * 1000000, 0).cast("long")
+            ).alias("q_micro"),
+        )
+
+    co = card(old)
+    cn = card(new)
+    diff = snapshot_diff(
+        old.select("doc_id", "source", F.md5("text").alias("fp")),
+        new.select("doc_id", "source", F.md5("text").alias("fp")),
+    ).select("source", "churn_rate")
+    j = (
+        co.alias("o")
+        .join(cn.alias("n"), "source")
+        .select(
+            "source",
+            F.col("o.n_docs").alias("n_docs_old"),
+            F.col("n.n_docs").alias("n_docs_new"),
+            (F.col("n.n_docs") - F.col("o.n_docs")).alias("delta_docs"),
+            (F.col("n.n_tokens") - F.col("o.n_tokens")).alias(
+                "delta_tokens"
+            ),
+            round_half_up(
+                F.col("o.q_micro").cast("double")
+                / (F.col("o.n_docs") * 1000000.0),
+                6,
+            ).alias("mean_quality_old"),
+            round_half_up(
+                F.col("n.q_micro").cast("double")
+                / (F.col("n.n_docs") * 1000000.0),
+                6,
+            ).alias("mean_quality_new"),
+        )
+    )
+    return j.select(
+        "*",
+        round_half_up(
+            F.col("mean_quality_new") - F.col("mean_quality_old"), 6
+        ).alias("delta_mean_quality"),
+    ).join(diff, "source")

@@ -1261,3 +1261,38 @@ def test_users_by_role_scan_filter_sort(spark):
     assert plan.count("Exchange") <= 1  # the global-sort range exchange
     assert "array_contains" in plan
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_tier_agreement_one_alignment_join(spark):
+    """Dedup-tier agreement: the two sketch families each scan the
+    corpus once (shingle/MinHash side, token/SimHash side), their pair
+    relations align in ONE full-outer sort-merge join on the pair key
+    (tiny relations; full-outer cannot broadcast), and every (tier,
+    cutoff) cell derives from a literal-array explode — no per-tier
+    re-index, no cartesian, and the 21-row spine joins back as a
+    broadcast."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "dedup_tier_agreement"))
+    assert scans["documents"] == 2
+    assert counts["smj"] == 1  # the pair-key full-outer alignment
+    assert counts["bhj"] >= 1  # the spine join
+    p = _plan(spark, "dedup_tier_agreement")
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_incremental_card_reduces_per_snapshot(spark):
+    """Incremental card: each pseudo-snapshot feeds two map-side
+    derivations (per-source card aggregate + doc-key fingerprint
+    relation) — four corpus scans total, zero corpus-key joins beyond
+    the diff's designed digest full-outer (one SMJ); the card/churn
+    relations join broadcast on the tiny |sources| key. No window."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "train_incremental_card"))
+    assert scans["documents"] == 4
+    assert counts["smj"] == 1  # the fingerprint full-outer diff
+    assert counts["bhj"] >= 1  # |sources|-keyed card/churn joins
+    p = _plan(spark, "train_incremental_card")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
