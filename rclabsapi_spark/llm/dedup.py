@@ -817,9 +817,18 @@ def cluster_quality_audit(
             F.when(F.col("__ca") == F.col("__cb"), F.col("__ca")),
         )
     )
+    # mean over the 9dp integer grid: per-pair similarities are
+    # bit-identical across engines, raw-AVG accumulation order is not
+    sim_nano = F.floor(
+        F.col(sim_col) * 1000000000.0 + F.lit(0.5)
+    ).cast("long")
     pair_stats = tagged.groupBy(F.col("__cluster").alias(cluster_col)).agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        round_half_up(F.avg(F.col(sim_col)), 6).alias("mean_sim"),
+        round_half_up(
+            F.sum(sim_nano).cast("double")
+            / (F.count(F.lit(1)) * 1000000000.0),
+            6,
+        ).alias("mean_sim"),
         round_half_up(F.min(F.col(sim_col)), 6).alias("weakest_link"),
     )
     sizes = clusters.groupBy(cluster_col).agg(

@@ -37,21 +37,53 @@ from rclabsapi_spark.operators.rank import (
 def standardize(
     df: DataFrame, cols: list[str], *, suffix: str = "_z"
 ) -> DataFrame:
-    """z-score columns: (x − mean)/stddev, NULL when stddev is 0."""
+    """z-score columns: (x − mean)/stddev, NULL when stddev is 0.
+
+    Mean and sample stddev derive from EXACT integer sufficient
+    statistics on the 6dp grid — Σm and Σm² as DECIMAL(38,0) (the
+    HUGEINT-parity type, retr_score_agreement precedent), with
+    var = (n·Σm² − (Σm)²) / (n·(n−1)): raw F.avg/F.stddev_samp over
+    doubles are accumulation-ordered across partitions, and one ulp in
+    either statistic shifts EVERY output row's z. The 6dp grid on the
+    inputs is the documented engine-parity contract, not a loss: per
+    row the grid error is ≤5e-7 of the value scale."""
     stats = df.agg(
-        *[F.avg(F.col(c)).alias(f"__mu_{c}") for c in cols],
-        *[F.stddev_samp(F.col(c)).alias(f"__sd_{c}") for c in cols],
+        *[F.count(F.col(c)).alias(f"__n_{c}") for c in cols],
+        *[
+            F.sum(
+                F.floor(F.col(c) * 1000000.0 + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias(f"__s1_{c}")
+            for c in cols
+        ],
+        *[
+            F.sum(
+                F.floor(F.col(c) * 1000000.0 + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+                * F.floor(F.col(c) * 1000000.0 + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias(f"__s2_{c}")
+            for c in cols
+        ],
     )
     out = df.crossJoin(F.broadcast(stats))
+    drop: list[str] = []
     for c in cols:
-        z = F.when(
-            F.col(f"__sd_{c}") > 0,
-            (F.col(c) - F.col(f"__mu_{c}")) / F.col(f"__sd_{c}"),
+        n = F.col(f"__n_{c}")
+        s1 = F.col(f"__s1_{c}")
+        s2 = F.col(f"__s2_{c}")
+        mu = s1.cast("double") / (n * 1000000.0)
+        var_num = (s2 * n - s1 * s1).cast("double")  # exact in decimal
+        sd = (
+            F.sqrt(var_num / (n * (n - 1)).cast("double")) / 1000000.0
         )
+        z = F.when(sd > 0, (F.col(c) - mu) / sd)
         out = out.withColumn(c + suffix, z)
-    return out.drop(
-        *[f"__mu_{c}" for c in cols], *[f"__sd_{c}" for c in cols]
-    )
+        drop += [f"__n_{c}", f"__s1_{c}", f"__s2_{c}"]
+    return out.drop(*drop)
 
 
 def robust_scale(

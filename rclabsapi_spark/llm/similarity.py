@@ -247,9 +247,13 @@ def kmeans_centroids(
     Init = first ``k`` vectors by key (deterministic). Each iteration:
     broadcast the K centroids, argmax-cosine assign (one scan), then the
     new centroid is the element-wise mean of its members — ``posexplode``
-    the vectors and ``groupBy(centroid_id, pos).avg`` (one shuffle of
+    the vectors and a per-(centroid, dim) aggregate (one shuffle of
     (cluster, dim) partial sums, map-side combined), reassembled with a
-    sorted ``collect_list``. Per-iteration centroids are collected to the
+    sorted ``collect_list``. The mean sums components on the 9dp
+    integer grid (order-independent): intermediate centroids feed the
+    NEXT iteration's ROUND(cos, 9) argmax, so a raw-AVG accumulation
+    ulp could flip an assignment and diverge the engines from that
+    iteration on. Per-iteration centroids are collected to the
     driver (K × dim doubles — the MLlib pattern) so iteration i+1's plan
     reads a literal centroid table instead of re-deriving iterations
     1..i; the corpus relation is cached across iterations.
@@ -273,7 +277,16 @@ def kmeans_centroids(
                 "centroid_id", F.posexplode("v").alias("pos", "x")
             )
             .groupBy("centroid_id", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("x") * 1000000000.0 + F.lit(0.5)
+                        ).cast("long")
+                    ).cast("double")
+                    / (F.count(F.lit(1)) * 1000000000.0)
+                ).alias("m")
+            )
             .groupBy("centroid_id")
             .agg(
                 F.array_sort(
@@ -480,14 +493,23 @@ def quantize_embeddings_error(
         width > 0, F.col("lo") + code * width / levels
     ).otherwise(F.col("lo"))
     err = F.abs(F.col("v") - deq)
+    # mae sums 9dp-integer-grid errors (order-independent; raw AVG of
+    # doubles is accumulation-ordered); max is an exact selection
+    err_nano = F.floor(err * 1000000000.0 + F.lit(0.5)).cast("long")
+    from rclabsapi_spark.functions.scalars import round_half_up
+
     return (
-        j.select("dim", "lo", "hi", err.alias("err"))
+        j.select("dim", "lo", "hi", err.alias("err"), err_nano.alias("en"))
         .groupBy("dim")
         .agg(
             F.min("lo").alias("lo"),
             F.max("hi").alias("hi"),
-            F.round(F.avg("err"), 6).alias("mae"),
-            F.round(F.max("err"), 6).alias("max_err"),
+            round_half_up(
+                F.sum("en").cast("double")
+                / (F.count(F.lit(1)) * 1000000000.0),
+                6,
+            ).alias("mae"),
+            round_half_up(F.max("err"), 6).alias("max_err"),
         )
     )
 
@@ -720,20 +742,29 @@ def ann_recall_at_k(
 
     c = topk(candidates, "__c")
     t = topk(truth, "__t")
-    per_query = (
+    hits = (
         t.join(c, [query_col, item_col], "left")
         .groupBy(query_col)
         .agg(
-            (F.sum(F.coalesce(F.col("__c"), F.lit(0))) / float(k)).alias(
-                "recall_at_k"
-            )
+            F.sum(F.coalesce(F.col("__c"), F.lit(0)))
+            .cast("long")
+            .alias("__hits")
         )
     )
-    # macro average as the documented 1-row summary (query key NULL)
-    qtype = per_query.schema[query_col].dataType
-    macro = per_query.agg(
+    per_query = hits.select(
+        query_col, (F.col("__hits") / float(k)).alias("recall_at_k")
+    )
+    # macro average as the documented 1-row summary (query key NULL);
+    # computed from the exact integer hit counts — Σhits/(k·|queries|)
+    # is one integer-ratio division, order-independent (a raw AVG of
+    # the per-query recall doubles is accumulation-ordered)
+    qtype = hits.schema[query_col].dataType
+    macro = hits.agg(
         F.lit(None).cast(qtype).alias(query_col),
-        F.avg("recall_at_k").alias("recall_at_k"),
+        (
+            F.sum("__hits").cast("double")
+            / (F.count(F.lit(1)) * float(k))
+        ).alias("recall_at_k"),
     )
     return per_query.unionByName(macro)
 
@@ -1037,9 +1068,10 @@ def truncation_energy_audit(
     (trunc_dim, mean_energy, min_energy), energies in [0, 1].
 
     One scan; per-row ratios are left-to-right folds over sliced
-    arrays (bit-identical across engines); the corpus mean is an
-    accumulation-ordered aggregate and rounds at 6dp per the fleet
-    float rules, while min is order-free and rounds half-up."""
+    arrays (bit-identical across engines); the corpus mean sums the
+    ratios on the 9dp integer grid (order-independent — a raw AVG of
+    doubles is accumulation-ordered), min is order-free, and both
+    round half-up at 6dp."""
     from rclabsapi_spark.functions.scalars import round_half_up
 
     v = _as_double(F.col(vec_col))
@@ -1052,8 +1084,18 @@ def truncation_energy_audit(
             for k in dims
         ]
     )
+
+    def nano(c):
+        return F.floor(c * 1000000000.0 + F.lit(0.5)).cast("long")
+
     stats = ratios.agg(
-        *[F.avg(f"r{k}").alias(f"avg{k}") for k in dims],
+        *[
+            (
+                F.sum(nano(F.col(f"r{k}"))).cast("double")
+                / (F.count(F.lit(1)) * 1000000000.0)
+            ).alias(f"avg{k}")
+            for k in dims
+        ],
         *[F.min(f"r{k}").alias(f"min{k}") for k in dims],
     )
     # one row per k via explode of the single aggregate row — a union of
@@ -1062,7 +1104,7 @@ def truncation_energy_audit(
         *[
             F.struct(
                 F.lit(k).alias("trunc_dim"),
-                F.round(F.col(f"avg{k}"), 6).alias("mean_energy"),
+                round_half_up(F.col(f"avg{k}"), 6).alias("mean_energy"),
                 round_half_up(F.col(f"min{k}"), 6).alias("min_energy"),
             )
             for k in dims

@@ -303,9 +303,11 @@ def seasonal_naive_backtest(
     The forecast is a self-join of the (already tiny) aggregated series
     on ``idx − season`` — equi-join, broadcast-eligible, and robust to
     calendar gaps (a missing period yields no forecast row rather than a
-    silently shifted ``lag``). Errors are per-row arithmetic on exact
-    integer-valued doubles; only the final averaged metrics are rounded
-    (engine-portable half-up)."""
+    silently shifted ``lag``). Float posture: MAE averages exact
+    integer-valued doubles (counts), so its sum is exact in any
+    accumulation order — a documented raw-AVG exemption; the SMAPE
+    terms are genuine doubles, so they sum on the 9dp integer grid
+    (order-independent) before the final half-up round."""
     from rclabsapi_spark.functions.scalars import round_half_up
 
     gcols = list(group_cols)
@@ -321,10 +323,16 @@ def seasonal_naive_backtest(
     err = F.abs(F.col("actual") - F.col("forecast"))
     denom = F.abs(F.col("actual")) + F.abs(F.col("forecast"))
     smape_term = F.when(denom > 0, 2.0 * err / denom).otherwise(F.lit(0.0))
+    smape_nano = F.floor(smape_term * 1000000000.0 + F.lit(0.5)).cast(
+        "long"
+    )
     return j.groupBy(*gcols).agg(
         F.count(F.lit(1)).alias("n_eval"),
         round_half_up(F.avg(err)).alias("mae"),
-        round_half_up(F.avg(smape_term)).alias("smape"),
+        round_half_up(
+            F.sum(smape_nano).cast("double")
+            / (F.count(F.lit(1)) * 1000000000.0)
+        ).alias("smape"),
     )
 
 

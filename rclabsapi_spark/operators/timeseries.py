@@ -47,10 +47,12 @@ def gap_fill(
     Returns one row per (key, bucket) for every bucket in the key's
     observed [min, max] range with:
 
-    - ``v``        — AVG(value) of the bucket's observations rounded
-      half-up to 6 decimals (``round_half_up`` — the engine-portable
-      floor(x·1e6+0.5)/1e6 form; plain ``F.round`` vs DuckDB ``ROUND``
-      diverge at representable half-ties), NULL for gap buckets;
+    - ``v``        — the bucket's mean observation via 9dp-integer-grid
+      sums (per-row values are bit-identical across engines, raw AVG
+      accumulation order is not), rounded half-up to 6 decimals
+      (``round_half_up`` — the engine-portable floor(x·1e6+0.5)/1e6
+      form; plain ``F.round`` vs DuckDB ``ROUND`` diverge at
+      representable half-ties), NULL for gap buckets;
     - ``v_ffill``  — last NON-NULL ``v`` at or before the bucket
       (IGNORE-NULLS semantics: a bucket whose observations are all
       NULL is filled past, not from);
@@ -75,7 +77,17 @@ def gap_fill(
         )
         .repartition(F.col("key"))
         .groupBy("key", "bucket")
-        .agg(round_half_up(F.avg(value_col), 6).alias("v"))
+        .agg(
+            round_half_up(
+                F.sum(
+                    F.floor(
+                        F.col(value_col) * 1000000000.0 + F.lit(0.5)
+                    ).cast("long")
+                ).cast("double")
+                / (F.count(value_col) * 1000000000.0),
+                6,
+            ).alias("v")
+        )
     )
 
     # Each observed bucket emits itself plus the gap buckets up to (not

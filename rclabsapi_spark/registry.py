@@ -12,8 +12,18 @@ Cross-engine determinism rules used throughout the suites:
 - per-row arithmetic (IEEE doubles) is bit-identical across engines when
   both evaluate the same expression tree — no rounding needed.
 - multi-row float aggregates (SUM/AVG over doubles) can differ in the last
-  ulp due to accumulation order → both sides round the *final* aggregate
-  (round(x, N)); integral-valued double sums are exact and not rounded.
+  ulp due to accumulation order, and final-aggregate rounding only hides
+  that until a value lands on a rounding boundary (it did: minhash
+  calibration, r10). The rule since r10/r11: every multi-row double
+  SUM/AVG goes through integer-grid sums — round each per-row term to a
+  9dp (or magnitude-appropriate) integer grid, SUM the integers (BIGINT,
+  or DECIMAL(38,0)≙HUGEINT when squares/large magnitudes can overflow),
+  divide once, round half-up. Documented exemptions, each marked at the
+  call site: (a) integral-valued double sums (counts, hits) — exact in
+  any order; (b) single-sequence folds and window frames with a pinned
+  ORDER BY — both engines accumulate in the same order; (c) per-doc
+  aggregates over explode output where one doc's rows stay in one
+  partition; (d) feat_target_encode's 2dp price grain (its docstring).
 - LIMIT queries sort on a key-unique prefix so the selected set is
   deterministic.
 - casts from fractional doubles to integers are avoided (Spark truncates,

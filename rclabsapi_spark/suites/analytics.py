@@ -284,9 +284,10 @@ j AS (
 SELECT event_type, COUNT(*)::BIGINT AS n_eval,
        {sql_round_half_up('AVG(ABS(actual - forecast))')} AS mae,
        {sql_round_half_up(
-           "AVG(CASE WHEN ABS(actual) + ABS(forecast) > 0 "
+           "SUM(CAST(FLOOR((CASE WHEN ABS(actual) + ABS(forecast) > 0 "
            "THEN 2.0 * ABS(actual - forecast) / (ABS(actual) + ABS(forecast)) "
-           "ELSE 0.0 END)")} AS smape
+           "ELSE 0.0 END) * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE "
+           "/ (COUNT(*) * 1000000000.0)")} AS smape
 FROM j GROUP BY 1
 """
 

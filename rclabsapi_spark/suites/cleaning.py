@@ -291,8 +291,15 @@ SELECT e.event_type,
        COUNT(*)::BIGINT AS n,
        SUM(CASE WHEN value < lo THEN 1 ELSE 0 END)::BIGINT AS n_clipped_lo,
        SUM(CASE WHEN value > hi THEN 1 ELSE 0 END)::BIGINT AS n_clipped_hi,
-       ROUND(AVG(value), 6) AS mean_raw,
-       ROUND(AVG(LEAST(GREATEST(value, lo), hi)), 6) AS mean_winsorized
+       -- 9dp-integer-grid means (order-independent): per-row values
+       -- are bit-identical across engines, accumulation order is not
+       FLOOR((SUM(CAST(FLOOR(value * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE
+              / (COUNT(*) * 1000000000.0)) * 1000000.0 + 0.5)
+           / 1000000.0 AS mean_raw,
+       FLOOR((SUM(CAST(FLOOR(LEAST(GREATEST(value, lo), hi)
+                             * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE
+              / (COUNT(*) * 1000000000.0)) * 1000000.0 + 0.5)
+           / 1000000.0 AS mean_winsorized
 FROM events e JOIN bounds b ON e.event_type = b.event_type
 GROUP BY 1
 """
@@ -305,7 +312,11 @@ def q_winsorize(spark, sf_dir):
     preprocessing step before feeding heavy-tailed metrics to a model
     (outliers cap instead of dominating). Exact per-group percentiles
     broadcast back; clipping is per-row arithmetic; at scale the
-    GK-sketch percentile swap applies (operators/approx.py)."""
+    GK-sketch percentile swap applies (operators/approx.py). Means sum
+    9dp-integer-grid values (order-independent — raw F.avg of doubles
+    is accumulation-ordered across shuffle partitions)."""
+    from rclabsapi_spark.functions.scalars import round_half_up
+
     ev = load_table(spark, sf_dir, "events")
     bounds = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.05)").alias("lo"),
@@ -313,6 +324,17 @@ def q_winsorize(spark, sf_dir):
     )
     j = ev.join(F.broadcast(bounds), "event_type")
     clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+
+    def nano(c):
+        return F.floor(c * 1000000000.0 + F.lit(0.5)).cast("long")
+
+    def grid_mean(c):
+        return round_half_up(
+            F.sum(nano(c)).cast("double")
+            / (F.count(F.lit(1)) * 1000000000.0),
+            6,
+        )
+
     return j.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.when(F.col("value") < F.col("lo"), 1).otherwise(0)).alias(
@@ -321,8 +343,8 @@ def q_winsorize(spark, sf_dir):
         F.sum(F.when(F.col("value") > F.col("hi"), 1).otherwise(0)).alias(
             "n_clipped_hi"
         ),
-        F.round(F.avg("value"), 6).alias("mean_raw"),
-        F.round(F.avg(clipped), 6).alias("mean_winsorized"),
+        grid_mean(F.col("value")).alias("mean_raw"),
+        grid_mean(clipped).alias("mean_winsorized"),
     )
 
 

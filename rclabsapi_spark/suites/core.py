@@ -841,7 +841,10 @@ def q_st7(spark, sf_dir):
 )
 def q_moving_avg(spark, sf_dir):
     """Extension — bounded sliding mean (the metrics-history window shape,
-    job_monitor_service.hpp:150-158)."""
+    job_monitor_service.hpp:150-158). Raw-AVG exemption (b): the 4-row
+    frame is pinned by ORDER BY (ts, event_id) — both engines accumulate
+    the same few doubles in the same order, so no integer grid is
+    needed."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")

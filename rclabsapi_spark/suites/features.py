@@ -39,14 +39,27 @@ from rclabsapi_spark.registry import query
 
 _STANDARDIZE_ORACLE = f"""
 WITH s AS (
-    SELECT AVG(o_totalprice) AS mu, STDDEV_SAMP(o_totalprice) AS sd
+    -- exact HUGEINT sufficient statistics on the 6dp grid (mirrors
+    -- llm/features.py::standardize): raw AVG/STDDEV of doubles are
+    -- accumulation-ordered and one ulp would shift every z row
+    SELECT COUNT(o_totalprice) AS n,
+           SUM(CAST(FLOOR(o_totalprice * 1000000.0 + 0.5) AS HUGEINT)) AS s1,
+           SUM(CAST(FLOOR(o_totalprice * 1000000.0 + 0.5) AS HUGEINT)
+               * CAST(FLOOR(o_totalprice * 1000000.0 + 0.5) AS HUGEINT))
+               AS s2
     FROM orders
+),
+d AS (
+    SELECT s1::DOUBLE / (n * 1000000.0) AS mu,
+           sqrt((s2 * n - s1 * s1)::DOUBLE / (n * (n - 1))) / 1000000.0
+               AS sd
+    FROM s
 )
 SELECT o_orderkey,
        CASE WHEN sd > 0
             THEN {sql_round_half_up("(o_totalprice - mu) / sd", 6)}
        END AS price_z
-FROM orders, s
+FROM orders, d
 """
 
 

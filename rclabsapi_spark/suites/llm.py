@@ -1222,7 +1222,12 @@ def _semantic_oracle() -> str:
 {name}_m AS (
     SELECT cid, list(mval ORDER BY pos) AS cvec
     FROM (
-        SELECT a.cid, r.pos, AVG(a.v[r.pos]) AS mval
+        -- 9dp-integer-grid mean (order-independent; feeds the next
+        -- iteration's ROUND(cos, 9) argmax — see kmeans_centroids)
+        SELECT a.cid, r.pos,
+               SUM(CAST(FLOOR(a.v[r.pos] * 1000000000.0 + 0.5)
+                        AS BIGINT))::DOUBLE
+                   / (COUNT(*) * 1000000000.0) AS mval
         FROM {frm} a, UNNEST(range(1, {dim + 1})) AS r(pos)
         GROUP BY a.cid, r.pos
     ) GROUP BY cid
@@ -1457,7 +1462,8 @@ tagged AS (
 ),
 ps AS (
     SELECT cluster_id, COUNT(*)::BIGINT AS n_pairs,
-           {_rhu("AVG(jaccard)", 6)} AS mean_sim,
+           {_rhu("SUM(CAST(FLOOR(jaccard * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE"
+                 " / (COUNT(*) * 1000000000.0)", 6)} AS mean_sim,
            {_rhu("MIN(jaccard)", 6)} AS weakest_link
     FROM tagged GROUP BY cluster_id
 ),
@@ -1525,16 +1531,17 @@ ct AS (
 ),
 pq AS (
     SELECT tt.query_id,
-           SUM(CASE WHEN ct.vec_id IS NOT NULL THEN 1 ELSE 0 END)
-               / 10.0 AS recall_at_k
+           SUM(CASE WHEN ct.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS hits
     FROM tt LEFT JOIN ct
       ON ct.query_id = tt.query_id AND ct.vec_id = tt.vec_id
     GROUP BY tt.query_id
 ),
 unioned AS (
-    SELECT query_id, recall_at_k FROM pq
+    SELECT query_id, hits / 10.0 AS recall_at_k FROM pq
     UNION ALL
-    SELECT NULL::BIGINT, AVG(recall_at_k) FROM pq
+    -- macro from exact integer hits (order-independent integer ratio)
+    SELECT NULL::BIGINT, SUM(hits)::DOUBLE / (COUNT(*) * 10.0) FROM pq
 )
 SELECT query_id, {_rhu("recall_at_k", 6)} AS recall_at_k FROM unioned
 """
@@ -1614,7 +1621,11 @@ assign{m} AS (
 mean{m} AS (
     SELECT cid, list(mval ORDER BY pos) AS cvec
     FROM (
-        SELECT a.cid, r.pos, AVG(a.sv[r.pos]) AS mval
+        -- 9dp-integer-grid mean (order-independent, kmeans mirror)
+        SELECT a.cid, r.pos,
+               SUM(CAST(FLOOR(a.sv[r.pos] * 1000000000.0 + 0.5)
+                        AS BIGINT))::DOUBLE
+                   / (COUNT(*) * 1000000000.0) AS mval
         FROM assign{m} a, UNNEST(range(1, {sub + 1})) AS r(pos)
         GROUP BY a.cid, r.pos
     ) GROUP BY cid
@@ -1904,12 +1915,20 @@ WITH r AS (
                                b="(embedding::DOUBLE[])")} AS r32
     FROM embeddings
 )
-SELECT 8 AS trunc_dim, ROUND(AVG(r8), 6) AS mean_energy,
+SELECT 8 AS trunc_dim,
+       {_rhu("SUM(CAST(FLOOR(r8 * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE"
+             " / (COUNT(*) * 1000000000.0)", 6)} AS mean_energy,
        {_rhu("MIN(r8)", 6)} AS min_energy FROM r
 UNION ALL
-SELECT 16, ROUND(AVG(r16), 6), {_rhu("MIN(r16)", 6)} FROM r
+SELECT 16,
+       {_rhu("SUM(CAST(FLOOR(r16 * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE"
+             " / (COUNT(*) * 1000000000.0)", 6)},
+       {_rhu("MIN(r16)", 6)} FROM r
 UNION ALL
-SELECT 32, ROUND(AVG(r32), 6), {_rhu("MIN(r32)", 6)} FROM r
+SELECT 32,
+       {_rhu("SUM(CAST(FLOOR(r32 * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE"
+             " / (COUNT(*) * 1000000000.0)", 6)},
+       {_rhu("MIN(r32)", 6)} FROM r
 """
 
 

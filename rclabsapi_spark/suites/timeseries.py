@@ -119,7 +119,9 @@ def q_range(spark, sf_dir):
 _GAP_FILL_ORACLE = f"""
 WITH obs AS (
     SELECT user_id, date_trunc('hour', ts) AS bucket,
-           {sql_round_half_up('AVG(value)', 6)} AS v
+           {sql_round_half_up(
+               'SUM(CAST(FLOOR(value * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE'
+               ' / (COUNT(value) * 1000000000.0)', 6)} AS v
     FROM events GROUP BY 1, 2
 ),
 b AS (

@@ -704,12 +704,17 @@ def q_tpch_q21(spark, sf_dir):
     "tpch_q22_dormant_customers",
     """
     WITH pos AS (
-        SELECT AVG(c_acctbal) AS avg_bal FROM customer
+        -- nano-grid mean/sum: balances are NOT a fixed-dp grid in the
+        -- fixture, and raw SUM/AVG of doubles is accumulation-ordered
+        SELECT SUM(CAST(FLOOR(c_acctbal * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE
+                   / (COUNT(*) * 1000000000.0) AS avg_bal
+        FROM customer
         WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
     )
     SELECT c.c_nationkey,
            COUNT(*)::BIGINT AS numcust,
-           ROUND(SUM(c.c_acctbal), 4) AS totacctbal
+           FLOOR((SUM(CAST(FLOOR(c.c_acctbal * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE
+                  / 1000000000.0) * 10000.0 + 0.5) / 10000.0 AS totacctbal
     FROM customer c, pos
     WHERE c.c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
       AND c.c_acctbal > pos.avg_bal
@@ -722,14 +727,25 @@ def q_tpch_q22(spark, sf_dir):
     no c_phone): above-average-balance customers with no orders at all.
     Scalar AVG broadcasts as a 1-row relation; the NOT EXISTS is an
     anti-join against the orders key projection (orderkey column pruned to
-    o_custkey at the scan)."""
+    o_custkey at the scan). The threshold mean and the per-nation balance
+    sum go through 9dp-integer-grid sums (order-independent — a raw
+    double AVG/SUM is accumulation-ordered, and the mean also gates a
+    strict > filter, so one ulp could flip row membership)."""
+    from rclabsapi_spark.functions.scalars import round_half_up
+
     nations = [1, 2, 3, 4, 5, 6, 7]
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_nationkey").isin(nations)
     )
     orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    bal_nano = F.floor(
+        F.col("c_acctbal") * 1000000000.0 + F.lit(0.5)
+    ).cast("long")
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        (
+            F.sum(bal_nano).cast("double")
+            / (F.count(F.lit(1)) * 1000000000.0)
+        ).alias("avg_bal")
     )
     return (
         cust.join(F.broadcast(avg_bal))
@@ -738,7 +754,9 @@ def q_tpch_q22(spark, sf_dir):
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+            round_half_up(
+                F.sum(bal_nano).cast("double") / 1000000000.0, 4
+            ).alias("totacctbal"),
         )
         .orderBy("c_nationkey")
     )

@@ -205,7 +205,9 @@ WITH t AS (
 SELECT lang,
        CAST(POWER(2, FLOOR(LOG2(n_tokens))) AS BIGINT) AS bucket_lo,
        COUNT(*)::BIGINT AS n_docs,
-       ROUND(AVG(n_tokens), 2) AS avg_tokens
+       -- AVG of BIGINTs is exact (integer sums); the half-up floor
+       -- form replaces ROUND, which tie-breaks differently per engine
+       FLOOR(AVG(n_tokens) * 100.0 + 0.5) / 100.0 AS avg_tokens
 FROM t WHERE n_tokens >= 1
 GROUP BY lang, bucket_lo
 """
@@ -215,7 +217,10 @@ GROUP BY lang, bucket_lo
 def q_length_hist(spark, sf_dir):
     """Token-length histogram in power-of-two buckets × language — the
     sizing view for context-window and packing-budget choices. Single
-    scan, tiny group-by."""
+    scan, tiny group-by. avg_tokens is an exact integer-sum ratio
+    (raw-AVG exempt); the final round uses the half-up floor form
+    (F.round vs ROUND tie-break differently per engine)."""
+    from rclabsapi_spark.functions.scalars import round_half_up
     from rclabsapi_spark.llm.text import token_count
 
     docs = load_table(spark, sf_dir, "documents")
@@ -229,7 +234,7 @@ def q_length_hist(spark, sf_dir):
         .groupBy("lang", "bucket_lo")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+            round_half_up(F.avg("n_tokens"), 2).alias("avg_tokens"),
         )
     )
 
@@ -246,9 +251,13 @@ WITH n AS (
     FROM embeddings
 )
 SELECT label, COUNT(*)::BIGINT AS n_vecs,
-       ROUND(AVG(norm), 6) AS avg_norm,
-       ROUND(MIN(norm), 6) AS min_norm,
-       ROUND(MAX(norm), 6) AS max_norm
+       -- 9dp-integer-grid mean (order-independent); MIN/MAX are exact
+       -- selections, so only the tie-portable final round matters
+       FLOOR((SUM(CAST(FLOOR(norm * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE
+              / (COUNT(*) * 1000000000.0)) * 1000000.0 + 0.5)
+           / 1000000.0 AS avg_norm,
+       FLOOR(MIN(norm) * 1000000.0 + 0.5) / 1000000.0 AS min_norm,
+       FLOOR(MAX(norm) * 1000000.0 + 0.5) / 1000000.0 AS max_norm
 FROM n GROUP BY label
 """
 
@@ -257,8 +266,12 @@ FROM n GROUP BY label
 def q_emb_norms(spark, sf_dir):
     """Embedding L2-norm audit per label — the pre-ANN sanity check
     (unnormalized vectors break cosine-vs-dot assumptions). The squared
-    fold is sequential in both engines → norms are bit-identical;
-    MIN/MAX are exact, AVG rounds the final aggregate."""
+    fold is sequential in both engines → norms are bit-identical; the
+    mean sums 9dp-integer-grid norms (order-independent), MIN/MAX are
+    exact selections, and every final round uses the half-up floor
+    form."""
+    from rclabsapi_spark.functions.scalars import round_half_up
+
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     sq = F.aggregate(
@@ -267,11 +280,18 @@ def q_emb_norms(spark, sf_dir):
         lambda acc, x: acc + x,
     )
     norms = emb.select("label", F.sqrt(sq).alias("norm"))
+    norm_nano = F.floor(
+        F.col("norm") * 1000000000.0 + F.lit(0.5)
+    ).cast("long")
     return norms.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        F.round(F.avg("norm"), 6).alias("avg_norm"),
-        F.round(F.min("norm"), 6).alias("min_norm"),
-        F.round(F.max("norm"), 6).alias("max_norm"),
+        round_half_up(
+            F.sum(norm_nano).cast("double")
+            / (F.count(F.lit(1)) * 1000000000.0),
+            6,
+        ).alias("avg_norm"),
+        round_half_up(F.min("norm"), 6).alias("min_norm"),
+        round_half_up(F.max("norm"), 6).alias("max_norm"),
     )
 
 
@@ -416,8 +436,10 @@ coded AS (
     FROM flat f JOIN bounds b ON f.dim = b.dim
 )
 SELECT dim, MIN(lo) AS lo, MAX(hi) AS hi,
-       ROUND(AVG(err), 6) AS mae,
-       ROUND(MAX(err), 6) AS max_err
+       FLOOR((SUM(CAST(FLOOR(err * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE
+              / (COUNT(*) * 1000000000.0)) * 1000000.0 + 0.5)
+           / 1000000.0 AS mae,
+       FLOOR(MAX(err) * 1000000.0 + 0.5) / 1000000.0 AS max_err
 FROM coded GROUP BY 1
 """
 
