@@ -1021,6 +1021,129 @@ def q_ivf_topk(spark, sf_dir, *, materialize=True):
     )
 
 
+# IVF recall@10: grade the nprobe-pruned tier against exact top-k for
+# the same 3 queries the sign-LSH recall row uses — together the two
+# rows compare the tiers' quality gates side by side.
+_IVF_RECALL_ORACLE = f"""
+WITH b AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cents AS (
+    SELECT vec_id::INT AS centroid_id, v AS cvec FROM b WHERE vec_id < 8
+),
+assign AS ({_IVF_ASSIGN_SQL}),
+q AS (
+    SELECT vec_id AS query_id, v AS qvec FROM b WHERE vec_id IN (1, 5, 9)
+),
+probe AS (
+    SELECT q.query_id, c.centroid_id
+    FROM q, cents c
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.query_id
+        ORDER BY ROUND({_cos_sql("(c.cvec)", "(q.qvec)")}, 9) DESC,
+                 c.centroid_id) <= 2
+),
+tt AS (
+    SELECT q.query_id, b.vec_id
+    FROM b, q
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.query_id
+        ORDER BY {_DOT_SQL.format(a="b.v", b="q.qvec")} DESC, b.vec_id
+    ) <= 10
+),
+ct AS (
+    SELECT p.query_id, a.vec_id
+    FROM probe p
+    JOIN assign a ON a.centroid_id = p.centroid_id
+    JOIN b ON b.vec_id = a.vec_id
+    JOIN q ON q.query_id = p.query_id
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY p.query_id
+        ORDER BY {_DOT_SQL.format(a="b.v", b="q.qvec")} DESC, b.vec_id
+    ) <= 10
+),
+pq AS (
+    SELECT tt.query_id,
+           SUM(CASE WHEN ct.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS hits
+    FROM tt LEFT JOIN ct
+      ON ct.query_id = tt.query_id AND ct.vec_id = tt.vec_id
+    GROUP BY tt.query_id
+),
+unioned AS (
+    SELECT query_id, hits / 10.0 AS recall_at_k FROM pq
+    UNION ALL
+    SELECT NULL::BIGINT, SUM(hits)::DOUBLE / (COUNT(*) * 10.0) FROM pq
+)
+SELECT query_id, {_rhu("recall_at_k", 6)} AS recall_at_k FROM unioned
+"""
+
+
+@query("sim_ivf_recall", _IVF_RECALL_ORACLE)
+def q_ivf_recall(spark, sf_dir):
+    """Recall@10 of the nprobe=2 IVF tier against exact dot-product
+    top-10 for queries {1, 5, 9}, plus the macro average (query_id
+    NULL) — the IVF sibling of ``sim_ann_recall``, so the two
+    approximate tiers' quality gates read side by side before one
+    replaces the exact path at 100 TB. The probe relation (3 queries ×
+    2 lists) broadcasts onto the assignment table (the partitioned
+    index artifact at scale — a probe reads only those partitions);
+    candidate vectors join back on the vector key; truth is the 3-row
+    query broadcast over one corpus pass. Macro recall derives from
+    exact integer hit counts (order-independent).
+    llm/similarity.py::ivf_assign + ann_recall_at_k."""
+    from pyspark.sql import Window
+
+    from rclabsapi_spark.functions.scalars import round_half_up
+    from rclabsapi_spark.llm.similarity import (
+        _as_double,
+        ann_recall_at_k,
+        cosine,
+        dot,
+        ivf_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = _as_double(F.col("embedding"))
+    # one cached (key, vector) scan feeds every consumer — centroid
+    # seed, query rows, assignment, truth (the ivf_topk pattern,
+    # standing in for the persisted index of the production layout)
+    base = emb.select("vec_id", v.alias("v")).cache()
+    cents = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("v").alias("cvec"),
+    )
+    assign = ivf_assign(base, vec_col="v", n_centroids=8, centroids=cents)
+    q = base.filter(F.col("vec_id").isin(1, 5, 9)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qvec")
+    )
+    qc = q.crossJoin(F.broadcast(cents))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 9).desc(),
+        F.col("centroid_id"),
+    )
+    probe = (
+        qc.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= 2)
+        .select("query_id", "centroid_id", "qvec")
+    )
+    # ivf_assign's output already carries each vector (vec_id,
+    # centroid_id, v) — the persisted-index row shape, no fetch join
+    cand = assign.join(F.broadcast(probe), "centroid_id").select(
+        "query_id", "vec_id", dot(F.col("v"), F.col("qvec")).alias("score")
+    )
+    truth = base.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id", dot(F.col("v"), F.col("qvec")).alias("score")
+    )
+    rec = ann_recall_at_k(
+        cand, truth, query_col="query_id", item_col="vec_id", k=10
+    )
+    return rec.select(
+        "query_id",
+        round_half_up(F.col("recall_at_k"), 6).alias("recall_at_k"),
+    )
+
+
 _IVF_PERSISTED_ORACLE = f"""
 WITH q AS (
     SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0

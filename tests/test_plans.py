@@ -683,6 +683,7 @@ def test_no_accidental_cartesian_anywhere(spark):
         "feat_negatives",
         "dq_skew_report",
         "sim_ann_recall",
+        "sim_ivf_recall",  # same 3-row query relation, IVF tier
         # empty⇒pass-all subscription-rule relation (tiny, by contract)
         "p9_subscription_routing",
         # corpus totals / avgdl 1-row broadcasts (the retr_* pattern)
@@ -1274,7 +1275,10 @@ def test_tier_agreement_one_alignment_join(spark):
     from rclabsapi_spark.planaudit import audit
 
     scans, counts = audit(_fn(spark, "dedup_tier_agreement"))
-    assert scans["documents"] == 2
+    # <= 2 live scans: a prior test's cached pair relation may absorb
+    # one side's scan when the whole suite shares the session
+    assert scans["documents"] <= 2
+    assert scans["documents"] + counts.get("cached", 0) >= 2
     assert counts["smj"] == 1  # the pair-key full-outer alignment
     assert counts["bhj"] >= 1  # the spine join
     p = _plan(spark, "dedup_tier_agreement")
@@ -1296,3 +1300,17 @@ def test_incremental_card_reduces_per_snapshot(spark):
     p = _plan(spark, "train_incremental_card")
     assert "Window" not in p
     assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_ivf_recall_reads_one_cached_scan(spark):
+    """IVF recall: every consumer (centroid seed, query rows, assignment,
+    truth) reads the ONE cached (key, vector) relation — zero live
+    parquet re-scans (the ivf_topk pattern); the probe relation joins
+    the assignment table by broadcast; no cartesian."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "sim_ivf_recall"))
+    assert scans.get("embeddings", 0) == 0
+    assert counts["cached"] >= 4
+    p = _plan(spark, "sim_ivf_recall")
+    assert "CartesianProduct" not in p
