@@ -29,17 +29,24 @@ many trailing labels can carry a prevailing rule) is derived from the
 parsed rules, not hard-coded: a longer future rule extends the lookup
 chain automatically instead of silently mis-resolving.
 
-At 100 TB the lookup stays an **expression-level map literal**, NOT a
-broadcast join: the ~9.5k-entry map packs into ONE string literal that
-``str_to_map`` over foldable arguments turns into a single map
-constant at optimization time (verified: the optimized plan carries
-the folded literal, zero per-row parsing), and it is ``let``-bound so
-the plan holds exactly one copy however many lookups reference it.
-One ~130 KB constant in the plan beats shipping a build side to every
-exchange, and keeps callers single exchange-free Projects. Building
-the same map from per-entry ``F.lit`` calls would cost ~19k py4j
+At 100 TB the lookup stays an **expression-level literal**, NOT a
+broadcast join — one few-hundred-KB constant in the plan beats
+shipping a build side to every exchange, and keeps callers single
+exchange-free Projects. The structure is an **open-addressed hash
+table built at plan time**: slot = md5(rule)[:8 hex] mod N (N = 32768,
+load factor ~0.29), linear probing, packed into ONE separator-joined
+string that a foldable ``F.split`` turns into a single array constant
+at optimization time. Each lookup is one md5 + ≤``_PROBES``
+element_at/compare steps — O(1). A literal MAP is the wrong structure
+here: Spark's ``element_at`` on an ArrayBasedMapData literal is a
+LINEAR key scan, which at 9.5k rules × 6 probes/row measured 27×
+slower (8.5 s vs 0.3 s per sf0.1 pass) than this table. Building
+either structure from per-entry ``F.lit`` calls would cost ~19k py4j
 round-trips per plan — the packed-literal shape is also the fast path
-on the driver.
+on the driver. (Foldable literals of this kind never compare
+canonically equal across optimizer copies, so downstream operators
+must NOT rely on exchange reuse — callers were made structurally
+single-scan in r11.)
 
 Reference parity note: the reference has no URL/domain layer (its ETL
 is log/metric-shaped); this module serves the web-corpus curation tier
@@ -106,13 +113,90 @@ def _max_k() -> int:
     )
 
 
-def _rule_map() -> Column:
-    """The rule table as one foldable ``str_to_map`` literal (module
-    docstring has the plan-size/py4j rationale). Values are the type
-    codes as strings. Rules never contain ``,`` or ``:`` (domain-label
-    charset), so the packing is unambiguous."""
-    packed = ",".join(f"{r}:{t}" for r, t in _load_rules())
-    return F.str_to_map(F.lit(packed), F.lit(","), F.lit(":"))
+# open-addressed table parameters: N slots (power of two, ~0.15 load
+# at 9.5k rules — short clusters keep both the build-time max probe
+# bound AND the expected miss walk near 1) and the build-time max
+# probe length (computed once)
+_N_SLOTS = 65536
+_TABLE: tuple[str, int] | None = None  # (packed slots, max probes)
+
+
+def _slot(rule: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(rule.encode("utf-8")).hexdigest()[:8], 16) % (
+        _N_SLOTS
+    )
+
+
+def _build_table() -> tuple[str, int]:
+    """Insert every rule at md5-slot with linear probing; each occupied
+    slot stores ``<typ-digit><rule>`` (rules never contain the \\x01
+    separator — domain-label charset). Returns the packed slot string
+    and the max probe distance, which bounds the lookup chain."""
+    global _TABLE
+    if _TABLE is not None:
+        return _TABLE
+    slots: list[str] = [""] * _N_SLOTS
+    max_probe = 1
+    for rule, typ in _load_rules():
+        i = _slot(rule)
+        d = 1
+        while slots[i % _N_SLOTS]:
+            i += 1
+            d += 1
+        slots[i % _N_SLOTS] = f"{typ}{rule}"
+        max_probe = max(max_probe, d)
+    _TABLE = ("\x01".join(slots), max_probe)
+    return _TABLE
+
+
+def _rule_arr() -> tuple[Column, int]:
+    """The hash table as one foldable split-array literal plus the
+    probe bound (module docstring has the O(1)-vs-linear-map and
+    plan-size/py4j rationale)."""
+    packed, max_probe = _build_table()
+    return F.split(F.lit(packed), "\x01"), max_probe
+
+
+def _lookup(arr: Column, max_probe: int, cand: Column) -> Column:
+    """Rule-type lookup for a candidate suffix: md5-slot + ≤max_probe
+    linear-probe steps over the folded array; returns the type digit
+    ('1'/'2'/'3') or NULL. The Spark-side md5-hex-prefix arithmetic is
+    byte-identical to the Python build (_slot), so hit slots match.
+    The probe chain nests in the OTHERWISE branch so evaluation
+    short-circuits: an EMPTY slot proves absence under linear probing
+    (STOP, null), a key match returns its digit (STOP) — only a
+    same-cluster collision walks on, so the expected interpreted work
+    per candidate is ~1 probe at the table's 0.15 load, not
+    max_probe. Both the candidate and its slot hash are ``let``-bound:
+    interpreted evaluation re-computes every textual occurrence, so an
+    unbound ``h`` would re-run md5+conv once per probe (and the caller
+    binds each lookup RESULT once per k — branch logic references it
+    several times)."""
+    from rclabsapi_spark.functions.scalars import let
+
+    def chain(c: Column, h: Column) -> Column:
+        expr = F.lit(None).cast("string")
+        for j in range(max_probe - 1, -1, -1):
+            s = F.element_at(
+                arr, ((h + F.lit(j)) % _N_SLOTS + 1).cast("int")
+            )
+            expr = (
+                F.when(s == "", F.lit(None).cast("string"))
+                .when(F.substring(s, 2, 64) == c, F.substring(s, 1, 1))
+                .otherwise(expr)
+            )
+        return expr
+
+    return let(
+        cand,
+        lambda c: let(
+            F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+            % _N_SLOTS,
+            lambda h: chain(c, h),
+        ),
+    )
 
 
 def registrable_domain(host: Column) -> Column:
@@ -122,7 +206,7 @@ def registrable_domain(host: Column) -> Column:
     IS a public suffix (or has a single label), the host itself is
     returned so downstream rollup keys are never null.
 
-    The host, its label array, the rule map, and the prevailing-rule
+    The host, its label array, the rule table, and the prevailing-rule
     length are each bound ONCE via ``let`` (functions/scalars.py): the
     rule chain references them many times, and since the caller's
     ``host`` is itself a composed canonical-URL tree, unbound reuse
@@ -130,16 +214,21 @@ def registrable_domain(host: Column) -> Column:
     the r9 shape."""
     from rclabsapi_spark.functions.scalars import let
 
+    arr, max_probe = _rule_arr()
     return let(
         host,
         lambda h: let(
             F.split(h, r"\."),
-            lambda ps: let(_rule_map(), lambda m: _prevailing(h, ps, m)),
+            lambda ps: let(
+                arr, lambda a: _prevailing(h, ps, a, max_probe)
+            ),
         ),
     )
 
 
-def _prevailing(host: Column, parts: Column, m: Column) -> Column:
+def _prevailing(
+    host: Column, parts: Column, arr: Column, max_probe: int
+) -> Column:
     from rclabsapi_spark.functions.scalars import let
 
     n = F.size(parts)
@@ -149,11 +238,30 @@ def _prevailing(host: Column, parts: Column, m: Column) -> Column:
         return F.array_join(F.slice(parts, -k, k), ".")
 
     # typ[k] = rule type matching the last k labels (null: no rule);
-    # map values are the type codes as strings (see _rule_map)
-    typ = {
-        k: F.when(n >= k, F.try_element_at(m, cand(k)))
-        for k in range(1, max_k + 1)
-    }
+    # values are the type digits as strings (see _build_table). Each
+    # lookup result is let-bound so it evaluates ONCE per row: the
+    # branch chain references typ[k] up to three times, and interpreted
+    # evaluation re-runs every textual occurrence (unbound, that was
+    # ~3x the md5+probe work per row).
+    def with_typ(k: int, typ: dict[int, Column]) -> Column:
+        if k > max_k:
+            return _branches(host, parts, n, max_k, typ)
+        return let(
+            F.when(n >= k, _lookup(arr, max_probe, cand(k))),
+            lambda t: with_typ(k + 1, {**typ, k: t}),
+        )
+
+    return with_typ(1, {})
+
+
+def _branches(
+    host: Column,
+    parts: Column,
+    n: Column,
+    max_k: int,
+    typ: dict[int, Column],
+) -> Column:
+    from rclabsapi_spark.functions.scalars import let
 
     branches: list[Column] = []
     # exception rules prevail over everything; public suffix = parent
