@@ -615,31 +615,91 @@ def pq_train(
     driver-sized object (the K×dim pull pattern kmeans_centroids
     already uses).
 
-    Each subspace trains on a SLICED view of the same cached scan —
-    the full vectors never replicate; at 100 TB the m trainings are m
-    passes over the (narrow) sliced columns, embarrassingly parallel
-    within each pass."""
+    All ``n_subspaces`` trainings are FUSED into one pass per
+    iteration: the sliced views explode into one (key, subspace,
+    subvector) relation (same bytes as the source — each vector's
+    slices partition it), the 128-row codebook state broadcasts, and
+    each iteration is ONE assign+re-center job over every subspace at
+    once. The math is identical to per-subspace ``kmeans_centroids``
+    (same init, same ROUND(cos,9) argmax with min-cid ties, same
+    9dp-integer-grid means, same empty-cluster carry), so the oracle's
+    per-subspace mirror verifies it unchanged — the fusion exists
+    because m independent trainings cost m×iters driver-scheduled
+    jobs (~6 s of the old sim_pq_adc wall was 32 tiny jobs' scheduling,
+    not compute); at 100 TB one wide pass per iteration is also the
+    right shape."""
+    spark = embeddings.sparkSession
     dim = len(embeddings.select(vec_col).first()[0])
     sub = dim // n_subspaces
     assert sub * n_subspaces == dim, "dim must divide n_subspaces"
-    books = []
-    cached = embeddings.select(key_col, vec_col).cache()
-    for m in range(n_subspaces):
-        sliced = cached.select(
-            F.col(key_col),
-            F.slice(F.col(vec_col), m * sub + 1, sub).alias(vec_col),
+    v = _as_double(F.col(vec_col))
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(v, m * sub + 1, sub).alias("sv"),
+            )
+            for m in range(n_subspaces)
+        ]
+    )
+    base = (
+        embeddings.select(F.col(key_col).alias("k"), F.explode(slices).alias("s"))
+        .select("k", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+        .cache()
+    )
+    init = base.filter(F.col("k") < codebook_size).select(
+        "m", F.col("k").cast("int").alias("cid"), F.col("sv").alias("cvec")
+    )
+    cent_rows = {
+        (r["m"], r["cid"]): [float(x) for x in r["cvec"]]
+        for r in init.collect()
+    }
+    for _ in range(iters):
+        cents_df = spark.createDataFrame(
+            [(m, c, vec) for (m, c), vec in sorted(cent_rows.items())],
+            "m int, cid int, cvec array<double>",
         )
-        cents = kmeans_centroids(
-            sliced,
-            vec_col=vec_col,
-            key_col=key_col,
-            k=codebook_size,
-            iters=iters,
-        ).collect()
-        by_id = {r["centroid_id"]: [float(x) for x in r["cvec"]] for r in cents}
-        books.append([by_id[c] for c in sorted(by_id)])
-    cached.unpersist()
-    return books
+        scored = base.join(F.broadcast(cents_df), "m")
+        assigned = (
+            scored.withColumn(
+                "__sim", F.round(cosine(F.col("sv"), F.col("cvec")), 9)
+            )
+            .groupBy("k", "m")
+            .agg(
+                F.expr("max_by(cid, struct(__sim, -cid))").alias("cid"),
+                F.first("sv").alias("sv"),
+            )
+        )
+        means = (
+            assigned.select("m", "cid", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("m", "cid", "pos")
+            .agg(
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("x") * 1000000000.0 + F.lit(0.5)
+                        ).cast("long")
+                    ).cast("double")
+                    / (F.count(F.lit(1)) * 1000000000.0)
+                ).alias("mv")
+            )
+            .groupBy("m", "cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("mv")))
+                ).alias("pm")
+            )
+            .select(
+                "m", "cid", F.transform("pm", lambda s: s["mv"]).alias("cvec")
+            )
+        )
+        for r in means.collect():
+            cent_rows[(r["m"], r["cid"])] = [float(x) for x in r["cvec"]]
+    base.unpersist()
+    return [
+        [cent_rows[(m, c)] for c in range(codebook_size)]
+        for m in range(n_subspaces)
+    ]
 
 
 def pq_encode(
