@@ -114,8 +114,14 @@ def tfidf_scores(
         F.broadcast(_corpus_size(docs))
     )
     weight = F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+    # 9dp-integer-grid sum (order-independent): the rounded score feeds
+    # a top-k ORDER, so a raw-sum accumulation ulp at a 6dp boundary
+    # would flip rank membership, not just one cell
+    w_nano = F.floor(weight * 1000000000.0 + F.lit(0.5)).cast("long")
     return scored.groupBy(key_col).agg(
-        round_half_up(F.sum(weight)).alias("score"),
+        round_half_up(
+            F.sum(w_nano).cast("double") / 1000000000.0
+        ).alias("score"),
         F.count(F.lit(1)).alias("n_terms"),
     )
 
@@ -182,8 +188,16 @@ def bm25_scores(
         .join(F.broadcast(_corpus_size(docs)))
         .join(F.broadcast(avgdl))
     )
+    # same grid rationale as tfidf_scores — and here the dl join
+    # SHUFFLES a doc's posting rows, so the raw-sum order is not even
+    # partition-local
+    bw_nano = F.floor(
+        _bm25_weight(k1, b) * 1000000000.0 + F.lit(0.5)
+    ).cast("long")
     return scored.groupBy(key_col).agg(
-        round_half_up(F.sum(_bm25_weight(k1, b))).alias("score"),
+        round_half_up(
+            F.sum(bw_nano).cast("double") / 1000000000.0
+        ).alias("score"),
         F.count(F.lit(1)).alias("n_terms"),
     )
 

@@ -99,9 +99,11 @@ def rfm_scores(
     spend), each quartiled with ``ntile``.
 
     Determinism: ntile is order-sensitive, so every ORDER BY carries the
-    customer key as tie-break, and monetary — an accumulation-ordered
-    float sum — is rounded to 6 decimals *before* it is ranked, so both
-    engines rank the same values. One fact shuffle (the per-customer
+    customer key as tie-break, and monetary sums the per-order amounts
+    on the 6dp integer grid (order-independent — a raw float sum
+    rounded at 6dp can flip one ulp at a boundary, and here the rounded
+    value is RANKED, so a flip would cascade into every quartile
+    boundary), so both engines rank the same values. One fact shuffle (the per-customer
     aggregate); the three quartile ranks run as percentile-threshold
     two-phase global ntiles (operators/rank.py) — parallel bucketed
     exchanges over the customer relation, never a single-partition
@@ -117,7 +119,14 @@ def rfm_scores(
         .cast("long")
         .alias("recency_days"),
         F.count(F.lit(1)).alias("frequency"),
-        F.round(F.sum(amount_col), 6).alias("monetary"),
+        (
+            F.sum(
+                F.floor(
+                    F.col(amount_col) * 1000000.0 + F.lit(0.5)
+                ).cast("long")
+            ).cast("double")
+            / 1000000.0
+        ).alias("monetary"),
     )
     # Three shallow rank relations joined back on the key — chaining the
     # ntiles would nest each ranked output as the next rank's input and

@@ -24,6 +24,14 @@ Cross-engine determinism rules used throughout the suites:
   ORDER BY — both engines accumulate in the same order; (c) per-doc
   aggregates over explode output where one doc's rows stay in one
   partition; (d) feat_target_encode's 2dp price grain (its docstring).
+  Coverage state (r11): every multi-row double MEAN is gridded or
+  exempt; of the rounded double SUMS, every one whose value feeds a
+  downstream ORDER (rfm monetary → ntile boundaries, tf-idf/BM25
+  scores → top-k heaps) is gridded. The remaining raw sites are
+  TERMINAL-OUTPUT sums (TPC-H revenue cells, attribution totals,
+  χ²/PSI statistics) where a boundary ulp would change one emitted
+  cell, never row membership — queued for the same treatment, lowest
+  risk class last.
 - LIMIT queries sort on a key-unique prefix so the selected set is
   deterministic.
 - casts from fractional doubles to integers are avoided (Spark truncates,

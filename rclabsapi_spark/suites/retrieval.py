@@ -37,7 +37,9 @@ tf AS (
 df AS (SELECT word, COUNT(*)::DOUBLE AS df FROM tf GROUP BY 1),
 n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents)
 SELECT tf.doc_id,
-       FLOOR(SUM(tf.tf * ln(n.n_docs / df.df)) * 1000000.0 + 0.5)
+       FLOOR((SUM(CAST(FLOOR(tf.tf * ln(n.n_docs / df.df)
+                             * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE
+              / 1000000000.0) * 1000000.0 + 0.5)
            / 1000000.0 AS score,
        COUNT(*)::BIGINT AS n_terms
 FROM tf JOIN df USING (word) CROSS JOIN n
@@ -70,10 +72,11 @@ tf AS (SELECT * FROM tf_all WHERE word IN {_TERMS_SQL}),
 df AS (SELECT word, COUNT(*)::DOUBLE AS df FROM tf GROUP BY 1),
 n AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents)
 SELECT tf.doc_id,
-       FLOOR(SUM(
+       FLOOR((SUM(CAST(FLOOR((
            ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
            * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl.avgdl)))
-       ) * 1000000.0 + 0.5) / 1000000.0 AS score,
+       ) * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE
+              / 1000000000.0) * 1000000.0 + 0.5) / 1000000.0 AS score,
        COUNT(*)::BIGINT AS n_terms
 FROM tf
 JOIN dl USING (doc_id)
@@ -160,7 +163,9 @@ dfx AS (SELECT word, COUNT(*)::DOUBLE AS df FROM tfx GROUP BY 1),
 nx AS (SELECT COUNT(*)::DOUBLE AS n_docs FROM documents),
 xs AS (
     SELECT tfx.doc_id,
-           FLOOR(SUM(tfx.tf * ln(nx.n_docs / dfx.df)) * 1000000.0 + 0.5)
+           FLOOR((SUM(CAST(FLOOR(tfx.tf * ln(nx.n_docs / dfx.df)
+                                 * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE
+                  / 1000000000.0) * 1000000.0 + 0.5)
                / 1000000.0 AS x
     FROM tfx JOIN dfx USING (word) CROSS JOIN nx
     GROUP BY 1
@@ -175,11 +180,12 @@ tfb AS (SELECT * FROM tf_all WHERE word IN {_TERMS_SQL}),
 dfb AS (SELECT word, COUNT(*)::DOUBLE AS df FROM tfb GROUP BY 1),
 ys AS (
     SELECT tfb.doc_id,
-           FLOOR(SUM(
+           FLOOR((SUM(CAST(FLOOR((
                ln((nx.n_docs - dfb.df + 0.5) / (dfb.df + 0.5) + 1.0)
                * ((tfb.tf * 2.2)
                   / (tfb.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl.avgdl)))
-           ) * 1000000.0 + 0.5) / 1000000.0 AS y
+           ) * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE
+                  / 1000000000.0) * 1000000.0 + 0.5) / 1000000.0 AS y
     FROM tfb
     JOIN dl USING (doc_id)
     JOIN dfb USING (word)
