@@ -167,6 +167,72 @@ def sql_grid_mean(expr: str, decimals: int = 6, grid: float = 1e9) -> str:
     )
 
 
+def grid_sum(
+    x: Column, decimals: int = 6, grid: float = 1e9, denom: float = 1.0
+) -> Column:
+    """Accumulation-order-independent SUM of per-row doubles, rounded to
+    ``decimals`` — the terminal-output-sum twin of :func:`grid_mean`.
+
+    Each per-row term (bit-identical across engines: same parquet input,
+    same per-row arithmetic) is rounded to a fixed ``grid`` (default 9dp),
+    summed as DECIMAL(38,0) (≙ DuckDB HUGEINT — a BIGINT sum of ~1e14
+    per-row nanos wraps around ~1e4-1e6 rows/group, far under the 100 TB
+    design point), divided once by ``grid * denom`` and rounded half-up.
+    For fixed-dp money inputs (prices 2dp, disc_price 4dp ⊂ the 9dp grid)
+    the result is *exactly* the true sum — identical to the old
+    ``ROUND(SUM(x), d)`` value — but now fold-order-free, so it is also
+    safe to feed ORDER BY / LIMIT / MAX / threshold comparisons.
+    Mirror: :func:`sql_grid_sum`."""
+    g = F.floor(x * grid + F.lit(0.5)).cast("decimal(38,0)")
+    return round_half_up(F.sum(g).cast("double") / (grid * denom), decimals)
+
+
+def sql_grid_sum(
+    expr: str, decimals: int = 6, grid: float = 1e9, denom: float = 1.0
+) -> str:
+    """DuckDB mirror of :func:`grid_sum` (single division by the exact
+    same ``grid * denom`` double, so the IEEE quotient is bit-identical)."""
+    scale = float(10**decimals)
+    return (
+        f"FLOOR((SUM(CAST(FLOOR(({expr}) * {grid} + 0.5) AS HUGEINT))::DOUBLE"
+        f" / {grid * denom}) * {scale} + 0.5) / {scale}"
+    )
+
+
+def grid_ratio(
+    num: Column,
+    den: Column,
+    decimals: int = 6,
+    grid: float = 1e9,
+    mult: float = 1.0,
+) -> Column:
+    """Order-independent ratio-of-sums ``mult * SUM(num) / SUM(den)``
+    rounded to ``decimals`` (TPC-H Q8 market share, Q14 promo percent).
+    Both sums ride the integer grid; the quotient is one IEEE division of
+    two exactly-equal doubles on both engines. Evaluation order is pinned
+    as ``(mult * num_sum) / den_sum`` in both mirrors.
+    Mirror: :func:`sql_grid_ratio`."""
+    ng = F.sum(F.floor(num * grid + F.lit(0.5)).cast("decimal(38,0)"))
+    dg = F.sum(F.floor(den * grid + F.lit(0.5)).cast("decimal(38,0)"))
+    return round_half_up(
+        F.lit(mult) * ng.cast("double") / dg.cast("double"), decimals
+    )
+
+
+def sql_grid_ratio(
+    num: str,
+    den: str,
+    decimals: int = 6,
+    grid: float = 1e9,
+    mult: float = 1.0,
+) -> str:
+    """DuckDB mirror of :func:`grid_ratio`."""
+    scale = float(10**decimals)
+    ng = f"SUM(CAST(FLOOR(({num}) * {grid} + 0.5) AS HUGEINT))::DOUBLE"
+    dg = f"SUM(CAST(FLOOR(({den}) * {grid} + 0.5) AS HUGEINT))::DOUBLE"
+    return f"FLOOR(({mult} * {ng} / {dg}) * {scale} + 0.5) / {scale}"
+
+
 def guarded_div(num: Column, den: Column, default: float = 0.0) -> Column:
     """Division with the reference's divide-by-zero guard (A11,
     job_monitoring_models.cpp:160-209): ``den > 0 ? num/den : default``."""

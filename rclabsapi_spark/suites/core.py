@@ -26,8 +26,10 @@ from rclabsapi_spark.operators.windows import (
 )
 from rclabsapi_spark.functions.scalars import (
     grid_mean,
+    grid_sum,
     round_half_up,
     sql_grid_mean,
+    sql_grid_sum,
 )
 from rclabsapi_spark.plans.metrics import derived_indicators
 from rclabsapi_spark.plans.monitor_jobs import monitor_jobs
@@ -373,9 +375,9 @@ def q_tpch_q1(spark, sf_dir):
 
 @query(
     "tpch_q3_shipping_priority",
-    """
+    f"""
     SELECT o.o_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           {sql_grid_sum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue,
            o.o_orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -405,17 +407,17 @@ def q_tpch_q3(spark, sf_dir):
         on=orders.o_orderkey == li.l_orderkey,
     )
     return joined.groupBy("o_orderkey", "o_orderdate").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        grid_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
         ).alias("revenue")
     ).select("o_orderkey", "revenue", "o_orderdate")
 
 
 @query(
     "tpch_q5_region_revenue",
-    """
+    f"""
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+           {sql_grid_sum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -444,8 +446,8 @@ def q_tpch_q5(spark, sf_dir):
         .join(li, orders.o_orderkey == li.l_orderkey)
     )
     return joined.groupBy("n_name").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        grid_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
         ).alias("revenue")
     )
 
@@ -915,7 +917,7 @@ def q_except(spark, sf_dir):
 @query(
     "agg_cube_status_priority",
     "SELECT o_orderstatus, o_orderpriority, COUNT(*)::BIGINT AS cnt,"
-    " ROUND(SUM(o_totalprice), 6) AS sum_price,"
+    f" {sql_grid_sum('o_totalprice', 6)} AS sum_price,"
     " GROUPING(o_orderstatus)::INT AS g_status,"
     " GROUPING(o_orderpriority)::INT AS g_priority"
     " FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)",
@@ -928,7 +930,7 @@ def q_cube(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("cnt"),
-        F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
+        grid_sum(F.col("o_totalprice"), 6).alias("sum_price"),
         F.grouping("o_orderstatus").cast("int").alias("g_status"),
         F.grouping("o_orderpriority").cast("int").alias("g_priority"),
     )

@@ -16,13 +16,19 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from rclabsapi_spark.catalog import load_table
+from rclabsapi_spark.functions.scalars import (
+    grid_ratio,
+    grid_sum,
+    sql_grid_ratio,
+    sql_grid_sum,
+)
 from rclabsapi_spark.registry import query
 
 
 @query(
     "tpch_q6_forecast_revenue",
-    """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+    f"""
+    SELECT {sql_grid_sum("l_extendedprice * l_discount", 4)} AS revenue,
            COUNT(*)::BIGINT AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -44,7 +50,7 @@ def q_tpch_q6(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+            grid_sum(F.col("l_extendedprice") * F.col("l_discount"), 4).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).alias("n_items"),
@@ -54,9 +60,9 @@ def q_tpch_q6(spark, sf_dir):
 
 @query(
     "tpch_q10_returned_items",
-    """
+    f"""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+           {sql_grid_sum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -88,8 +94,8 @@ def q_tpch_q10(spark, sf_dir):
     return (
         joined.groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            grid_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -99,12 +105,13 @@ def q_tpch_q10(spark, sf_dir):
 
 @query(
     "tpch_q14_promo_effect",
-    """
-    SELECT ROUND(
-             100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
-                         THEN l.l_extendedprice * (1 - l.l_discount)
-                         ELSE 0.0 END)
-             / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_revenue_pct
+    f"""
+    SELECT {sql_grid_ratio(
+               "CASE WHEN p.p_type = 'PROMO'"
+               " THEN l.l_extendedprice * (1 - l.l_discount)"
+               " ELSE 0.0 END",
+               "l.l_extendedprice * (1 - l.l_discount)",
+               6, mult=100.0)} AS promo_revenue_pct
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
@@ -123,7 +130,7 @@ def q_tpch_q14(spark, sf_dir):
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
     return joined.agg(
-        F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_revenue_pct")
+        grid_ratio(promo, rev, 6, mult=100.0).alias("promo_revenue_pct")
     )
 
 

@@ -22,6 +22,13 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from rclabsapi_spark.catalog import load_table
+from rclabsapi_spark.functions.scalars import (
+    grid_ratio,
+    grid_sum,
+    round_half_up,
+    sql_grid_ratio,
+    sql_grid_sum,
+)
 from rclabsapi_spark.registry import query
 
 def _rev():
@@ -124,7 +131,7 @@ def q_tpch_q4(spark, sf_dir):
 
 @query(
     "tpch_q7_volume_shipping",
-    """
+    f"""
     WITH v AS (
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                EXTRACT(year FROM l.l_shipdate)::BIGINT AS l_year,
@@ -141,7 +148,7 @@ def q_tpch_q4(spark, sf_dir):
           AND l.l_shipdate < TIMESTAMP '1998-01-01'
     )
     SELECT supp_nation, cust_nation, l_year,
-           ROUND(SUM(volume), 4) AS revenue
+           {sql_grid_sum("volume", 4)} AS revenue
     FROM v GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year
     """,
@@ -179,14 +186,14 @@ def q_tpch_q7(spark, sf_dir):
     return (
         joined.withColumn("l_year", F.year("l_shipdate").cast("long"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum(_rev()), 4).alias("revenue"))
+        .agg(grid_sum(_rev(), 4).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
 @query(
     "tpch_q8_market_share",
-    """
+    f"""
     WITH v AS (
         SELECT EXTRACT(year FROM o.o_orderdate)::BIGINT AS o_year,
                l.l_extendedprice * (1 - l.l_discount) AS volume,
@@ -202,8 +209,9 @@ def q_tpch_q7(spark, sf_dir):
         WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
     )
     SELECT o_year,
-           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
-                          ELSE 0.0 END) / SUM(volume), 6) AS mkt_share
+           {sql_grid_ratio(
+               "CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END",
+               "volume", 6)} AS mkt_share
     FROM v GROUP BY o_year ORDER BY o_year
     """,
     bench=True,
@@ -239,18 +247,19 @@ def q_tpch_q8(spark, sf_dir):
     return (
         joined.withColumn("o_year", F.year("o_orderdate").cast("long"))
         .groupBy("o_year")
-        .agg(F.round(F.sum(target) / F.sum(vol), 6).alias("mkt_share"))
+        .agg(grid_ratio(target, vol, 6).alias("mkt_share"))
         .orderBy("o_year")
     )
 
 
 @query(
     "tpch_q9_product_profit",
-    """
+    f"""
     SELECT n.n_name AS nation,
            EXTRACT(year FROM o.o_orderdate)::BIGINT AS o_year,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
-                     - 0.5 * p.p_retailprice * l.l_quantity), 4) AS sum_profit
+           {sql_grid_sum(
+               "l.l_extendedprice * (1 - l.l_discount)"
+               " - 0.5 * p.p_retailprice * l.l_quantity", 4)} AS sum_profit
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%bolt%'
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -285,7 +294,7 @@ def q_tpch_q9(spark, sf_dir):
             profit.alias("profit"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("profit"), 4).alias("sum_profit"))
+        .agg(grid_sum(F.col("profit"), 4).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -294,16 +303,23 @@ def q_tpch_q9(spark, sf_dir):
     "tpch_q11_important_parts",
     """
     WITH val AS (
-        SELECT l.l_partkey, SUM(l.l_extendedprice * (1 - l.l_discount)) AS value
+        -- per-part revenue on the 9dp integer grid (HUGEINT): the global
+        -- 0.1% threshold gates row MEMBERSHIP, so the comparison must be
+        -- exact integer arithmetic, not an accumulation-ordered double
+        SELECT l.l_partkey,
+               SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount)
+                              * 1000000000.0 + 0.5) AS HUGEINT)) AS value_g
         FROM lineitem l
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
         JOIN nation n ON n.n_nationkey = s.s_nationkey
         WHERE n.n_name IN ('NATION_5', 'NATION_6')
         GROUP BY l.l_partkey
     )
-    SELECT l_partkey, ROUND(value, 4) AS value
+    SELECT l_partkey,
+           FLOOR((value_g::DOUBLE / 1000000000.0) * 10000.0 + 0.5)
+               / 10000.0 AS value
     FROM val
-    WHERE value > (SELECT SUM(value) * 0.001 FROM val)
+    WHERE value_g * 1000 > (SELECT SUM(value_g) FROM val)
     ORDER BY value DESC, l_partkey
     """,
 )
@@ -322,13 +338,24 @@ def q_tpch_q11(spark, sf_dir):
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("l_partkey")
-        .agg(F.sum(_rev()).alias("value"))
+        .agg(
+            F.sum(
+                F.floor(_rev() * 1000000000.0 + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("value_g")
+        )
     )
-    total = val.agg((F.sum("value") * 0.001).alias("threshold"))
+    total = val.agg(F.sum("value_g").alias("total_g"))
     return (
         val.join(F.broadcast(total))
-        .filter(F.col("value") > F.col("threshold"))
-        .select("l_partkey", F.round("value", 4).alias("value"))
+        .filter(F.col("value_g") * 1000 > F.col("total_g"))
+        .select(
+            "l_partkey",
+            round_half_up(
+                F.col("value_g").cast("double") / 1000000000.0, 4
+            ).alias("value"),
+        )
         .orderBy(F.col("value").desc(), "l_partkey")
     )
 
@@ -411,10 +438,11 @@ def q_tpch_q13(spark, sf_dir):
 
 @query(
     "tpch_q15_top_supplier",
-    """
+    f"""
     WITH rev AS (
         SELECT l_suppkey AS supplier_no,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+               {sql_grid_sum("l_extendedprice * (1 - l_discount)", 4)}
+                   AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -439,7 +467,7 @@ def q_tpch_q15(spark, sf_dir):
     )
     supp = load_table(spark, sf_dir, "supplier")
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(_rev()), 4).alias("total_revenue")
+        grid_sum(_rev(), 4).alias("total_revenue")
     )
     best = rev.agg(F.max("total_revenue").alias("best_revenue"))
     return (
@@ -491,12 +519,12 @@ def q_tpch_q16(spark, sf_dir):
 
 @query(
     "tpch_q17_small_qty_revenue",
-    """
+    f"""
     WITH pa AS (
         SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_threshold
         FROM lineitem GROUP BY l_partkey
     )
-    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    SELECT {sql_grid_sum("l.l_extendedprice", 4, denom=7.0)} AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#2'
     JOIN pa ON pa.l_partkey = l.l_partkey
@@ -518,14 +546,14 @@ def q_tpch_q17(spark, sf_dir):
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(pa), li.l_partkey == F.col("pa_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+        .agg(grid_sum(F.col("l_extendedprice"), 4, denom=7.0).alias("avg_yearly"))
     )
 
 
 @query(
     "tpch_q19_disjunctive",
-    """
-    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    f"""
+    SELECT {sql_grid_sum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 5
@@ -565,7 +593,7 @@ def q_tpch_q19(spark, sf_dir):
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .filter(pred)
-        .agg(F.round(F.sum(_rev()), 4).alias("revenue"))
+        .agg(grid_sum(_rev(), 4).alias("revenue"))
     )
 
 
@@ -705,15 +733,17 @@ def q_tpch_q21(spark, sf_dir):
     """
     WITH pos AS (
         -- nano-grid mean/sum: balances are NOT a fixed-dp grid in the
-        -- fixture, and raw SUM/AVG of doubles is accumulation-ordered
-        SELECT SUM(CAST(FLOOR(c_acctbal * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE
+        -- fixture, and raw SUM/AVG of doubles is accumulation-ordered;
+        -- HUGEINT accumulator (≙ decimal(38,0)) — a BIGINT sum of 1e13
+        -- per-row nanos wraps around ~1e6 rows, under the design scale
+        SELECT SUM(CAST(FLOOR(c_acctbal * 1000000000.0 + 0.5) AS HUGEINT))::DOUBLE
                    / (COUNT(*) * 1000000000.0) AS avg_bal
         FROM customer
         WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
     )
     SELECT c.c_nationkey,
            COUNT(*)::BIGINT AS numcust,
-           FLOOR((SUM(CAST(FLOOR(c.c_acctbal * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE
+           FLOOR((SUM(CAST(FLOOR(c.c_acctbal * 1000000000.0 + 0.5) AS HUGEINT))::DOUBLE
                   / 1000000000.0) * 10000.0 + 0.5) / 10000.0 AS totacctbal
     FROM customer c, pos
     WHERE c.c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
@@ -740,7 +770,7 @@ def q_tpch_q22(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders").select("o_custkey")
     bal_nano = F.floor(
         F.col("c_acctbal") * 1000000000.0 + F.lit(0.5)
-    ).cast("long")
+    ).cast("decimal(38,0)")
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
         (
             F.sum(bal_nano).cast("double")
