@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from rclabsapi_spark.functions.scalars import grid_sum, round_half_up
 from rclabsapi_spark.operators.rank import global_ntile, global_row_number
 
 
@@ -268,28 +269,36 @@ def merge_partial_aggs(
 
     Returns the merged per-group relation; correctness contract is
     merge(partials) ≡ full recompute, which the registry oracle checks
-    by computing the full aggregate directly."""
+    by computing the full aggregate directly. The value sum rides the
+    9dp DECIMAL(38,0) grid END TO END — gridded integers are what makes
+    partials exactly mergeable: sum(partial integer sums) ≡ full
+    integer sum in any order, which a double sum only approximates."""
     gcols = list(group_cols)
     v = F.col(value_col)
+    v_g = F.floor(v * 1000000000.0 + F.lit(0.5)).cast("decimal(38,0)")
     partials = df.groupBy(part_col.alias("__part"), *gcols).agg(
         F.count(F.lit(1)).alias("p_cnt"),
-        F.sum(v).alias("p_sum"),
+        F.sum(v_g).alias("p_sum_g"),
         F.min(v).alias("p_min"),
         F.max(v).alias("p_max"),
     )
     merged = partials.groupBy(*gcols).agg(
         F.sum("p_cnt").alias("n"),
-        F.sum("p_sum").alias("sum_v"),
+        F.sum("p_sum_g").alias("sum_g"),
         F.min("p_min").alias("min_v"),
         F.max("p_max").alias("max_v"),
     )
     return merged.select(
         *gcols,
         "n",
-        F.round(F.col("sum_v"), 6).alias("sum_v"),
+        round_half_up(
+            F.col("sum_g").cast("double") / 1000000000.0, 6
+        ).alias("sum_v"),
         "min_v",
         "max_v",
-        F.round(F.col("sum_v") / F.col("n"), 6).alias("avg_v"),
+        round_half_up(
+            F.col("sum_g").cast("double") / (F.col("n") * 1000000000.0), 6
+        ).alias("avg_v"),
     )
 
 
@@ -316,8 +325,8 @@ def seasonal_naive_backtest(
     integer-valued doubles (counts), so its sum is exact in any
     accumulation order — a documented raw-AVG exemption; the SMAPE
     terms are genuine doubles, so they sum on the 9dp integer grid
-    (order-independent) before the final half-up round."""
-    from rclabsapi_spark.functions.scalars import round_half_up
+    as DECIMAL(38,0) ≡ HUGEINT (a BIGINT accumulator of ~2e9-max terms
+    wraps around ~5e9 rows/group) before the final half-up round."""
 
     gcols = list(group_cols)
     cur = series.select(
@@ -333,7 +342,7 @@ def seasonal_naive_backtest(
     denom = F.abs(F.col("actual")) + F.abs(F.col("forecast"))
     smape_term = F.when(denom > 0, 2.0 * err / denom).otherwise(F.lit(0.0))
     smape_nano = F.floor(smape_term * 1000000000.0 + F.lit(0.5)).cast(
-        "long"
+        "decimal(38,0)"
     )
     return j.groupBy(*gcols).agg(
         F.count(F.lit(1)).alias("n_eval"),
@@ -367,10 +376,9 @@ def psi_drift(
     back), a second pass bins and counts — output is |groups|·n_bins
     rows before the final per-group fold. Bin ids are exact integer
     arithmetic on both engines (floor of identical double expressions);
-    shares divide exact counts; the 10-term PSI fold is summed in bin
-    order via an ordered array aggregate so accumulation order is
-    pinned, then rounded half-up."""
-    from rclabsapi_spark.functions.scalars import round_half_up
+    shares divide exact counts; the per-bin (q−p)·ln(q/p) terms are
+    per-row-identical doubles, so they sum on the 9dp integer grid —
+    order-independent, no pinned fold needed."""
 
     gcols = list(group_cols)
     v = F.col(value_col).cast("double")
@@ -404,33 +412,12 @@ def psi_drift(
         (F.col("n_ref").cast("double") / F.sum("n_ref").over(w_g)).alias("p"),
         (F.col("n_cur").cast("double") / F.sum("n_cur").over(w_g)).alias("q"),
     )
-    # sort_array pins the fold order to bin order on both engines
-    return (
-        shares.groupBy(*gcols)
-        .agg(
-            F.sum("n_ref").alias("n_ref"),
-            F.sum("n_cur").alias("n_cur"),
-            F.aggregate(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("bin"), F.col("p"), F.col("q")))
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc
-                + (
-                    (F.greatest(x["q"], F.lit(eps)) - F.greatest(x["p"], F.lit(eps)))
-                    * F.log(
-                        F.greatest(x["q"], F.lit(eps))
-                        / F.greatest(x["p"], F.lit(eps))
-                    )
-                ),
-            ).alias("__psi"),
-        )
-        .select(
-            *gcols,
-            "n_ref",
-            "n_cur",
-            round_half_up(F.col("__psi")).alias("psi"),
-        )
+    q_f = F.greatest(F.col("q"), F.lit(eps))
+    p_f = F.greatest(F.col("p"), F.lit(eps))
+    return shares.groupBy(*gcols).agg(
+        F.sum("n_ref").alias("n_ref"),
+        F.sum("n_cur").alias("n_cur"),
+        grid_sum((q_f - p_f) * F.log(q_f / p_f), 6).alias("psi"),
     )
 
 
@@ -518,9 +505,8 @@ def last_touch_attribution(
     channel rollup is |types|-sized. Conversions with no preceding
     touch attribute to the NULL channel (reported, not dropped —
     silently losing them would overstate every other channel's share).
-    Share divides exact integer counts; attributed value is rounded at
-    the final aggregate."""
-    from rclabsapi_spark.functions.scalars import round_half_up
+    Share divides exact integer counts; attributed value sums on the
+    9dp integer grid (order-independent)."""
 
     w = (
         Window.partitionBy(key_col)
@@ -536,7 +522,7 @@ def last_touch_attribution(
     )
     counts = conv.groupBy("channel").agg(
         F.count(F.lit(1)).alias("n_conversions"),
-        F.round(F.sum(F.col(value_col)), 6).alias("attributed_value"),
+        grid_sum(F.col(value_col), 6).alias("attributed_value"),
     )
     w_all = Window.partitionBy()
     return counts.select(
@@ -591,7 +577,8 @@ def entropy_by_group(
     diversity audit (is one source dominating this language's corpus?).
     One (group, cat) aggregate, entropy folds over the tiny share
     relation; shares divide exact counts, the ln terms are per-row
-    deterministic, and the final fold rounds at 6."""
+    deterministic, and the −p·ln p terms sum on the 9dp integer grid
+    (order-independent) before the final half-up round."""
     counts = df.groupBy(
         F.col(group_col).alias("grp"), F.col(cat_col).alias("cat")
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -606,7 +593,7 @@ def entropy_by_group(
         .agg(
             F.sum("n").alias("n_rows"),
             F.count(F.lit(1)).alias("n_categories"),
-            F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("entropy"),
+            grid_sum(-(F.col("p") * F.log("p")), 6).alias("entropy"),
         )
     )
 
@@ -622,7 +609,9 @@ def chi_square_independence(
     degrees of freedom (r−1)(c−1). The statistical upgrade of the
     status × priority pivot: "are these two dimensions related at all".
     One fact aggregate to the contingency table; margins broadcast back;
-    the cell fold runs over the |r·c| relation."""
+    the cell fold runs over the |r·c| relation. The (o−e)²/e terms are
+    per-row-identical doubles (margins are exact integer sums), so they
+    sum on the 9dp integer grid — order-independent across engines."""
     obs = df.groupBy(
         F.col(row_col).alias("r"), F.col(col_col).alias("c")
     ).agg(F.count(F.lit(1)).alias("o"))
@@ -640,9 +629,8 @@ def chi_square_independence(
         ).alias("e"),
     )
     return cells.agg(
-        F.round(
-            F.sum((F.col("o").cast("double") - F.col("e")) ** 2 / F.col("e")),
-            6,
+        grid_sum(
+            (F.col("o").cast("double") - F.col("e")) ** 2 / F.col("e"), 6
         ).alias("chi2"),
         (
             (F.countDistinct("r") - 1) * (F.countDistinct("c") - 1)

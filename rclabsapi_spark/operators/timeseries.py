@@ -82,7 +82,7 @@ def gap_fill(
                 F.sum(
                     F.floor(
                         F.col(value_col) * 1000000000.0 + F.lit(0.5)
-                    ).cast("long")
+                    ).cast("decimal(38,0)")
                 ).cast("double")
                 / (F.count(value_col) * 1000000000.0),
                 6,

@@ -96,10 +96,14 @@ def psi_vs_reference(
     )
     q = F.greatest(F.col("q"), F.lit(eps))
     p = F.greatest(F.col("p"), F.lit(eps))
+    # same 9dp-grid sum as the batch operator (operators/analytics.py::
+    # psi_drift), so the replay-parity twin stays bit-identical
+    from rclabsapi_spark.functions.scalars import grid_sum
+
     return (
         shares.groupBy("window_start")
         .agg(
             F.sum("n").alias("n_rows"),
-            F.round(F.sum((q - p) * F.log(q / p)), 6).alias("psi"),
+            grid_sum((q - p) * F.log(q / p), 6).alias("psi"),
         )
     )

@@ -29,7 +29,7 @@ from rclabsapi_spark.operators.analytics import (
 )
 from pyspark.sql.window import Window
 
-from rclabsapi_spark.functions.scalars import round_half_up, sql_round_half_up
+from rclabsapi_spark.functions.scalars import sql_grid_sum, round_half_up, sql_round_half_up
 from rclabsapi_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -232,13 +232,15 @@ def q_heavy_hitters(spark, sf_dir):
 # Incremental aggregate maintenance (mergeable partial state)
 # ---------------------------------------------------------------------------
 
-_INC_ORACLE = """
+_INC_ORACLE = f"""
 SELECT event_type, date_trunc('day', ts)::TIMESTAMP AS day,
        COUNT(*)::BIGINT AS n,
-       ROUND(SUM(value), 6) AS sum_v,
+       {sql_grid_sum('value', 6)} AS sum_v,
        MIN(value) AS min_v,
        MAX(value) AS max_v,
-       ROUND(SUM(value) / COUNT(*), 6) AS avg_v
+       FLOOR((SUM(CAST(FLOOR(value * 1000000000.0 + 0.5) AS HUGEINT))::DOUBLE
+              / (COUNT(*) * 1000000000.0)) * 1000000.0 + 0.5)
+           / 1000000.0 AS avg_v
 FROM events GROUP BY 1, 2
 """
 
@@ -287,7 +289,7 @@ SELECT event_type, COUNT(*)::BIGINT AS n_eval,
        {sql_round_half_up(
            "SUM(CAST(FLOOR((CASE WHEN ABS(actual) + ABS(forecast) > 0 "
            "THEN 2.0 * ABS(actual - forecast) / (ABS(actual) + ABS(forecast)) "
-           "ELSE 0.0 END) * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE "
+           "ELSE 0.0 END) * 1000000000.0 + 0.5) AS HUGEINT))::DOUBLE "
            "/ (COUNT(*) * 1000000000.0)")} AS smape
 FROM j GROUP BY 1
 """
@@ -324,7 +326,7 @@ def q_seasonal_naive(spark, sf_dir):
 # Distribution drift: PSI between two halves of the event stream
 # ---------------------------------------------------------------------------
 
-_PSI_ORACLE = """
+_PSI_ORACLE = f"""
 WITH bounds AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events),
 binned AS (
     SELECT event_type,
@@ -350,9 +352,8 @@ shares AS (
 SELECT event_type,
        SUM(n_ref)::BIGINT AS n_ref,
        SUM(n_cur)::BIGINT AS n_cur,
-       FLOOR(SUM((GREATEST(q, 1e-6) - GREATEST(p, 1e-6))
-                 * LN(GREATEST(q, 1e-6) / GREATEST(p, 1e-6)))
-             * 1000000.0 + 0.5) / 1000000.0 AS psi
+       {sql_grid_sum('(GREATEST(q, 1e-6) - GREATEST(p, 1e-6))'
+                     ' * LN(GREATEST(q, 1e-6) / GREATEST(p, 1e-6))', 6)} AS psi
 FROM shares GROUP BY 1
 """
 
@@ -467,7 +468,7 @@ def q_histogram_equidepth(spark, sf_dir):
 # χ² independence: order status vs priority
 # ---------------------------------------------------------------------------
 
-_CHI2_ORACLE = """
+_CHI2_ORACLE = f"""
 WITH obs AS (
     SELECT o_orderstatus AS r, o_orderpriority AS c, COUNT(*)::BIGINT AS o
     FROM orders GROUP BY 1, 2
@@ -479,7 +480,7 @@ cells AS (
            / (SUM(o) OVER ())::DOUBLE AS e
     FROM obs
 )
-SELECT ROUND(SUM((o::DOUBLE - e) * (o::DOUBLE - e) / e), 6) AS chi2,
+SELECT {sql_grid_sum('(o::DOUBLE - e) * (o::DOUBLE - e) / e', 6)} AS chi2,
        ((COUNT(DISTINCT r) - 1) * (COUNT(DISTINCT c) - 1))::BIGINT AS dof,
        SUM(o)::BIGINT AS n_rows
 FROM cells

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from rclabsapi_spark.catalog import load_table
+from rclabsapi_spark.functions.scalars import sql_grid_sum
 from rclabsapi_spark.registry import query
 from rclabsapi_spark.streaming.rate_limiter import RATE_RULES, rate_limit_check
 from rclabsapi_spark.streaming.routing import route_events, subscriptions_df
@@ -396,7 +397,7 @@ def q_funnel(spark, sf_dir):
 # Last-touch conversion attribution
 # ---------------------------------------------------------------------------
 
-_ATTR_ORACLE = """
+_ATTR_ORACLE = f"""
 WITH touched AS (
     SELECT event_type, value,
            LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
@@ -408,7 +409,7 @@ WITH touched AS (
 ),
 counts AS (
     SELECT channel, COUNT(*)::BIGINT AS n_conversions,
-           ROUND(SUM(value), 6) AS attributed_value
+           {sql_grid_sum('value', 6)} AS attributed_value
     FROM touched WHERE event_type = 'purchase' GROUP BY 1
 )
 SELECT channel, n_conversions, attributed_value,

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from rclabsapi_spark.catalog import load_table
+from rclabsapi_spark.functions.scalars import sql_grid_sum as _gsum
 from rclabsapi_spark.functions.scalars import sql_round_half_up as _rhu
 from rclabsapi_spark.llm.dedup import (
     exact_dedup,
@@ -1465,7 +1466,7 @@ def q_sample_weighted(spark, sf_dir):
     ).select("o_orderkey", "o_orderstatus", "sample_rank")
 
 
-_ENTROPY_ORACLE = """
+_ENTROPY_ORACLE = f"""
 WITH counts AS (
     SELECT lang AS grp, source AS cat, COUNT(*)::BIGINT AS n
     FROM documents GROUP BY 1, 2
@@ -1477,7 +1478,7 @@ shares AS (
 )
 SELECT grp AS lang, SUM(n)::BIGINT AS n_rows,
        COUNT(*)::BIGINT AS n_categories,
-       ROUND(-SUM(p * LN(p)), 6) AS entropy
+       {_gsum('-(p * LN(p))', 6)} AS entropy
 FROM shares GROUP BY 1
 """
 

@@ -13,7 +13,11 @@ from rclabsapi_spark.operators.joins import (
     asof_join,
     range_join_points_to_intervals,
 )
-from rclabsapi_spark.functions.scalars import sql_round_half_up
+from rclabsapi_spark.functions.scalars import (
+    grid_sum,
+    sql_grid_sum,
+    sql_round_half_up,
+)
 from rclabsapi_spark.operators.timeseries import (
     concurrency_peaks,
     gap_fill,
@@ -61,7 +65,7 @@ def q_asof(spark, sf_dir):
     )
 
 
-_RANGE_ORACLE = """
+_RANGE_ORACLE = f"""
 WITH iv AS (
     SELECT w AS window_id,
            TIMESTAMP '2024-01-01 00:00:00' + w * 2 * INTERVAL 1 DAY
@@ -72,7 +76,7 @@ WITH iv AS (
 )
 SELECT iv.window_id,
        COUNT(e.event_id)::BIGINT AS n_events,
-       ROUND(SUM(e.value), 6) AS sum_value
+       {sql_grid_sum('e.value', 6)} AS sum_value
 FROM events e JOIN iv
   ON e.ts >= iv.w_start AND e.ts < iv.w_end
 GROUP BY iv.window_id
@@ -108,7 +112,7 @@ def q_range(spark, sf_dir):
     )
     return joined.groupBy("window_id").agg(
         F.count("event_id").alias("n_events"),
-        F.round(F.sum("value"), 6).alias("sum_value"),
+        grid_sum(F.col("value"), 6).alias("sum_value"),
     )
 
 
@@ -120,7 +124,7 @@ _GAP_FILL_ORACLE = f"""
 WITH obs AS (
     SELECT user_id, date_trunc('hour', ts) AS bucket,
            {sql_round_half_up(
-               'SUM(CAST(FLOOR(value * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE'
+               'SUM(CAST(FLOOR(value * 1000000000.0 + 0.5) AS HUGEINT))::DOUBLE'
                ' / (COUNT(value) * 1000000000.0)', 6)} AS v
     FROM events GROUP BY 1, 2
 ),
