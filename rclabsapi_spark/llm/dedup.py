@@ -821,7 +821,7 @@ def cluster_quality_audit(
     # bit-identical across engines, raw-AVG accumulation order is not
     sim_nano = F.floor(
         F.col(sim_col) * 1000000000.0 + F.lit(0.5)
-    ).cast("long")
+    ).cast("decimal(38,0)")
     pair_stats = tagged.groupBy(F.col("__cluster").alias(cluster_col)).agg(
         F.count(F.lit(1)).alias("n_pairs"),
         round_half_up(

@@ -282,7 +282,7 @@ def kmeans_centroids(
                     F.sum(
                         F.floor(
                             F.col("x") * 1000000000.0 + F.lit(0.5)
-                        ).cast("long")
+                        ).cast("decimal(38,0)")
                     ).cast("double")
                     / (F.count(F.lit(1)) * 1000000000.0)
                 ).alias("m")
@@ -495,7 +495,7 @@ def quantize_embeddings_error(
     err = F.abs(F.col("v") - deq)
     # mae sums 9dp-integer-grid errors (order-independent; raw AVG of
     # doubles is accumulation-ordered); max is an exact selection
-    err_nano = F.floor(err * 1000000000.0 + F.lit(0.5)).cast("long")
+    err_nano = F.floor(err * 1000000000.0 + F.lit(0.5)).cast("decimal(38,0)")
     from rclabsapi_spark.functions.scalars import round_half_up
 
     return (
@@ -678,7 +678,7 @@ def pq_train(
                     F.sum(
                         F.floor(
                             F.col("x") * 1000000000.0 + F.lit(0.5)
-                        ).cast("long")
+                        ).cast("decimal(38,0)")
                     ).cast("double")
                     / (F.count(F.lit(1)) * 1000000000.0)
                 ).alias("mv")
@@ -1146,7 +1146,7 @@ def truncation_energy_audit(
     )
 
     def nano(c):
-        return F.floor(c * 1000000000.0 + F.lit(0.5)).cast("long")
+        return F.floor(c * 1000000000.0 + F.lit(0.5)).cast("decimal(38,0)")
 
     stats = ratios.agg(
         *[

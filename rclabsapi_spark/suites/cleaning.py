@@ -293,11 +293,11 @@ SELECT e.event_type,
        SUM(CASE WHEN value > hi THEN 1 ELSE 0 END)::BIGINT AS n_clipped_hi,
        -- 9dp-integer-grid means (order-independent): per-row values
        -- are bit-identical across engines, accumulation order is not
-       FLOOR((SUM(CAST(FLOOR(value * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE
+       FLOOR((SUM(CAST(FLOOR(value * 1000000000.0 + 0.5) AS HUGEINT))::DOUBLE
               / (COUNT(*) * 1000000000.0)) * 1000000.0 + 0.5)
            / 1000000.0 AS mean_raw,
        FLOOR((SUM(CAST(FLOOR(LEAST(GREATEST(value, lo), hi)
-                             * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE
+                             * 1000000000.0 + 0.5) AS HUGEINT))::DOUBLE
               / (COUNT(*) * 1000000000.0)) * 1000000.0 + 0.5)
            / 1000000.0 AS mean_winsorized
 FROM events e JOIN bounds b ON e.event_type = b.event_type
@@ -326,7 +326,7 @@ def q_winsorize(spark, sf_dir):
     clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
 
     def nano(c):
-        return F.floor(c * 1000000000.0 + F.lit(0.5)).cast("long")
+        return F.floor(c * 1000000000.0 + F.lit(0.5)).cast("decimal(38,0)")
 
     def grid_mean(c):
         return round_half_up(

@@ -1350,7 +1350,7 @@ def _semantic_oracle() -> str:
         -- iteration's ROUND(cos, 9) argmax — see kmeans_centroids)
         SELECT a.cid, r.pos,
                SUM(CAST(FLOOR(a.v[r.pos] * 1000000000.0 + 0.5)
-                        AS BIGINT))::DOUBLE
+                        AS HUGEINT))::DOUBLE
                    / (COUNT(*) * 1000000000.0) AS mval
         FROM {frm} a, UNNEST(range(1, {dim + 1})) AS r(pos)
         GROUP BY a.cid, r.pos
@@ -1586,7 +1586,7 @@ tagged AS (
 ),
 ps AS (
     SELECT cluster_id, COUNT(*)::BIGINT AS n_pairs,
-           {_rhu("SUM(CAST(FLOOR(jaccard * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE"
+           {_rhu("SUM(CAST(FLOOR(jaccard * 1000000000.0 + 0.5) AS HUGEINT))::DOUBLE"
                  " / (COUNT(*) * 1000000000.0)", 6)} AS mean_sim,
            {_rhu("MIN(jaccard)", 6)} AS weakest_link
     FROM tagged GROUP BY cluster_id
@@ -1748,7 +1748,7 @@ mean{m} AS (
         -- 9dp-integer-grid mean (order-independent, kmeans mirror)
         SELECT a.cid, r.pos,
                SUM(CAST(FLOOR(a.sv[r.pos] * 1000000000.0 + 0.5)
-                        AS BIGINT))::DOUBLE
+                        AS HUGEINT))::DOUBLE
                    / (COUNT(*) * 1000000000.0) AS mval
         FROM assign{m} a, UNNEST(range(1, {sub + 1})) AS r(pos)
         GROUP BY a.cid, r.pos
@@ -2040,17 +2040,17 @@ WITH r AS (
     FROM embeddings
 )
 SELECT 8 AS trunc_dim,
-       {_rhu("SUM(CAST(FLOOR(r8 * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE"
+       {_rhu("SUM(CAST(FLOOR(r8 * 1000000000.0 + 0.5) AS HUGEINT))::DOUBLE"
              " / (COUNT(*) * 1000000000.0)", 6)} AS mean_energy,
        {_rhu("MIN(r8)", 6)} AS min_energy FROM r
 UNION ALL
 SELECT 16,
-       {_rhu("SUM(CAST(FLOOR(r16 * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE"
+       {_rhu("SUM(CAST(FLOOR(r16 * 1000000000.0 + 0.5) AS HUGEINT))::DOUBLE"
              " / (COUNT(*) * 1000000000.0)", 6)},
        {_rhu("MIN(r16)", 6)} FROM r
 UNION ALL
 SELECT 32,
-       {_rhu("SUM(CAST(FLOOR(r32 * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE"
+       {_rhu("SUM(CAST(FLOOR(r32 * 1000000000.0 + 0.5) AS HUGEINT))::DOUBLE"
              " / (COUNT(*) * 1000000000.0)", 6)},
        {_rhu("MIN(r32)", 6)} FROM r
 """
@@ -2577,11 +2577,11 @@ WITH cal AS (
 SELECT est_lanes::BIGINT AS est_lanes,
        est_lanes / 8.0 AS est_jaccard,
        COUNT(*)::BIGINT AS n_pairs,
-       FLOOR((SUM(CAST(FLOOR(jaccard * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE
+       FLOOR((SUM(CAST(FLOOR(jaccard * 1000000000.0 + 0.5) AS HUGEINT))::DOUBLE
               / (COUNT(*) * 1000000000.0)) * 1000000.0 + 0.5)
            / 1000000.0 AS mean_exact,
        FLOOR((SUM(CAST(FLOOR(ABS(est_lanes / 8.0 - jaccard)
-                             * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE
+                             * 1000000000.0 + 0.5) AS HUGEINT))::DOUBLE
               / (COUNT(*) * 1000000000.0)) * 1000000.0 + 0.5)
            / 1000000.0 AS mean_abs_err
 FROM cal GROUP BY est_lanes
@@ -2625,14 +2625,12 @@ def q_minhash_calibration(spark, sf_dir):
         "jaccard", est_lanes.alias("est_lanes")
     )
     # exact integer-nano sums (order-independent) — see oracle note
-    j_nano = F.floor(F.col("jaccard") * 1000000000.0 + F.lit(0.5)).cast(
-        "long"
-    )
+    j_nano = F.floor(F.col("jaccard") * 1000000000.0 + F.lit(0.5)).cast("decimal(38,0)")
     err_nano = F.floor(
         F.abs(F.col("est_lanes") / F.lit(8.0) - F.col("jaccard"))
         * 1000000000.0
         + F.lit(0.5)
-    ).cast("long")
+    ).cast("decimal(38,0)")
     return cal.groupBy("est_lanes").agg(
         (F.col("est_lanes") / F.lit(8.0)).alias("est_jaccard"),
         F.count(F.lit(1)).alias("n_pairs"),
@@ -2756,7 +2754,7 @@ WITH flat AS (
 ),
 per AS (
     SELECT label, pos,
-           FLOOR((SUM(CAST(FLOOR(x * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE
+           FLOOR((SUM(CAST(FLOOR(x * 1000000000.0 + 0.5) AS HUGEINT))::DOUBLE
                   / (COUNT(*) * 1000000000.0)) * 1000000.0 + 0.5)
                / 1000000.0 AS c,
            COUNT(*)::BIGINT AS n
@@ -2764,7 +2762,7 @@ per AS (
 ),
 gctr AS (
     SELECT pos,
-           FLOOR((SUM(CAST(FLOOR(x * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE
+           FLOOR((SUM(CAST(FLOOR(x * 1000000000.0 + 0.5) AS HUGEINT))::DOUBLE
                   / (COUNT(*) * 1000000000.0)) * 1000000.0 + 0.5)
                / 1000000.0 AS g
     FROM flat GROUP BY pos
@@ -2810,7 +2808,7 @@ def q_centroid_drift(spark, sf_dir):
     ).withColumn("x", F.col("x").cast("double"))
     # exact integer-nano component sums + micro-int second level — see
     # oracle note (raw double AVG/SUM is accumulation-ordered)
-    x_nano = F.floor(F.col("x") * 1000000000.0 + F.lit(0.5)).cast("long")
+    x_nano = F.floor(F.col("x") * 1000000000.0 + F.lit(0.5)).cast("decimal(38,0)")
     mean_c = round_half_up(
         F.sum(x_nano).cast("double") / (F.count(F.lit(1)) * 1000000000.0), 6
     )

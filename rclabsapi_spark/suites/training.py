@@ -253,7 +253,7 @@ WITH n AS (
 SELECT label, COUNT(*)::BIGINT AS n_vecs,
        -- 9dp-integer-grid mean (order-independent); MIN/MAX are exact
        -- selections, so only the tie-portable final round matters
-       FLOOR((SUM(CAST(FLOOR(norm * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE
+       FLOOR((SUM(CAST(FLOOR(norm * 1000000000.0 + 0.5) AS HUGEINT))::DOUBLE
               / (COUNT(*) * 1000000000.0)) * 1000000.0 + 0.5)
            / 1000000.0 AS avg_norm,
        FLOOR(MIN(norm) * 1000000.0 + 0.5) / 1000000.0 AS min_norm,
@@ -282,7 +282,7 @@ def q_emb_norms(spark, sf_dir):
     norms = emb.select("label", F.sqrt(sq).alias("norm"))
     norm_nano = F.floor(
         F.col("norm") * 1000000000.0 + F.lit(0.5)
-    ).cast("long")
+    ).cast("decimal(38,0)")
     return norms.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         round_half_up(
@@ -436,7 +436,7 @@ coded AS (
     FROM flat f JOIN bounds b ON f.dim = b.dim
 )
 SELECT dim, MIN(lo) AS lo, MAX(hi) AS hi,
-       FLOOR((SUM(CAST(FLOOR(err * 1000000000.0 + 0.5) AS BIGINT))::DOUBLE
+       FLOOR((SUM(CAST(FLOOR(err * 1000000000.0 + 0.5) AS HUGEINT))::DOUBLE
               / (COUNT(*) * 1000000000.0)) * 1000000.0 + 0.5)
            / 1000000.0 AS mae,
        FLOOR(MAX(err) * 1000000.0 + 0.5) / 1000000.0 AS max_err
