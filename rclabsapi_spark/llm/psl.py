@@ -33,8 +33,9 @@ At 100 TB the lookup stays an **expression-level literal**, NOT a
 broadcast join — one few-hundred-KB constant in the plan beats
 shipping a build side to every exchange, and keeps callers single
 exchange-free Projects. The structure is an **open-addressed hash
-table built at plan time**: slot = md5(rule)[:8 hex] mod N (N = 32768,
-load factor ~0.29), linear probing, packed into ONE separator-joined
+table built at plan time**: slot = md5(rule)[:8 hex] mod N (N =
+``_N_SLOTS`` = 65536, load factor ~0.15), linear probing, packed into
+ONE separator-joined
 string that a foldable ``F.split`` turns into a single array constant
 at optimization time. Each lookup is one md5 + ≤``_PROBES``
 element_at/compare steps — O(1). A literal MAP is the wrong structure

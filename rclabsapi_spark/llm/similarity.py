@@ -654,6 +654,14 @@ def pq_train(
         (r["m"], r["cid"]): [float(x) for x in r["cvec"]]
         for r in init.collect()
     }
+    seeded = {c for (_, c) in cent_rows}
+    missing = sorted(set(range(codebook_size)) - seeded)
+    # explicit seeding contract (the oracle mirror seeds the same way);
+    # a silent shorter codebook would shift every code id after the gap
+    assert not missing, (
+        f"pq_train seeds centroids from {key_col} in [0, {codebook_size});"
+        f" no input rows for ids {missing}"
+    )
     for _ in range(iters):
         cents_df = spark.createDataFrame(
             [(m, c, vec) for (m, c), vec in sorted(cent_rows.items())],

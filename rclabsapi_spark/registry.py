@@ -24,14 +24,16 @@ Cross-engine determinism rules used throughout the suites:
   ORDER BY — both engines accumulate in the same order; (c) per-doc
   aggregates over explode output where one doc's rows stay in one
   partition; (d) feat_target_encode's 2dp price grain (its docstring).
-  Coverage state (r11): every multi-row double MEAN is gridded or
-  exempt; of the rounded double SUMS, every one whose value feeds a
-  downstream ORDER (rfm monetary → ntile boundaries, tf-idf/BM25
-  scores → top-k heaps) is gridded. The remaining raw sites are
-  TERMINAL-OUTPUT sums (TPC-H revenue cells, attribution totals,
-  χ²/PSI statistics) where a boundary ulp would change one emitted
-  cell, never row membership — queued for the same treatment, lowest
-  risk class last.
+  Coverage state (r12): every multi-row double MEAN and every rounded
+  double SUM is gridded or exempt — the r11 terminal-output class
+  (TPC-H revenue cells, attribution totals, χ²/PSI/entropy statistics,
+  timeseries/cohort sums) closed in r12, so there is no raw
+  ROUND(SUM(double)) left anywhere. Accumulator width: grids whose
+  GROUP can grow with the corpus sum as DECIMAL(38,0) ≙ HUGEINT;
+  bounded-group grids (per-doc LM log-prob micros, BM25 per-(q,doc)
+  term weights, |dim|-bounded second-level micro sums) stay BIGINT —
+  a per-row term ≤2e10 over a ≤1e6-row group tops out ~14 orders
+  under the wrap point, and both engines use the same width there.
 - LIMIT queries sort on a key-unique prefix so the selected set is
   deterministic.
 - casts from fractional doubles to integers are avoided (Spark truncates,

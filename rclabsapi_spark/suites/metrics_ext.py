@@ -428,12 +428,14 @@ def q_a13(spark, sf_dir):
     -- per_group means are 6dp-rounded, so micro-int sums over the
     -- tiny group relation keep the baseline order-independent too
     baseline AS (
+        -- COUNT(col), not COUNT(*): the Spark side divides by the
+        -- window's non-null count, and both must count the same rows
         SELECT SUM(CAST(FLOOR(rate * 1000000.0 + 0.5) AS HUGEINT))::DOUBLE
-                   / (COUNT(*) * 1000000.0) AS b_rate,
+                   / (COUNT(rate) * 1000000.0) AS b_rate,
                SUM(CAST(FLOOR(error_rate * 1000000.0 + 0.5) AS HUGEINT))::DOUBLE
-                   / (COUNT(*) * 1000000.0) AS b_err,
+                   / (COUNT(error_rate) * 1000000.0) AS b_err,
                SUM(CAST(FLOOR(cpu * 1000000.0 + 0.5) AS HUGEINT))::DOUBLE
-                   / (COUNT(*) * 1000000.0) AS b_cpu
+                   / (COUNT(cpu) * 1000000.0) AS b_cpu
         FROM per_group
     )
     SELECT l_returnflag,
