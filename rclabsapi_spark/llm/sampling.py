@@ -490,60 +490,48 @@ def crawl_budget_allocation(
 
     Physical/determinism contract mirrors :func:`epoch_mixture_schedule`:
     the input is the |domains| relation (corpus already aggregated), the
-    normalizer Z folds over the stratum-sorted list so the double sum is
-    order-fixed, τ=0.5 makes pow an IEEE sqrt, priorities arrive
-    6dp-rounded (exact), and targets derive by floor from bit-identical
-    doubles. The whole allocation is ONE LINEAR pipeline: aggregate the
-    |domains| relation into a single sorted row-array, fold Z and the
-    doc total from that array, explode it back. Referencing
-    ``domain_stats`` twice (stats side + a 1-row Z broadcast) would be
-    a second derivation of the caller's corpus pipeline unless
-    exchange-reuse happens to collapse it — and map-literal operators
-    upstream (the PSL rule table) defeat plan canonicalization, so the
-    single-scan shape is now structural, not an optimizer favor. The
-    degenerate Z=0 corpus (every priority zero) allocates nothing:
-    weights and targets clamp to 0 instead of dividing to NULL/NaN."""
+    normalizer Z sums per-domain n^τ·p terms on the 9dp integer grid
+    (DECIMAL(38,0) ≙ HUGEINT — order-independent in any accumulation
+    order, no pinned fold needed), τ=0.5 makes pow an IEEE sqrt,
+    priorities arrive 6dp-rounded (exact), and targets derive by floor
+    from bit-identical doubles. The |domains| relation is CACHED before
+    it fans out to its two consumers (the stats side and the 1-row
+    (Z, total) aggregate broadcast back): the caller's corpus pipeline
+    materializes it exactly once even when upstream map-literal
+    operators (the PSL rule table) defeat plan canonicalization and
+    exchange reuse — and, unlike the r11 sorted-array fold this
+    replaces, no task ever holds the whole |domains| relation in one
+    row (at real crawl cardinality, O(10⁷-10⁸) registrable domains,
+    that single-task array is exactly the Exchange-SinglePartition OOM
+    class). The degenerate Z=0 corpus (every priority zero) allocates
+    nothing: weights and targets clamp to 0 instead of dividing to
+    NULL/NaN."""
     from rclabsapi_spark.functions.scalars import round_half_up
 
-    one = domain_stats.agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col(strat_col).alias("s"),
-                    F.col(size_col).cast("double").alias("n"),
-                    F.col(priority_col).cast("double").alias("p"),
-                    F.col(size_col).cast("long").alias("n_long"),
-                    F.col(priority_col).alias("p_orig"),
-                )
-            )
-        ).alias("_rows")
+    stats = domain_stats.select(
+        F.col(strat_col).alias("_s"),
+        F.col(size_col).cast("long").alias("_n_long"),
+        F.col(priority_col).alias("_p_orig"),
+    ).cache()
+    term = (
+        F.pow(F.col("_n_long").cast("double"), F.lit(float(tau)))
+        * F.col("_p_orig").cast("double")
     )
-    z_fold = F.aggregate(
-        F.col("_rows"),
-        F.lit(0.0),
-        lambda acc, x: acc + F.pow(x["n"], F.lit(float(tau))) * x["p"],
+    term_g = F.floor(term * 1000000000.0 + F.lit(0.5)).cast("decimal(38,0)")
+    z = stats.agg(
+        F.sum(term_g).alias("_z_g"),
+        F.sum("_n_long").alias("_total"),
     )
-    total_fold = F.aggregate(
-        F.col("_rows"),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x["n_long"],
-    )
-    rows = one.select(
-        F.explode(F.col("_rows")).alias("r"),
-        z_fold.alias("_z"),
-        total_fold.alias("_total"),
-    )
-    w = F.when(
-        F.col("_z") > 0,
-        F.pow(F.col("r.n"), F.lit(float(tau))) * F.col("r.p") / F.col("_z"),
-    ).otherwise(F.lit(0.0))
+    joined = stats.join(F.broadcast(z))
+    z_d = F.col("_z_g").cast("double") / 1000000000.0
+    w = F.when(F.col("_z_g") > 0, term / z_d).otherwise(F.lit(0.0))
     budget = F.lit(float(budget_multiplier)) * F.col("_total").cast("double")
     target = F.floor(budget * w).cast("long")
-    size_long = F.col("r.n_long")
-    return rows.select(
-        F.col("r.s").alias(strat_col),
+    size_long = F.col("_n_long")
+    return joined.select(
+        F.col("_s").alias(strat_col),
         size_long.alias("n_docs"),
-        F.col("r.p_orig").alias("priority"),
+        F.col("_p_orig").alias("priority"),
         round_half_up(w, 6).alias("w_temp"),
         target.alias("target_docs"),
         F.least(target, size_long).alias("effective_docs"),

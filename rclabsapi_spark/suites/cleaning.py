@@ -804,19 +804,18 @@ def _crawl_budget_oracle() -> str:
     from rclabsapi_spark.functions.scalars import sql_round_half_up as rhu
 
     w_raw = (
-        f"CASE WHEN z.z > 0 THEN"
-        f" (pow(n_docs::DOUBLE, {_BUDGET_TAU}) * priority) / z.z"
+        f"CASE WHEN z.z_g > 0 THEN"
+        f" (pow(n_docs::DOUBLE, {_BUDGET_TAU}) * priority)"
+        f" / (z.z_g::DOUBLE / 1000000000.0)"
         f" ELSE 0.0 END"
     )
     return f"""
 {_domain_quality_cte()},
 z AS (
-    SELECT list_reduce(
-               list_transform(
-                   list(struct_pack(s := domain, n := n_docs::DOUBLE,
-                                    p := priority) ORDER BY domain),
-                   x -> pow(x.n, {_BUDGET_TAU}) * x.p),
-               (a, b) -> a + b) AS z,
+    -- Z = Σ n^τ·p on the 9dp integer grid (HUGEINT ≙ DECIMAL(38,0)):
+    -- order-independent, mirroring crawl_budget_allocation
+    SELECT SUM(CAST(FLOOR(pow(n_docs::DOUBLE, {_BUDGET_TAU}) * priority
+                          * 1000000000.0 + 0.5) AS HUGEINT)) AS z_g,
            SUM(n_docs)::BIGINT AS total
     FROM prior
 ),
@@ -845,11 +844,12 @@ def q_crawl_budget(spark, sf_dir):
     report each domain's floor-integer target, the effective target
     after capping at availability, and whether the cap bit (the signal
     to raise that domain's crawl frequency, not its sample weight).
-    Composes the verified quality-prior stats; everything downstream of
-    the corpus aggregate runs on the |domains| relation with a
-    sorted-fold 1-row normalizer broadcast (the epoch-mixture pattern),
-    τ=0.5 ⇒ pow = IEEE sqrt and floor-derived integers are
-    bit-identical. llm/sampling.py::crawl_budget_allocation."""
+    Composes the verified quality-prior stats; the |domains| relation
+    caches once and fans out to the stats side and a 1-row gridded
+    (Z, total) normalizer broadcast (the epoch-mixture pattern — no
+    task ever holds the whole relation in one array row), τ=0.5 ⇒ pow
+    = IEEE sqrt and floor-derived integers are bit-identical.
+    llm/sampling.py::crawl_budget_allocation."""
     from rclabsapi_spark.llm.sampling import crawl_budget_allocation
 
     stats = _domain_quality_frame(spark, sf_dir).select(

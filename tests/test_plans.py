@@ -657,6 +657,9 @@ def test_no_accidental_cartesian_anywhere(spark):
         # 1-row (Z, total-tokens) normalizer broadcast onto the
         # |sources| schedule relation
         "train_epoch_mixture",
+        # 1-row gridded (Z, total-docs) normalizer broadcast onto the
+        # cached |domains| relation
+        "clean_crawl_budget",
         # per-round 1-row best-pair argmax broadcast onto the vocab
         "train_bpe_merges",
         # 1-row bucket-histogram totals broadcast into the ratio table
@@ -1161,20 +1164,23 @@ def test_quality_vs_lm_reduces_before_joins(spark):
     assert "Window" not in p
 
 
-def test_crawl_budget_single_scan_sorted_fold(spark):
-    """Crawl budget: the per-domain stats ride the SAME single documents
-    scan as the quality prior (carry composition), and the allocation is
-    one LINEAR pipeline — the |domains| relation aggregates into a single
-    sorted row-array, Z and the doc total fold from it, and the rows
-    explode back. No second corpus derivation, no crossJoin/BNLJ at all
-    (the earlier 1-row-broadcast shape depended on exchange reuse, which
-    the PSL map literal upstream defeats), no window."""
+def test_crawl_budget_single_scan_cached_domains(spark):
+    """Crawl budget: the |domains| relation is CACHED and fans out to
+    its two consumers (stats side + the 1-row gridded (Z, total)
+    normalizer broadcast), so the corpus pipeline upstream — whose PSL
+    map literal defeats plan canonicalization/exchange reuse —
+    materializes exactly once; the returned plan reads the cache twice
+    and scans no parquet at all. No whole-relation collect_list (the
+    r11 sorted-array fold was a single-task OOM at real |domains|
+    cardinality), no window."""
     from rclabsapi_spark.planaudit import audit
 
-    scans, _counts = audit(_fn(spark, "clean_crawl_budget"))
-    assert scans["documents"] == 1
+    scans, counts = audit(_fn(spark, "clean_crawl_budget"))
+    assert scans.get("documents", 0) == 0
+    assert counts["cached"] == 2
     p = _plan(spark, "clean_crawl_budget")
     assert "Window" not in p
+    assert "collect_list" not in p
 
 
 def test_score_agreement_single_row_statistics(spark):
