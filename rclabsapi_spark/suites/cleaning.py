@@ -863,3 +863,113 @@ def q_crawl_budget(spark, sf_dir):
         tau=_BUDGET_TAU,
         budget_multiplier=_BUDGET_MULT,
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain contamination report (which domains leak eval data)
+# ---------------------------------------------------------------------------
+
+def _domain_contamination_oracle() -> str:
+    from rclabsapi_spark.functions.scalars import sql_round_half_up as rhu
+
+    return f"""
+{_domain_quality_cte()},
+grams AS ({_GRAMS3_SQL}),
+eval_g AS (SELECT DISTINCT shingle FROM grams WHERE doc_id % 97 = 0),
+tg AS (SELECT DISTINCT doc_id, shingle FROM grams WHERE doc_id % 97 <> 0),
+fl AS (
+    SELECT tg.doc_id, COUNT(e.shingle)::BIGINT AS overlap_ngrams
+    FROM tg LEFT JOIN eval_g e USING (shingle)
+    GROUP BY tg.doc_id
+),
+tflag AS (
+    SELECT t.doc_id,
+           COALESCE(f.overlap_ngrams, 0) AS overlap_ngrams,
+           COALESCE(f.overlap_ngrams, 0) >= 3 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) t
+    LEFT JOIN fl f USING (doc_id)
+),
+perdom AS (
+    SELECT d.domain,
+           COUNT(*)::BIGINT AS n_train_docs,
+           SUM(CASE WHEN tf.contaminated THEN 1 ELSE 0 END)::BIGINT
+               AS n_contaminated,
+           SUM(tf.overlap_ngrams)::BIGINT AS overlap_ngrams
+    FROM tflag tf JOIN dom d USING (doc_id)
+    GROUP BY d.domain
+)
+SELECT p.domain,
+       p.n_docs,
+       pd.n_train_docs,
+       pd.n_contaminated,
+       pd.overlap_ngrams,
+       {rhu("pd.n_contaminated / pd.n_train_docs::DOUBLE", 6)}
+           AS contamination_rate,
+       p.mean_quality,
+       p.priority
+FROM perdom pd JOIN prior p USING (domain)
+"""
+
+
+@query("clean_domain_contamination", _domain_contamination_oracle())
+def q_domain_contamination(spark, sf_dir):
+    """Per-domain contamination report — WHICH registrable domains leak
+    eval data, joined to the quality prior: the table a curation owner
+    reads to decide whether a domain's priority survives its leak rate
+    (a high-priority domain shedding eval n-grams is a crawl-config
+    bug, not a sampling win). Composes three verified operators:
+    ``decontaminate`` (eval 3-gram set broadcasts, corpus explodes
+    once), the PSL registrable-domain expression (per-row, no join),
+    and the quality-prior frame. The doc→domain relation and the
+    per-doc flags join on the doc key — narrow rows (id, domain, two
+    counts), never text — then reduce to |domains| before meeting the
+    prior. contamination_rate divides exact integer counts;
+    overlap_ngrams is an integral sum (exact in any order).
+    llm/cleaning.py::decontaminate + llm/psl.py::registrable_domain."""
+    from rclabsapi_spark.functions.scalars import round_half_up
+    from rclabsapi_spark.llm.cleaning import (
+        canonicalize_url,
+        url_registrable_domain,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    flags = decontaminate(
+        train,
+        docs.filter(F.col("doc_id") % 97 == 0),
+        n=3,
+        min_overlap=3,
+    ).select("doc_id", "overlap_ngrams", "contaminated")
+    dom = train.select(
+        "doc_id",
+        url_registrable_domain(canonicalize_url(_pseudo_url_col())).alias(
+            "domain"
+        ),
+    )
+    perdom = (
+        dom.join(flags, "doc_id")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.sum(F.col("contaminated").cast("int"))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.sum("overlap_ngrams").alias("overlap_ngrams"),
+        )
+    )
+    prior = _domain_quality_frame(spark, sf_dir).select(
+        "domain", "n_docs", "mean_quality", "priority"
+    )
+    return perdom.join(F.broadcast(prior), "domain").select(
+        "domain",
+        "n_docs",
+        "n_train_docs",
+        "n_contaminated",
+        "overlap_ngrams",
+        round_half_up(
+            F.col("n_contaminated") / F.col("n_train_docs").cast("double"),
+            6,
+        ).alias("contamination_rate"),
+        "mean_quality",
+        "priority",
+    )

@@ -1145,6 +1145,309 @@ def q_ivf_recall(spark, sf_dir):
     )
 
 
+
+_IVF_INC_CHURN_ORACLE = f"""
+WITH b AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+old AS (SELECT * FROM b WHERE vec_id % 10 <> 7),
+nw  AS (SELECT * FROM b WHERE vec_id % 10 = 7),
+cents AS (
+    SELECT vec_id::INT AS centroid_id, v AS cvec FROM old WHERE vec_id < 8
+),
+ao AS (
+    SELECT o.vec_id, c.centroid_id
+    FROM old o CROSS JOIN cents c
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY o.vec_id
+        ORDER BY ROUND({_cos_sql("(o.v)", "(c.cvec)")}, 9) DESC,
+                 c.centroid_id) = 1
+),
+an AS (
+    SELECT w.vec_id, c.centroid_id
+    FROM nw w CROSS JOIN cents c
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY w.vec_id
+        ORDER BY ROUND({_cos_sql("(w.v)", "(c.cvec)")}, 9) DESC,
+                 c.centroid_id) = 1
+)
+SELECT c.centroid_id,
+       COALESCE(o.n_base, 0)::BIGINT AS n_base,
+       COALESCE(n.n_new, 0)::BIGINT AS n_new,
+       (COALESCE(o.n_base, 0) + COALESCE(n.n_new, 0))::BIGINT AS n_total,
+       CASE WHEN COALESCE(o.n_base, 0) + COALESCE(n.n_new, 0) > 0
+            THEN {_rhu("COALESCE(n.n_new, 0)"
+                       " / (COALESCE(o.n_base, 0)"
+                       "    + COALESCE(n.n_new, 0))::DOUBLE", 6)}
+            ELSE 0.0 END AS new_share
+FROM cents c
+LEFT JOIN (SELECT centroid_id, COUNT(*)::BIGINT AS n_base
+           FROM ao GROUP BY 1) o USING (centroid_id)
+LEFT JOIN (SELECT centroid_id, COUNT(*)::BIGINT AS n_new
+           FROM an GROUP BY 1) n USING (centroid_id)
+"""
+
+
+@query("sim_ivf_incremental_churn", _IVF_INC_CHURN_ORACLE)
+def q_ivf_incremental_churn(spark, sf_dir):
+    """Incremental ANN index maintenance, part 1 — assignment churn: a
+    new vector batch (vec_id % 10 == 7, the day's embeddings) is merged
+    into the EXISTING IVF index by assigning it to the index's frozen
+    centroids (seeded from the base corpus, which lacks vec 7 — so 7
+    lists). Per centroid: base list size, new arrivals, merged size,
+    and the new-arrival share — the table that tells an index owner
+    which partitions to rewrite and which lists are drifting toward a
+    retrain. The centroid relation broadcasts twice (base pass + batch
+    pass); each pass is one argmax-cosine scan (the ivf_assign shape),
+    and everything after is |centroids|-sized. new_share divides exact
+    integer counts. llm/similarity.py::ivf_assign."""
+    from rclabsapi_spark.functions.scalars import round_half_up
+    from rclabsapi_spark.llm.similarity import _as_double, ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = _as_double(F.col("embedding"))
+    base = emb.select("vec_id", v.alias("v")).cache()
+    old = base.filter(F.col("vec_id") % 10 != 7)
+    new = base.filter(F.col("vec_id") % 10 == 7)
+    cents = old.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("v").alias("cvec"),
+    )
+    n_base = (
+        ivf_assign(old, vec_col="v", centroids=cents)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_base"))
+    )
+    n_new = (
+        ivf_assign(new, vec_col="v", centroids=cents)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    merged = (
+        cents.select("centroid_id")
+        .join(n_base, "centroid_id", "left")
+        .join(n_new, "centroid_id", "left")
+        .select(
+            "centroid_id",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    total = F.col("n_base") + F.col("n_new")
+    return merged.select(
+        "centroid_id",
+        "n_base",
+        "n_new",
+        total.alias("n_total"),
+        F.when(
+            total > 0,
+            round_half_up(F.col("n_new") / total.cast("double"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("new_share"),
+    )
+
+
+_IVF_INC_RECALL_ORACLE = f"""
+WITH b AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+old AS (SELECT * FROM b WHERE vec_id % 10 <> 7),
+c7 AS (SELECT vec_id::INT AS centroid_id, v AS cvec FROM old WHERE vec_id < 8),
+c8 AS (SELECT vec_id::INT AS centroid_id, v AS cvec FROM b WHERE vec_id < 8),
+a7 AS (
+    SELECT e.vec_id, c.centroid_id
+    FROM b e CROSS JOIN c7 c
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY ROUND({_cos_sql("(e.v)", "(c.cvec)")}, 9) DESC,
+                 c.centroid_id) = 1
+),
+a8 AS (
+    SELECT e.vec_id, c.centroid_id
+    FROM b e CROSS JOIN c8 c
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY ROUND({_cos_sql("(e.v)", "(c.cvec)")}, 9) DESC,
+                 c.centroid_id) = 1
+),
+q AS (
+    SELECT vec_id AS query_id, v AS qvec FROM b WHERE vec_id IN (1, 5, 9)
+),
+p7 AS (
+    SELECT q.query_id, c.centroid_id
+    FROM q, c7 c
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.query_id
+        ORDER BY ROUND({_cos_sql("(c.cvec)", "(q.qvec)")}, 9) DESC,
+                 c.centroid_id) <= 2
+),
+p8 AS (
+    SELECT q.query_id, c.centroid_id
+    FROM q, c8 c
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.query_id
+        ORDER BY ROUND({_cos_sql("(c.cvec)", "(q.qvec)")}, 9) DESC,
+                 c.centroid_id) <= 2
+),
+tt AS (
+    SELECT q.query_id, b.vec_id
+    FROM b, q
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY q.query_id
+        ORDER BY {_DOT_SQL.format(a="b.v", b="q.qvec")} DESC, b.vec_id
+    ) <= 10
+),
+ct7 AS (
+    SELECT p.query_id, a.vec_id
+    FROM p7 p
+    JOIN a7 a ON a.centroid_id = p.centroid_id
+    JOIN b ON b.vec_id = a.vec_id
+    JOIN q ON q.query_id = p.query_id
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY p.query_id
+        ORDER BY {_DOT_SQL.format(a="b.v", b="q.qvec")} DESC, b.vec_id
+    ) <= 10
+),
+ct8 AS (
+    SELECT p.query_id, a.vec_id
+    FROM p8 p
+    JOIN a8 a ON a.centroid_id = p.centroid_id
+    JOIN b ON b.vec_id = a.vec_id
+    JOIN q ON q.query_id = p.query_id
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY p.query_id
+        ORDER BY {_DOT_SQL.format(a="b.v", b="q.qvec")} DESC, b.vec_id
+    ) <= 10
+),
+h7 AS (
+    SELECT tt.query_id,
+           SUM(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS hits
+    FROM tt LEFT JOIN ct7 c
+      ON c.query_id = tt.query_id AND c.vec_id = tt.vec_id
+    GROUP BY tt.query_id
+),
+h8 AS (
+    SELECT tt.query_id,
+           SUM(CASE WHEN c.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS hits
+    FROM tt LEFT JOIN ct8 c
+      ON c.query_id = tt.query_id AND c.vec_id = tt.vec_id
+    GROUP BY tt.query_id
+),
+unioned AS (
+    SELECT h7.query_id,
+           h7.hits / 10.0 AS r_inc,
+           h8.hits / 10.0 AS r_full
+    FROM h7 JOIN h8 USING (query_id)
+    UNION ALL
+    SELECT NULL::BIGINT,
+           (SELECT SUM(hits)::DOUBLE / (COUNT(*) * 10.0) FROM h7),
+           (SELECT SUM(hits)::DOUBLE / (COUNT(*) * 10.0) FROM h8)
+)
+SELECT query_id,
+       {_rhu("r_inc", 6)} AS recall_incremental,
+       {_rhu("r_full", 6)} AS recall_rebuild,
+       {_rhu("r_inc - r_full", 6)} AS recall_delta
+FROM unioned
+"""
+
+
+@query("sim_ivf_incremental_recall", _IVF_INC_RECALL_ORACLE)
+def q_ivf_incremental_recall(spark, sf_dir):
+    """Incremental ANN index maintenance, part 2 — the quality gate: is
+    the incrementally-maintained index (new batch assigned to the
+    FROZEN 7-centroid base index — no retrain) still close enough to a
+    full rebuild (8 centroids re-seeded from the merged corpus)?
+    Recall@10 at nprobe=2 for the same three query rows as
+    sim_ivf_recall, both tiers against the same exact top-10 truth,
+    plus the macro row (query_id NULL) — the number that decides when
+    assignment churn justifies paying for the rebuild. One cached
+    vector scan feeds centroids, both assignment passes, probes, and
+    truth; every recall derives from exact integer hit counts, and the
+    delta subtracts identically-rounded doubles.
+    llm/similarity.py::ivf_assign + ann_recall_at_k."""
+    from pyspark.sql import Window
+
+    from rclabsapi_spark.functions.scalars import round_half_up
+    from rclabsapi_spark.llm.similarity import (
+        _as_double,
+        ann_recall_at_k,
+        cosine,
+        dot,
+        ivf_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = _as_double(F.col("embedding"))
+    base = emb.select("vec_id", v.alias("v")).cache()
+    c7 = (
+        base.filter((F.col("vec_id") < 8) & (F.col("vec_id") % 10 != 7))
+        .select(
+            F.col("vec_id").cast("int").alias("centroid_id"),
+            F.col("v").alias("cvec"),
+        )
+    )
+    c8 = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("v").alias("cvec"),
+    )
+    q = base.filter(F.col("vec_id").isin(1, 5, 9)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qvec")
+    )
+
+    def tier_candidates(cents):
+        assign = ivf_assign(base, vec_col="v", centroids=cents)
+        qc = q.crossJoin(F.broadcast(cents))
+        w = Window.partitionBy("query_id").orderBy(
+            F.round(cosine(F.col("qvec"), F.col("cvec")), 9).desc(),
+            F.col("centroid_id"),
+        )
+        probe = (
+            qc.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= 2)
+            .select("query_id", "centroid_id", "qvec")
+        )
+        return assign.join(F.broadcast(probe), "centroid_id").select(
+            "query_id",
+            "vec_id",
+            dot(F.col("v"), F.col("qvec")).alias("score"),
+        )
+
+    truth = base.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id", dot(F.col("v"), F.col("qvec")).alias("score")
+    )
+    r_inc = ann_recall_at_k(
+        tier_candidates(c7), truth, query_col="query_id",
+        item_col="vec_id", k=10,
+    ).withColumnRenamed("recall_at_k", "r_inc")
+    r_full = ann_recall_at_k(
+        tier_candidates(c8), truth, query_col="query_id",
+        item_col="vec_id", k=10,
+    ).withColumnRenamed("recall_at_k", "r_full")
+    j = (
+        r_inc.alias("ri")
+        .join(
+            r_full.alias("rf"),
+            F.col("ri.query_id").eqNullSafe(F.col("rf.query_id")),
+        )
+        .select(
+            F.col("ri.query_id").alias("query_id"),
+            F.col("r_inc"),
+            F.col("r_full"),
+        )
+    )
+    return j.select(
+        "query_id",
+        round_half_up(F.col("r_inc"), 6).alias("recall_incremental"),
+        round_half_up(F.col("r_full"), 6).alias("recall_rebuild"),
+        round_half_up(F.col("r_inc") - F.col("r_full"), 6).alias(
+            "recall_delta"
+        ),
+    )
+
+
 _IVF_PERSISTED_ORACLE = f"""
 WITH q AS (
     SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0

@@ -687,6 +687,10 @@ def test_no_accidental_cartesian_anywhere(spark):
         "dq_skew_report",
         "sim_ann_recall",
         "sim_ivf_recall",  # same 3-row query relation, IVF tier
+        # K-row centroid broadcasts (the ivf_assign shape) + the 3-row
+        # query relation, for both incremental-maintenance audits
+        "sim_ivf_incremental_churn",
+        "sim_ivf_incremental_recall",
         # empty⇒pass-all subscription-rule relation (tiny, by contract)
         "p9_subscription_routing",
         # corpus totals / avgdl 1-row broadcasts (the retr_* pattern)
@@ -1305,6 +1309,51 @@ def test_incremental_card_reduces_per_snapshot(spark):
     assert counts["bhj"] >= 1  # |sources|-keyed card/churn joins
     p = _plan(spark, "train_incremental_card")
     assert "Window" not in p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_ivf_incremental_churn_cached_no_rescan(spark):
+    """Incremental-churn audit: the (key, vector) relation caches once
+    and feeds the centroid seed and both assignment passes — zero live
+    parquet re-scans; per-centroid stats join as ≤K-row broadcasts; no
+    window (argmax is max_by), no cartesian of fact relations."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "sim_ivf_incremental_churn"))
+    assert scans.get("embeddings", 0) == 0
+    assert counts["cached"] >= 3
+    assert counts["bhj"] >= 2
+    p = _plan(spark, "sim_ivf_incremental_churn")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_ivf_incremental_recall_cached_no_rescan(spark):
+    """Incremental-recall gate: ONE cached vector relation feeds both
+    tiers' centroids, assignments, probes, and the shared truth — zero
+    live parquet re-scans; every window is partitioned by the 3-row
+    query key; no cartesian."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "sim_ivf_incremental_recall"))
+    assert scans.get("embeddings", 0) == 0
+    assert counts["cached"] >= 4
+    p = _plan(spark, "sim_ivf_incremental_recall")
+    assert "CartesianProduct" not in p
+
+
+def test_domain_contamination_bounded_scans(spark):
+    """Per-domain contamination: ≤5 column-pruned documents scans
+    (decontaminate's posting+flag passes, the domain projection, the
+    quality prior), flags×domain join on narrow doc-key rows, reduced
+    to |domains| before the broadcast join with the prior; the only
+    windows are the per-doc shingle leads; no cartesian/BNLJ."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "clean_domain_contamination"))
+    assert scans["documents"] <= 5
+    assert counts["bhj"] >= 3
+    p = _plan(spark, "clean_domain_contamination")
     assert "CartesianProduct" not in p and "NestedLoop" not in p
 
 
