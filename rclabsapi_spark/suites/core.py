@@ -934,3 +934,50 @@ def q_cube(spark, sf_dir):
         F.grouping("o_orderstatus").cast("int").alias("g_status"),
         F.grouping("o_orderpriority").cast("int").alias("g_priority"),
     )
+
+
+# ---------------------------------------------------------------------------
+# S8 — cache warm-up key selection (the reference's last named SELECT)
+# ---------------------------------------------------------------------------
+
+_CACHE_WARMUP_ORACLE = """
+WITH acc AS (
+    SELECT 'user:' || CAST(user_id AS VARCHAR) AS key_name,
+           MAX(event_type) AS data_type,
+           COUNT(*)::BIGINT AS access_count
+    FROM events GROUP BY user_id
+)
+SELECT key_name, data_type, access_count
+FROM acc
+ORDER BY access_count DESC, key_name
+LIMIT 20
+"""
+
+
+@query("s8_cache_warmup_keys", _CACHE_WARMUP_ORACLE)
+def q_cache_warmup_keys(spark, sf_dir):
+    """S8 cache warm-up: the most-accessed cache keys with their type,
+    for preloading on startup — the reference's cache_manager.cpp:456-457
+    ``SELECT DISTINCT key_name, data_type FROM cache_access_log ORDER BY
+    access_count DESC LIMIT n``, modeled over the events fixture (key =
+    the user the entry caches, access count = the key's event volume,
+    data_type = a deterministic representative event type). One
+    partial-combined aggregate to the |keys| relation, then a top-k
+    TakeOrdered (no global sort); the key tie-break pins the selected
+    set under equal counts."""
+    ev = load_table(spark, sf_dir, "events")
+    acc = ev.groupBy("user_id").agg(
+        F.max("event_type").alias("data_type"),
+        F.count(F.lit(1)).alias("access_count"),
+    )
+    return (
+        acc.select(
+            F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias(
+                "key_name"
+            ),
+            "data_type",
+            "access_count",
+        )
+        .orderBy(F.col("access_count").desc(), "key_name")
+        .limit(20)
+    )
