@@ -360,3 +360,100 @@ def test_crawl_budget_conservation(spark, rows, mult):
         assert all(r["target_docs"] == 0 for r in out)
     else:
         assert abs(w_sum - 1.0) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Integer-grid aggregate parity (grid_sum / grid_ratio, r12)
+# ---------------------------------------------------------------------------
+
+# keep |x·1e9| well inside the double-exact-integer range so the
+# per-row floor term is unambiguous on both engines (the suites obey
+# the same bound: money ≤ ~1e6, scores/ratios ≤ ~1e2)
+grid_doubles = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e5, max_value=1e5
+)
+
+
+@SETTINGS
+@given(st.lists(grid_doubles, min_size=1, max_size=50))
+def test_grid_sum_matches_duckdb_and_partitioning(spark, xs):
+    """grid_sum must (a) agree bit-for-bit with its DuckDB mirror
+    (sql_grid_sum) on arbitrary doubles — the terminal-output-sum
+    contract — and (b) be accumulation-order-independent: the same
+    relation under 1 vs 7 partitions folds to the identical double."""
+    from rclabsapi_spark.functions.scalars import grid_sum, sql_grid_sum
+
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    got1 = (
+        df.repartition(1)
+        .agg(grid_sum(F.col("x"), 6).alias("s"))
+        .collect()[0]["s"]
+    )
+    got7 = (
+        df.repartition(7)
+        .agg(grid_sum(F.col("x"), 6).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert got1 == got7
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT {sql_grid_sum('x', 6)}"
+        " FROM (SELECT unnest(?::DOUBLE[]) AS x)",
+        [xs],
+    ).fetchone()[0]
+    assert got1 == pytest.approx(want, abs=0.0)
+
+
+@SETTINGS
+@given(st.lists(grid_doubles, min_size=1, max_size=50))
+def test_grid_sum_denom_matches_duckdb(spark, xs):
+    """The denom form (TPC-H q17's SUM/7) divides by the exact same
+    grid·denom double on both sides — one IEEE division, bit-identical."""
+    from rclabsapi_spark.functions.scalars import grid_sum, sql_grid_sum
+
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    got = df.agg(grid_sum(F.col("x"), 4, denom=7.0).alias("s")).collect()[0][
+        "s"
+    ]
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT {sql_grid_sum('x', 4, denom=7.0)}"
+        " FROM (SELECT unnest(?::DOUBLE[]) AS x)",
+        [xs],
+    ).fetchone()[0]
+    assert got == pytest.approx(want, abs=0.0)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            grid_doubles,
+            st.floats(
+                allow_nan=False,
+                allow_infinity=False,
+                min_value=1e-3,
+                max_value=1e5,
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_grid_ratio_matches_duckdb(spark, pairs):
+    """grid_ratio (the Q8/Q14 ratio-of-sums shape, with the 100× mult)
+    agrees bit-for-bit with sql_grid_ratio: both sides divide the same
+    two exactly-equal doubles in the same pinned order."""
+    from rclabsapi_spark.functions.scalars import grid_ratio, sql_grid_ratio
+
+    df = spark.createDataFrame(pairs, "num double, den double")
+    got = df.agg(
+        grid_ratio(F.col("num"), F.col("den"), 6, mult=100.0).alias("r")
+    ).collect()[0]["r"]
+    con = duckdb.connect()
+    want = con.execute(
+        f"SELECT {sql_grid_ratio('num', 'den', 6, mult=100.0)} FROM ("
+        "SELECT unnest(?::DOUBLE[]) AS num, unnest(?::DOUBLE[]) AS den)",
+        [[p[0] for p in pairs], [p[1] for p in pairs]],
+    ).fetchone()[0]
+    assert got == pytest.approx(want, abs=0.0)
