@@ -1,0 +1,103 @@
+"""Fleet-wide float-rule invariant (the registry.py docstring contract,
+closed in r12): no RAW rounded double SUM/AVG may enter the package —
+every multi-row double aggregate rides an integer grid
+(``grid_sum`` / ``grid_mean`` / ``grid_ratio`` or an inline
+FLOOR(x·grid+0.5) DECIMAL/HUGEINT accumulator) or appears in the
+exemption table below with its documented class:
+
+(a) integral-valued sums/averages (counts, 0/1 flags, token counts) —
+    exact in any accumulation order;
+(b) window frames with a pinned ORDER BY — both engines accumulate the
+    frame in the same order.
+
+A new ``F.round(F.sum(...))`` / ``ROUND(SUM(...))`` over genuine
+doubles fails here before it can reintroduce the cross-engine
+ulp-divergence class the r10-r12 sweeps eliminated. To exempt a new
+site, add (file, line-substring, class) below — the substring must
+appear on the matched line, so an exemption cannot silently cover a
+different aggregate added later to the same file.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+_PKG = Path(__file__).resolve().parents[1] / "rclabsapi_spark"
+
+# (relative file, substring that must appear on the matched line, class)
+_EXEMPT = [
+    # (a) integral sums: n_tokens is an integer column; leaked / CASE
+    # branches are 0/1; vocab-membership flags are 0/1
+    ("suites/training.py", 'F.round(F.sum("n_tokens")', "a"),
+    ("llm/training.py", 'F.sum(F.coalesce(F.col("in_vocab"), F.lit(0)))', "a"),
+    ("suites/training.py", "ROUND(SUM(n_tokens)", "a"),
+    ("suites/training.py", "F.round(F.sum(leaked)", "a"),
+    ("llm/training.py", "F.round(F.sum(leaked)", "a"),
+    ("suites/training.py", "ROUND(SUM(CASE WHEN word IN", "a"),
+    ("suites/training.py", "ROUND(SUM(CASE WHEN s.n_src > 1", "a"),
+    ("suites/training.py", "ROUND(SUM(CASE WHEN f.n_splits > 1", "a"),
+    # (a) integral averages: token counts, |count − count| forecasts
+    ("suites/training.py", 'round_half_up(F.avg("n_tokens")', "a"),
+    ("operators/analytics.py", "round_half_up(F.avg(err))", "a"),
+    # (b) pinned-order window frame (w_moving_avg): ORDER BY ts,
+    # event_id fixes the fold order on both engines
+    ("suites/core.py", "ROUND(AVG(value) OVER (PARTITION BY user_id", "b"),
+    ("suites/core.py", 'F.round(F.avg("value").over(w), 6)', "b"),
+    # docstring mentions of the forbidden form (registry float rules,
+    # grid_sum's own documentation)
+    ("registry.py", "ROUND(SUM(double))", "doc"),
+    ("functions/scalars.py", "``ROUND(SUM(x), d)``", "doc"),
+]
+
+_PATTERNS = [
+    re.compile(r"F\.round\(\s*F\.sum\("),
+    re.compile(r"F\.round\(\s*F\.avg\("),
+    re.compile(r"ROUND\(SUM\("),
+    re.compile(r"ROUND\(AVG\("),
+    re.compile(r"round_half_up\(F\.avg\("),
+    re.compile(r"round_half_up\(\s*F\.sum\(\s*F\.col"),
+]
+
+
+def _line_of(text: str, pos: int) -> str:
+    start = text.rfind("\n", 0, pos) + 1
+    end = text.find("\n", pos)
+    return text[start : end if end >= 0 else len(text)]
+
+
+def test_no_raw_rounded_double_aggregates():
+    offenders = []
+    for py in sorted(_PKG.rglob("*.py")):
+        rel = py.relative_to(_PKG).as_posix()
+        text = py.read_text()
+        for pat in _PATTERNS:
+            for m in pat.finditer(text):
+                # exemption snippets match against a short context
+                # window from the match, so multi-line aggregates
+                # (F.round(\n F.sum(...)) are attributable too
+                ctx = text[m.start() : m.start() + 160]
+                line = _line_of(text, m.start())
+                if any(
+                    rel == f and (snip in line or snip in ctx)
+                    for f, snip, _cls in _EXEMPT
+                ):
+                    continue
+                lineno = text.count("\n", 0, m.start()) + 1
+                offenders.append(f"{rel}:{lineno}: {line.strip()}")
+    assert not offenders, (
+        "raw rounded double aggregate(s) found — use grid_sum/grid_mean/"
+        "grid_ratio (functions/scalars.py) or add a documented exemption "
+        "in tests/test_float_rules.py:\n" + "\n".join(offenders)
+    )
+
+
+def test_exemption_table_is_live():
+    """Every exemption row must still match a line in its file —
+    stale rows get deleted, not accumulated."""
+    dead = []
+    for f, snip, _cls in _EXEMPT:
+        text = (_PKG / f).read_text()
+        if snip not in text:
+            dead.append(f"{f}: {snip!r}")
+    assert not dead, "stale exemption rows:\n" + "\n".join(dead)
