@@ -124,7 +124,7 @@ def rfm_scores(
             F.sum(
                 F.floor(
                     F.col(amount_col) * 1000000.0 + F.lit(0.5)
-                ).cast("long")
+                ).cast("decimal(38,0)")
             ).cast("double")
             / 1000000.0
         ).alias("monetary"),

@@ -97,7 +97,7 @@ WITH per_cust AS (
            datediff('day', MAX(o_orderdate)::DATE, DATE '2002-01-01')::BIGINT
                AS recency_days,
            COUNT(*)::BIGINT AS frequency,
-           SUM(CAST(FLOOR(o_totalprice * 1000000.0 + 0.5) AS BIGINT))::DOUBLE
+           SUM(CAST(FLOOR(o_totalprice * 1000000.0 + 0.5) AS HUGEINT))::DOUBLE
                / 1000000.0 AS monetary
     FROM orders GROUP BY 1
 )

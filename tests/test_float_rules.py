@@ -101,3 +101,46 @@ def test_exemption_table_is_live():
         if snip not in text:
             dead.append(f"{f}: {snip!r}")
     assert not dead, "stale exemption rows:\n" + "\n".join(dead)
+
+
+# ---------------------------------------------------------------------------
+# BIGINT grid-accumulator allowlist (bounded groups only)
+# ---------------------------------------------------------------------------
+
+# Grid accumulators whose GROUP can grow with the corpus must be
+# DECIMAL(38,0) (Spark) / HUGEINT (oracle) — the r12 widening class.
+# BIGINT/long accumulators are allowed ONLY where the group is
+# structurally bounded (a document, a fixed query-term set): listed
+# here with the bound, so a new corpus-scale BIGINT sum fails review.
+_BIGINT_GRID_ALLOWED = {
+    # per-(doc, query-terms) retrieval score sums: ≤|terms| rows/group
+    "llm/retrieval.py",
+    "suites/retrieval.py",
+    # per-doc LM log-prob sums: ≤|doc tokens| rows/group
+    "llm/training.py",
+    "suites/training.py",
+}
+
+_BIGINT_GRID_PATTERNS = [
+    re.compile(r"0\.5\)\s*AS BIGINT\)\)"),
+    re.compile(r'F\.lit\(0\.5\)\s*\)\s*\.cast\(\s*"long"\s*\)'),
+]
+
+
+def test_bigint_grid_accumulators_are_bounded_group_only():
+    offenders = []
+    for py in sorted(_PKG.rglob("*.py")):
+        rel = py.relative_to(_PKG).as_posix()
+        text = py.read_text()
+        for pat in _BIGINT_GRID_PATTERNS:
+            for m in pat.finditer(text):
+                if rel in _BIGINT_GRID_ALLOWED:
+                    continue
+                lineno = text.count("\n", 0, m.start()) + 1
+                offenders.append(f"{rel}:{lineno}: {_line_of(text, m.start()).strip()}")
+    assert not offenders, (
+        "BIGINT/long grid accumulator outside the bounded-group "
+        "allowlist — widen to DECIMAL(38,0)/HUGEINT (corpus-scale "
+        "groups wrap BIGINT) or document the bound here:\n"
+        + "\n".join(offenders)
+    )
