@@ -457,3 +457,76 @@ def test_grid_ratio_matches_duckdb(spark, pairs):
         [[p[0] for p in pairs], [p[1] for p in pairs]],
     ).fetchone()[0]
     assert got == pytest.approx(want, abs=0.0)
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # group
+            st.integers(min_value=0, max_value=4),  # partition label
+            grid_doubles,
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_merge_partial_aggs_equals_direct(spark, rows):
+    """The incremental-rollup algebra: merge(partials) must equal the
+    direct full aggregate EXACTLY for any partition labeling — the
+    property the r12 gridded accumulators make true (a double sum only
+    approximates it, accumulation-order permitting)."""
+    from rclabsapi_spark.functions.scalars import grid_sum, round_half_up
+    from rclabsapi_spark.operators.analytics import merge_partial_aggs
+
+    df = spark.createDataFrame(rows, "g int, part int, v double")
+    merged = {
+        r["g"]: (r["n"], r["sum_v"], r["min_v"], r["max_v"], r["avg_v"])
+        for r in merge_partial_aggs(
+            df, part_col=F.col("part"), group_cols=("g",), value_col="v"
+        ).collect()
+    }
+    direct = {
+        r["g"]: (r["n"], r["sum_v"], r["min_v"], r["max_v"], r["avg_v"])
+        for r in df.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            grid_sum(F.col("v"), 6).alias("sum_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            round_half_up(
+                F.sum(
+                    F.floor(F.col("v") * 1000000000.0 + F.lit(0.5)).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / (F.count(F.lit(1)) * 1000000000.0),
+                6,
+            ).alias("avg_v"),
+        )
+        .collect()
+    }
+    assert merged == direct
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.integers(min_value=-10_000_000, max_value=10_000_000),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_grid_sum_exact_on_money(spark, cents):
+    """For fixed-2dp money inputs (the TPC-H price columns), grid_sum at
+    4 decimals returns EXACTLY the true sum — the 'values unchanged from
+    ROUND(SUM(x), 4)' claim the r12 revenue-cell migration rests on."""
+    from decimal import Decimal
+
+    from rclabsapi_spark.functions.scalars import grid_sum
+
+    xs = [c / 100.0 for c in cents]
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    got = df.agg(grid_sum(F.col("x"), 4).alias("s")).collect()[0]["s"]
+    true = float(sum(Decimal(c) for c in cents) / 100)
+    assert got == true
