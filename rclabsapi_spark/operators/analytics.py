@@ -628,10 +628,19 @@ def chi_square_independence(
             / F.sum("o").over(w_all).cast("double")
         ).alias("e"),
     )
+    term = (F.col("o").cast("double") - F.col("e")) ** 2 / F.col("e")
+    # χ² cell terms are unbounded statistics; the floor→LONG grid form
+    # is the MAXIMAL-parity-domain choice, exact-identical to the
+    # HUGEINT oracle for terms up to 2^63/1e9 ≈ 9.2e9 (a double→
+    # DECIMAL cast would look wider but goes through the shortest
+    # string repr on Spark and diverges from DuckDB's exact binary
+    # conversion already at ~1e17 nanos — measured, see
+    # tests/test_properties.py::test_floor_grid_term_parity_domain).
+    # A cell past that bound means (o−e)²/e > 9.2e9 from integer
+    # counts — a contingency table so degenerate the 9dp grid itself
+    # is beyond double precision there (ulp(term·1e9) > 1 past 9e15).
     return cells.agg(
-        grid_sum(
-            (F.col("o").cast("double") - F.col("e")) ** 2 / F.col("e"), 6
-        ).alias("chi2"),
+        grid_sum(term, 6).alias("chi2"),
         (
             (F.countDistinct("r") - 1) * (F.countDistinct("c") - 1)
         ).cast("long").alias("dof"),

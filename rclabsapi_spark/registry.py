@@ -31,9 +31,24 @@ Cross-engine determinism rules used throughout the suites:
   ROUND(SUM(double)) left anywhere. Accumulator width: grids whose
   GROUP can grow with the corpus sum as DECIMAL(38,0) ≙ HUGEINT;
   bounded-group grids (per-doc LM log-prob micros, BM25 per-(q,doc)
-  term weights, |dim|-bounded second-level micro sums) stay BIGINT —
-  a per-row term ≤2e10 over a ≤1e6-row group tops out ~14 orders
-  under the wrap point, and both engines use the same width there.
+  term weights, |dim|-bounded second-level micro sums) stay BIGINT.
+  The BIGINT safety argument is the documented BOUND, not width
+  symmetry — on a bound violation DuckDB's SUM(BIGINT) auto-widens
+  to HUGEINT while Spark's long sum wraps silently, an asymmetric
+  divergence — so every BIGINT grid site's group bound is pinned in
+  tests/test_float_rules.py's allowlists. PER-ROW-TERM domain bound
+  for the F.floor-based grid forms (grid_sum/grid_mean/grid_ratio and
+  the inline nano/micro floors): |x|·grid must stay under 2^63,
+  because Spark's floor(double) returns LONG and saturates there
+  while the oracle's FLOOR stays double — satisfied by construction
+  at every call site (money ≤1e6 → 1e15 nanos; proportions, log
+  ratios, similarities ≤1e2 → 1e11; χ²'s unbounded (o−e)²/e is the
+  widest term and is safe to 9.2e9, past which the 9dp grid is
+  beyond double precision anyway). floor→LONG is the MAXIMAL parity
+  domain: a double→DECIMAL cast is not wider — Spark routes it
+  through the shortest string repr and diverges from DuckDB's exact
+  binary conversion already at ~1e17 (pinned in
+  tests/test_properties.py::test_floor_grid_term_parity_domain).
 - LIMIT queries sort on a key-unique prefix so the selected set is
   deterministic.
 - casts from fractional doubles to integers are avoided (Spark truncates,

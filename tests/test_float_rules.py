@@ -66,6 +66,25 @@ def _line_of(text: str, pos: int) -> str:
     return text[start : end if end >= 0 else len(text)]
 
 
+def _call_span(text: str, pos: int) -> str:
+    """The matched aggregate call itself: from the match to the
+    balanced close of its first '(' — an exemption snippet can only
+    match inside the SAME call, never an adjacent statement's."""
+    i = text.find("(", pos)
+    if i < 0:
+        return _line_of(text, pos)
+    depth = 0
+    for j in range(i, min(len(text), i + 4000)):
+        c = text[j]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return text[pos : j + 1]
+    return _line_of(text, pos)
+
+
 def test_no_raw_rounded_double_aggregates():
     offenders = []
     for py in sorted(_PKG.rglob("*.py")):
@@ -73,10 +92,10 @@ def test_no_raw_rounded_double_aggregates():
         text = py.read_text()
         for pat in _PATTERNS:
             for m in pat.finditer(text):
-                # exemption snippets match against a short context
-                # window from the match, so multi-line aggregates
-                # (F.round(\n F.sum(...)) are attributable too
-                ctx = text[m.start() : m.start() + 160]
+                # exemption snippets match only inside the matched
+                # call's own paren-balanced span, so a new raw
+                # aggregate cannot inherit an adjacent exemption
+                ctx = _call_span(text, m.start())
                 line = _line_of(text, m.start())
                 if any(
                     rel == f and (snip in line or snip in ctx)
@@ -113,17 +132,36 @@ def test_exemption_table_is_live():
 # structurally bounded (a document, a fixed query-term set): listed
 # here with the bound, so a new corpus-scale BIGINT sum fails review.
 _BIGINT_GRID_ALLOWED = {
-    # per-(doc, query-terms) retrieval score sums: ≤|terms| rows/group
+    # per-(doc, query-terms) retrieval score sums: ≤|terms| rows/group;
+    # the scorer-agreement micro terms are PER-ROW values whose
+    # corpus-scale sufficient-statistic SUMS are DECIMAL(38,0)/HUGEINT
     "llm/retrieval.py",
     "suites/retrieval.py",
-    # per-doc LM log-prob sums: ≤|doc tokens| rows/group
+    # per-doc LM log-prob sums (≤|doc tokens| rows/group) and the
+    # per-source quality micro sums: 1e6/row wraps at 9.2e12 rows per
+    # source — ≥2-3 orders above 100 TB per-source row counts
+    # (documented headroom class, registry.py float rules)
     "llm/training.py",
     "suites/training.py",
+    # per-domain quality micro sums — same headroom class
+    "suites/cleaning.py",
+    # |dim|-bounded centroid-component micro second levels (cm/gm)
+    "suites/llm.py",
+    # per-threshold mean over the CAPPED candidate-pair relation —
+    # headroom class (1e6/row, capped pair counts)
+    "suites/metrics_ext.py",
 }
 
 _BIGINT_GRID_PATTERNS = [
     re.compile(r"0\.5\)\s*AS BIGINT\)\)"),
     re.compile(r'F\.lit\(0\.5\)\s*\)\s*\.cast\(\s*"long"\s*\)'),
+    # ROUND-based micro-int grid terms (score·1e6 as BIGINT/long) —
+    # the form the FLOOR patterns above do not reach
+    re.compile(r"ROUND\([^\n]{0,100}\* 1000000(?:\.0)?, 0\) AS BIGINT"),
+    re.compile(
+        r'F\.round\([^\n]{0,100}\* 1000000(?:\.0)?, 0\)'
+        r'\s*\.cast\(\s*"long"\s*\)'
+    ),
 ]
 
 

@@ -530,3 +530,39 @@ def test_grid_sum_exact_on_money(spark, cents):
     got = df.agg(grid_sum(F.col("x"), 4).alias("s")).collect()[0]["s"]
     true = float(sum(Decimal(c) for c in cents) / 100)
     assert got == true
+
+
+@SETTINGS
+@given(
+    st.lists(
+        st.floats(
+            min_value=0.0,
+            max_value=9.2e18,  # just inside 2^63: the grid parity domain
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_floor_grid_term_parity_domain(spark, ys):
+    """The floor→LONG grid term (grid_sum/grid_mean's per-row form) is
+    exact-identical to DuckDB's CAST(FLOOR(y) AS HUGEINT) for every
+    non-negative y under 2^63 — the per-row-term domain bound the
+    registry float rules document. (A double→DECIMAL cast is NOT a
+    wider alternative: Spark routes it through the shortest string
+    repr and diverges from the exact binary value already at ~1e17,
+    e.g. 2.8823e17 → ...740 vs the exact ...744.)"""
+    df = spark.createDataFrame([(y,) for y in ys], "y double")
+    g = F.floor(F.col("y")).cast("decimal(38,0)")
+    got = [int(r["g"]) for r in df.select(g.alias("g")).collect()]
+    con = duckdb.connect()
+    want = [
+        int(
+            con.execute(
+                "SELECT CAST(FLOOR(CAST(? AS DOUBLE)) AS HUGEINT)", [y]
+            ).fetchone()[0]
+        )
+        for y in ys
+    ]
+    assert got == want
