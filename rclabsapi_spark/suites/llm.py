@@ -56,6 +56,96 @@ def q_dedup_exact(spark, sf_dir):
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+_TOKEN_SAVINGS_ORACLE = f"""
+WITH t AS (
+    SELECT doc_id, source,
+           len(string_split(text, ' '))::BIGINT AS n_tok,
+           md5(text) AS h
+    FROM documents
+),
+k AS (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS keeper_id FROM t
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN doc_id <> keeper_id THEN 1 ELSE 0 END)::BIGINT
+           AS n_dup_docs,
+       SUM(n_tok)::BIGINT AS tokens_total,
+       SUM(CASE WHEN doc_id <> keeper_id THEN n_tok ELSE 0 END)::BIGINT
+           AS tokens_dropped,
+       SUM(CASE WHEN doc_id = keeper_id THEN n_tok ELSE 0 END)::BIGINT
+           AS tokens_kept,
+       {_rhu("SUM(CASE WHEN doc_id <> keeper_id THEN n_tok ELSE 0 END)"
+             " / SUM(n_tok)::DOUBLE", 6)} AS savings_rate
+FROM k
+GROUP BY source
+"""
+
+
+@query("dedup_token_savings", _TOKEN_SAVINGS_ORACLE)
+def q_dedup_token_savings(spark, sf_dir):
+    """Token-budget savings report: what exact dedup buys, per source —
+    the table a curation owner reads to decide which feeds are worth
+    their crawl budget in TOKENS, not documents (a feed can be 5% dup
+    by doc count but 40% by tokens if its duplicates are the long
+    ones). Composes two verified operators: exact-dedup keeper
+    selection (min doc_id per md5(text) group — same rule as
+    ``dedup_exact``, so the keeper sets agree row-for-row) and
+    whitespace token counting (``text_token_stats``). Keeper
+    resolution is a window MIN over the 32-byte digest — ONE shuffle
+    on the hash, no self-join, and document bodies never move (the
+    windowed relation carries only id/source/count/digest). All five
+    emitted measures are exact integer counts/sums (order-independent
+    in any engine); the single rate divides two of them. At 100 TB
+    this is corpus-linear with one digest-keyed exchange plus a
+    |sources|-sized rollup. Reference parity: the hash-digest
+    deduplication the reference gates log archiving on
+    (log_file_manager.hpp:195-197, ``enableDeduplication`` +
+    SHA256 integrity digests), extended to the per-source
+    token-budget accounting a training-data curator needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    from rclabsapi_spark.functions.scalars import round_half_up
+
+    t = docs.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).alias("n_tok"),
+        F.md5(F.col("text")).alias("h"),
+    )
+    k = t.withColumn(
+        "keeper_id", F.min("doc_id").over(Window.partitionBy("h"))
+    )
+    dup = F.col("doc_id") != F.col("keeper_id")
+    return (
+        k.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(dup.cast("int")).cast("long").alias("n_dup_docs"),
+            F.sum("n_tok").cast("long").alias("tokens_total"),
+            F.sum(F.when(dup, F.col("n_tok")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("tokens_dropped"),
+            F.sum(F.when(dup, F.lit(0)).otherwise(F.col("n_tok")))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            "tokens_total",
+            "tokens_dropped",
+            "tokens_kept",
+            round_half_up(
+                F.col("tokens_dropped") / F.col("tokens_total").cast("double"),
+                6,
+            ).alias("savings_rate"),
+        )
+    )
+
+
 # Shared SQL fragment: distinct word-3-gram shingles (mirrors
 # llm.dedup.shingles exactly, including the short-doc guard).
 _SHINGLES_SQL = """

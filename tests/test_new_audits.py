@@ -52,3 +52,21 @@ def test_incremental_card_deltas_consistent(spark):
         # and the diff's own counts reconcile with the card's sides
         assert diff[s]["n_old"] == r["n_docs_old"]
         assert diff[s]["n_new"] == r["n_docs_new"]
+
+
+def test_token_savings_reconciles_with_dedup_exact(spark):
+    """The savings report and dedup_exact use the same keeper rule, so
+    their totals must reconcile: Σ(n_docs - n_dup_docs) over sources =
+    |dedup_exact groups|, Σ n_docs = corpus size, and per row the token
+    partition and the rate's definition hold exactly."""
+    reg = get_registry()
+    rows = reg["dedup_token_savings"].fn(spark, SF).collect()
+    groups = reg["dedup_exact"].fn(spark, SF).collect()
+    assert rows, "no sources in the fixture"
+    assert sum(r["n_docs"] - r["n_dup_docs"] for r in rows) == len(groups)
+    assert sum(r["n_docs"] for r in rows) == sum(g["dup_count"] for g in groups)
+    for r in rows:
+        assert r["tokens_kept"] + r["tokens_dropped"] == r["tokens_total"]
+        assert 0 <= r["n_dup_docs"] < r["n_docs"]
+        want = int(r["tokens_dropped"] / r["tokens_total"] * 1e6 + 0.5) / 1e6
+        assert r["savings_rate"] == want

@@ -236,6 +236,20 @@ def test_incremental_dedup_hash_clustered(spark):
     assert "hashpartitioning(text_hash" in plan
 
 
+def test_token_savings_single_scan_no_join(spark):
+    """Token-savings report: ONE pruned documents scan (doc_id, text,
+    source — ReadSchema only), keeper resolved by a digest-partitioned
+    window MIN (no self-join), then the tiny per-source rollup — two
+    exchanges total, bodies never shuffle (post-scan rows carry the
+    32-byte md5, not text)."""
+    plan = _plan(spark, "dedup_token_savings")
+    assert _scans(plan)["documents"] == 1
+    assert plan.count("Exchange") == 2  # md5-window + source rollup
+    assert "hashpartitioning(h" in plan
+    assert "Join" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string,source:string" in plan
+
+
 def test_cohort_retention_single_scan_user_clustered(spark):
     """Cohort retention: ONE fact scan, ONE user_id exchange shared by
     the distinct, the min-week window, and the per-user rows feeding the
