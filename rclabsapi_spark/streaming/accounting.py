@@ -1,0 +1,136 @@
+"""Streaming twin of the batch token-budget savings report
+(``dedup_token_savings``): per-source dedup accounting maintained
+incrementally as micro-batches ingest, instead of recomputed over the
+full corpus.
+
+Shape: a ``foreachBatch`` sink that runs ``llm.dedup.incremental_dedup``
+against the append-only fingerprint store (32 B/doc — the daily-merge
+pattern; a full re-dedup per micro-batch is a non-starter at 100 TB),
+then writes the batch's per-source token deltas. Both outputs are
+partitioned by ``batch_id`` with dynamic-partition OVERWRITE, so a
+replayed batch (Structured Streaming's at-least-once foreachBatch
+contract) overwrites its own partitions instead of double-counting —
+the same exactly-once construction as
+``streaming.sources.idempotent_parquet_sink``. Replay determinism also
+needs the dedup verdicts themselves to be stable: each batch dedups
+against strictly EARLIER batches' fingerprints (``batch_id < n``), so a
+replay after its own fingerprints landed cannot see itself and flip its
+``kept`` rows to ``seen_before``.
+
+Keeper rule parity: ``incremental_dedup`` keeps the min-key doc per
+hash within a batch and first-seen across batches, so when batches
+arrive in key order the kept set is exactly the batch query's
+min-doc_id-per-md5 keepers — the replay-parity test asserts the final
+totals equal ``dedup_token_savings`` row-for-row.
+
+Reference: the hash-digest dedup gate on log archiving
+(log_file_manager.hpp:195-197) plus the per-job ``recordsProcessed``
+counters its job monitoring tracks (job_monitoring_models.hpp:34,
+etl_job_models.hpp:31), composed as live per-source accounting.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rclabsapi_spark.functions.scalars import round_half_up
+from rclabsapi_spark.llm.dedup import incremental_dedup
+from rclabsapi_spark.llm.text import token_count
+
+_DELTA_COLS = (
+    "n_docs",
+    "n_dup_docs",
+    "tokens_total",
+    "tokens_dropped",
+    "tokens_kept",
+)
+
+
+def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    try:
+        return spark.read.schema(schema).parquet(path)
+    except Exception:  # dir absent before the first batch
+        return spark.createDataFrame([], schema)
+
+
+def token_savings_sink(
+    fp_dir: str,
+    delta_dir: str,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    source_col: str = "source",
+) -> Callable[[DataFrame, int], None]:
+    """Build the ``foreachBatch`` handler. Per micro-batch: ONE shuffle
+    on the 32-byte hash (in-batch keeper window + store anti-lookup
+    cluster on it, bodies never move past the batch scan), then a
+    |sources|-sized delta aggregate. Writes per-batch DELTAS, not
+    running totals — totals are an idempotent sum over deltas
+    (``token_savings_totals``), so no read-modify-write race and no
+    state to corrupt on replay."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        n = int(batch_id)
+        store = _read_or_empty(
+            spark, fp_dir, "text_hash string, batch_id long"
+        ).filter(F.col("batch_id") < n)
+        statuses = incremental_dedup(
+            batch, store, text_col=text_col, key_col=key_col
+        )
+        flagged = statuses.join(
+            batch.select(
+                key_col,
+                F.col(source_col).alias("source"),
+                token_count(F.col(text_col)).alias("n_tok"),
+            ),
+            key_col,
+        )
+        dup = F.col("status") != "kept"
+        deltas = flagged.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(dup.cast("int")).cast("long").alias("n_dup_docs"),
+            F.sum("n_tok").cast("long").alias("tokens_total"),
+            F.sum(F.when(dup, F.col("n_tok")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("tokens_dropped"),
+            F.sum(F.when(dup, F.lit(0)).otherwise(F.col("n_tok")))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+        for df, out in (
+            (deltas, delta_dir),
+            (
+                statuses.filter(~dup).select("text_hash"),
+                fp_dir,
+            ),
+        ):
+            (
+                df.withColumn("batch_id", F.lit(n))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(out)
+            )
+
+    return handle
+
+
+def token_savings_totals(spark: SparkSession, delta_dir: str) -> DataFrame:
+    """Fold the per-batch deltas into the running report — the same
+    columns (and the same exact-integer-ratio rate) as the batch
+    ``dedup_token_savings`` query, so the two are directly comparable."""
+    deltas = spark.read.parquet(delta_dir)
+    totals = deltas.groupBy("source").agg(
+        *[F.sum(c).cast("long").alias(c) for c in _DELTA_COLS]
+    )
+    return totals.select(
+        "source",
+        *_DELTA_COLS,
+        round_half_up(
+            F.col("tokens_dropped") / F.col("tokens_total").cast("double"), 6
+        ).alias("savings_rate"),
+    )

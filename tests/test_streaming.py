@@ -1574,3 +1574,71 @@ def test_streaming_semantic_decontamination_matches_batch(spark, tmp_path):
     }
     assert streamed == expected
     assert expected  # non-vacuous: the fixture must flag something
+
+
+def test_token_savings_stream_matches_batch_report(spark, tmp_path):
+    """Replay parity for the streaming token-accounting twin: documents
+    ingested as doc_id-ordered micro-batches (first-seen keeper ==
+    batch min-doc_id keeper) must fold to EXACTLY the batch
+    ``dedup_token_savings`` report, and a replayed micro-batch (the
+    at-least-once foreachBatch contract) must not change the totals."""
+    import os
+
+    from rclabsapi_spark.registry import get_registry
+    from rclabsapi_spark.streaming.accounting import (
+        token_savings_sink,
+        token_savings_totals,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    hi = docs.agg({"doc_id": "max"}).first()[0] + 1
+    cuts = [0, hi // 4, hi // 2, 3 * hi // 4, hi]
+    in_dir = str(tmp_path / "docs_in")
+    os.makedirs(in_dir)
+    for i, (lo, up) in enumerate(zip(cuts, cuts[1:])):
+        part = docs.filter(
+            (docs.doc_id >= lo) & (docs.doc_id < up)
+        ).coalesce(1)
+        part.write.mode("append").parquet(in_dir)
+        # pin mtimes so the file source triggers batches in doc_id order
+        for f in os.listdir(in_dir):
+            p = os.path.join(in_dir, f)
+            if f.endswith(".parquet") and os.path.getmtime(p) > 1e9 + i:
+                os.utime(p, (1e9 + i, 1e9 + i))
+
+    fp_dir = str(tmp_path / "fp_store")
+    delta_dir = str(tmp_path / "deltas")
+    sink = token_savings_sink(fp_dir, delta_dir)
+    q = (
+        spark.readStream.format("parquet")
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(in_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_tok"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def snap():
+        return {
+            r["source"]: r.asDict()
+            for r in token_savings_totals(spark, delta_dir).collect()
+        }
+
+    got = snap()
+    want = {
+        r["source"]: r.asDict()
+        for r in get_registry()["dedup_token_savings"].fn(spark, sf).collect()
+    }
+    assert got == want
+
+    # replay the LAST micro-batch verbatim: overwrites its own
+    # partitions, totals must be unchanged (exactly-once accounting)
+    last = docs.filter(
+        (docs.doc_id >= cuts[-2]) & (docs.doc_id < cuts[-1])
+    )
+    sink(last, 3)
+    assert snap() == want
