@@ -1642,3 +1642,85 @@ def test_token_savings_stream_matches_batch_report(spark, tmp_path):
     )
     sink(last, 3)
     assert snap() == want
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_TOK_TEXTS = ["a", "a b", "b c d", "x", "a b c", "zz y", ""]
+
+
+@settings(
+    max_examples=8,  # each example runs several Spark write jobs
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    docs=st.dictionaries(
+        st.integers(0, 99),
+        st.tuples(
+            st.sampled_from(["s0", "s1", "s2"]),
+            st.sampled_from(_TOK_TEXTS),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    rng=st.randoms(use_true_random=False),
+    n_batches=st.integers(1, 4),
+)
+def test_token_accounting_invariants_any_order(spark, docs, rng, n_batches):
+    """Order-independent invariants of the streaming accounting: for ANY
+    shuffling of the corpus into micro-batches (including empty ones and
+    duplicates split across batches/sources), per-source doc and token
+    totals equal the corpus's, exactly one keeper survives per distinct
+    text globally (so global kept tokens = Σ over distinct texts), and
+    the per-row partition/rate identities hold. Keeper IDENTITY is
+    order-dependent by design (first-seen); these are the facts that are
+    not."""
+    import shutil
+    import tempfile
+
+    from rclabsapi_spark.streaming.accounting import (
+        token_savings_sink,
+        token_savings_totals,
+    )
+
+    rows = [(k, s, t) for k, (s, t) in docs.items()]
+    rng.shuffle(rows)
+    base = tempfile.mkdtemp(prefix="tok_prop_")
+    try:
+        sink = token_savings_sink(f"{base}/fp", f"{base}/deltas")
+        for b in range(n_batches):
+            batch = [r for i, r in enumerate(rows) if i % n_batches == b]
+            sink(
+                spark.createDataFrame(
+                    batch, "doc_id long, source string, text string"
+                ),
+                b,
+            )
+        got = {
+            r["source"]: r.asDict()
+            for r in token_savings_totals(spark, f"{base}/deltas").collect()
+        }
+        ntok = lambda t: len(t.split(" "))  # noqa: E731 — mirrors llm.text.tokens
+        want_docs, want_tokens = {}, {}
+        for _, s, t in rows:
+            want_docs[s] = want_docs.get(s, 0) + 1
+            want_tokens[s] = want_tokens.get(s, 0) + ntok(t)
+        assert {s: r["n_docs"] for s, r in got.items()} == want_docs
+        assert {s: r["tokens_total"] for s, r in got.items()} == want_tokens
+        distinct = {t for _, _, t in rows}
+        assert sum(r["n_docs"] - r["n_dup_docs"] for r in got.values()) == len(
+            distinct
+        )
+        assert sum(r["tokens_kept"] for r in got.values()) == sum(
+            ntok(t) for t in distinct
+        )
+        for r in got.values():
+            assert r["tokens_kept"] + r["tokens_dropped"] == r["tokens_total"]
+            want_rate = (
+                int(r["tokens_dropped"] / r["tokens_total"] * 1e6 + 0.5) / 1e6
+            )
+            assert r["savings_rate"] == want_rate
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
