@@ -1,0 +1,88 @@
+"""Beyond-fixture scale probe — empirical check of SCALE.md's cap-math
+adjudications past the sf0.1 fixture ceiling.
+
+Builds N× replicas of the sf0.1 ``documents`` table (doc_id offset per
+replica; a per-replica marker token appended to each text so exact-dup
+structure stays trivial while every interior word-3-gram shingle's
+document frequency multiplies by N — the adversarial regime for the
+inverted-index pair generators), then times selected registered queries
+at each multiplier.
+
+What this is for: the `dedup_ngram_jaccard` adjudication claims the
+sf0.01→sf0.1 slope ~4 is a transient quadratic window BELOW the
+``max_shingle_df=100`` guard, and that once measured df crosses the
+guard, hot shingles drop out and per-bucket work is bounded by
+C(100,2). sf0.1's measured max df is 25, so ×2 (df 50) is still below
+the guard and ×4 (df 100) is exactly at it — the probe shows the wall
+flattening as the guard engages, which no fixture SF can show.
+
+Usage: python scripts/scale_probe.py [mult ...] (default 1 2 4)
+Writes replicas under /tmp/scale_probe/x{N}/ (repo and testdata are
+never touched). Output: one line per (query, mult) with wall seconds
+and result row count; timings are local[32] and carry the usual
+box-state jitter — read trends, not single cells.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from rclabsapi_spark.registry import get_registry
+from rclabsapi_spark.session import get_spark
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+BASE = "/tmp/scale_probe"
+QUERIES = ("dedup_ngram_jaccard", "dedup_minhash_lsh")
+_OFFSET = 10_000_000
+
+
+def build(spark, mult: int) -> str:
+    out = f"{BASE}/x{mult}"
+    if os.path.exists(f"{out}/documents.parquet"):
+        return out
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    parts = [
+        docs.select(
+            (F.col("doc_id") + F.lit(i * _OFFSET)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" r{i}")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        for i in range(mult)
+    ]
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    union.repartition(32).write.parquet(f"{out}/documents.parquet")
+    return out
+
+
+def main() -> None:
+    mults = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
+    spark = get_spark("scale_probe")
+    reg = get_registry()
+    print(f"src={SRC}  queries={QUERIES}  mults={mults}", flush=True)
+    for mult in mults:
+        sf_dir = build(spark, mult)
+        for name in QUERIES:
+            fn = reg[name].fn
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            print(
+                f"x{mult:<2d} {name:<24s} {time.time() - t0:7.2f}s"
+                f"  rows={n}",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()
+    shutil.rmtree(BASE, ignore_errors=True)
