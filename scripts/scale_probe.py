@@ -39,29 +39,50 @@ from rclabsapi_spark.session import get_spark
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BASE = "/tmp/scale_probe"
-QUERIES = ("dedup_ngram_jaccard", "dedup_minhash_lsh")
+QUERIES = ("dedup_ngram_jaccard", "dedup_minhash_lsh", "link_fuzzy_names")
 _OFFSET = 10_000_000
 
 
-def build(spark, mult: int) -> str:
-    out = f"{BASE}/x{mult}"
-    if os.path.exists(f"{out}/documents.parquet"):
-        return out
-    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+def _replicas(df, mult: int, key: str, extra):
     parts = [
-        docs.select(
-            (F.col("doc_id") + F.lit(i * _OFFSET)).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(f" r{i}")).alias("text"),
-            "lang",
-            "source",
-            "n_chars",
+        df.select(
+            (F.col(key) + F.lit(i * _OFFSET)).alias(key),
+            *extra(i),
         )
         for i in range(mult)
     ]
     union = parts[0]
     for p in parts[1:]:
         union = union.unionByName(p)
-    union.repartition(32).write.parquet(f"{out}/documents.parquet")
+    return union.repartition(32)
+
+
+def build(spark, mult: int) -> str:
+    """documents: marker token appended per replica (shingle df ×N,
+    exact-dup structure trivial). customer: names kept IDENTICAL per
+    replica, so every fuzzy-match block inflates ×N — the hot-block
+    regime for Σ block² pair generation (sf0.1 is 150 blocks of
+    exactly 100, so ×16 crosses max_block=1000 and ALL blocks drop)."""
+    out = f"{BASE}/x{mult}"
+    if os.path.exists(f"{out}/customer.parquet"):
+        return out
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    _replicas(
+        docs,
+        mult,
+        "doc_id",
+        lambda i: [
+            F.concat(F.col("text"), F.lit(f" r{i}")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        ],
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    cust = spark.read.parquet(f"{SRC}/customer.parquet")
+    rest = [c for c in cust.columns if c != "c_custkey"]
+    _replicas(cust, mult, "c_custkey", lambda i: rest).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/customer.parquet")
     return out
 
 
