@@ -39,7 +39,16 @@ from rclabsapi_spark.session import get_spark
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BASE = "/tmp/scale_probe"
-QUERIES = ("dedup_ngram_jaccard", "dedup_minhash_lsh", "link_fuzzy_names")
+# override with SPARK_GRAFT_PROBE_QUERIES=name1,name2 (any registered
+# query reading only the scaled tables below)
+QUERIES = tuple(
+    q
+    for q in os.environ.get(
+        "SPARK_GRAFT_PROBE_QUERIES",
+        "dedup_ngram_jaccard,dedup_minhash_lsh,link_fuzzy_names",
+    ).split(",")
+    if q
+)
 _OFFSET = 10_000_000
 
 
