@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -50,10 +51,20 @@ _DELTA_COLS = (
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Empty store ONLY when the path genuinely doesn't exist yet (first
+    batch). Any other read failure — corrupt footer, transient FS or
+    permission error — must fail the batch: swallowing it would treat
+    every previously-seen duplicate as 'kept', silently inflating
+    tokens_kept and seeding duplicate fingerprints (ADVICE r12)."""
     try:
         return spark.read.schema(schema).parquet(path)
-    except Exception:  # dir absent before the first batch
-        return spark.createDataFrame([], schema)
+    except AnalysisException as exc:
+        cond = getattr(exc, "getCondition", exc.getErrorClass)()
+        if "PATH_NOT_FOUND" in str(cond or "") or "PATH_NOT_FOUND" in str(
+            exc
+        ):
+            return spark.createDataFrame([], schema)
+        raise
 
 
 def token_savings_sink(
@@ -70,11 +81,19 @@ def token_savings_sink(
     |sources|-sized delta aggregate. Writes per-batch DELTAS, not
     running totals — totals are an idempotent sum over deltas
     (``token_savings_totals``), so no read-modify-write race and no
-    state to corrupt on replay."""
+    state to corrupt on replay.
+
+    Contract: ``key_col`` must be unique within a micro-batch — the
+    statuses⋈batch join below is on that key, so a duplicated key would
+    fan out and inflate n_docs/token totals. Enforced defensively with a
+    ``dropDuplicates`` on entry (ADVICE r12); a source that replays the
+    same doc_id within one batch loses the extra copies, which is the
+    correct dedup-accounting answer anyway."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         n = int(batch_id)
+        batch = batch.dropDuplicates([key_col])
         store = _read_or_empty(
             spark, fp_dir, "text_hash string, batch_id long"
         ).filter(F.col("batch_id") < n)

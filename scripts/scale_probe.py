@@ -73,8 +73,16 @@ def build(spark, mult: int) -> str:
     regime for Σ block² pair generation (sf0.1 is 150 blocks of
     exactly 100, so ×16 crosses max_block=1000 and ALL blocks drop)."""
     out = f"{BASE}/x{mult}"
-    if os.path.exists(f"{out}/customer.parquet"):
+    # Cache keyed on the SOURCE path: a replica built from a different
+    # SPARK_GRAFT_SF_DIR must not be silently reused (ADVICE r12).
+    marker = f"{out}/.src"
+    if os.path.exists(f"{out}/customer.parquet") and (
+        os.path.exists(marker)
+        and open(marker).read().strip() == SRC
+    ):
         return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
     _replicas(
         docs,
@@ -92,6 +100,8 @@ def build(spark, mult: int) -> str:
     _replicas(cust, mult, "c_custkey", lambda i: rest).write.mode(
         "overwrite"
     ).parquet(f"{out}/customer.parquet")
+    with open(marker, "w") as fh:
+        fh.write(SRC)
     return out
 
 
@@ -114,5 +124,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
-    shutil.rmtree(BASE, ignore_errors=True)
+    try:
+        main()
+    finally:
+        # always clean up, even on a failed run — a half-built replica
+        # left behind would otherwise survive to the next invocation
+        shutil.rmtree(BASE, ignore_errors=True)
