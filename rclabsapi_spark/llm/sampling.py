@@ -227,31 +227,23 @@ def temperature_rates(
     drift, re-deriving rates from the cumulative counts converges to
     the batch rates once the replay completes.
 
-    The normalizer Σ n_s^τ folds over the stratum-sorted list (not
-    F.sum) so the double is bit-identical across engines — a last-ulp
-    difference in Z could flip floor(65536·rate) at a boundary and
-    change membership."""
-    z = counts.agg(
-        F.aggregate(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col(strat_col).alias("s"), F.col("_n").alias("n")
-                    )
-                )
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + F.pow(x["n"], F.lit(float(tau))),
-        ).alias("_z")
-    )
+    The normalizer Σ n_s^τ sums per-stratum n^τ terms on the 9dp
+    integer grid (DECIMAL(38,0) ≙ HUGEINT) — order-independent in ANY
+    accumulation order, so the double Z is bit-identical across engines
+    without pinning a fold order, and no task ever holds the whole
+    |strata| relation in one array row (the crawl_budget_allocation
+    pattern, which replaced this function's original
+    array_sort(collect_list) fold in r13 — a last-ulp difference in Z
+    could flip floor(65536·rate) at a boundary and change membership)."""
+    term = F.pow(F.col("_n"), F.lit(float(tau)))
+    term_g = F.floor(term * 1000000000.0 + F.lit(0.5)).cast("decimal(38,0)")
+    z = counts.agg(F.sum(term_g).alias("_z_g"))
+    z_d = F.col("_z_g").cast("double") / 1000000000.0
     return counts.crossJoin(F.broadcast(z)).select(
         strat_col,
         F.least(
             F.lit(1.0),
-            F.lit(float(target_total))
-            * F.pow(F.col("_n"), F.lit(float(tau)))
-            / F.col("_z")
-            / F.col("_n"),
+            F.lit(float(target_total)) * term / z_d / F.col("_n"),
         ).alias("_rate"),
     )
 
@@ -427,32 +419,26 @@ def epoch_mixture_schedule(
     target_tokens_s = ⌊budget · w_s⌋, epochs_s = target/n_s — epochs>1
     means the stratum repeats, the quantity the audit exists to bound.
 
-    Cross-engine determinism: the normalizer folds over the
-    stratum-sorted list (the temperature_rates contract); with τ=0.5
-    pow is IEEE sqrt (correctly rounded everywhere), the budget and
-    targets derive by floor from bit-identical doubles, and the
-    reported ratios are integer-derived then round_half_up(6). The
-    input relation is stratum-sized (≤ thousands of rows): every
-    window/fold here is driver-scale, never corpus-scale."""
+    Cross-engine determinism: the normalizer Σ n^τ sums on the 9dp
+    integer grid (DECIMAL(38,0) ≙ HUGEINT — order-independent, the
+    crawl_budget_allocation / temperature_rates pattern, replacing the
+    r11 stratum-sorted array fold); with τ=0.5 pow is IEEE sqrt
+    (correctly rounded everywhere), the budget and targets derive by
+    floor from bit-identical doubles, and the reported ratios are
+    integer-derived then round_half_up(6). The input relation is
+    stratum-sized (≤ thousands of rows) but no task ever holds it in
+    one array row, so the shape survives arbitrary |strata|."""
     from rclabsapi_spark.functions.scalars import round_half_up
 
+    n = F.col(tokens_col).cast("double")
+    term = F.pow(n, F.lit(float(tau)))
+    term_g = F.floor(term * 1000000000.0 + F.lit(0.5)).cast("decimal(38,0)")
     z = token_counts.agg(
-        F.aggregate(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col(strat_col).alias("s"),
-                        F.col(tokens_col).cast("double").alias("n"),
-                    )
-                )
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + F.pow(x["n"], F.lit(float(tau))),
-        ).alias("_z"),
+        F.sum(term_g).alias("_z_g"),
         F.sum(F.col(tokens_col)).alias("_total"),
     )
-    n = F.col(tokens_col).cast("double")
-    w = F.pow(n, F.lit(float(tau))) / F.col("_z")
+    z_d = F.col("_z_g").cast("double") / 1000000000.0
+    w = term / z_d
     budget = F.lit(float(budget_multiplier)) * F.col("_total").cast("double")
     target = F.floor(budget * w).cast("long")
     return token_counts.crossJoin(F.broadcast(z)).select(

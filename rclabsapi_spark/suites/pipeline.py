@@ -123,18 +123,17 @@ def q_mixture(spark, sf_dir):
 _TEMP_TAU = 0.5
 _TEMP_TARGET = 200.0
 
-# Z folds over the source-sorted list on BOTH engines (Spark
-# F.aggregate ≙ DuckDB list_reduce; 0.0 + x ≡ x in IEEE, so the seeded
-# and unseeded folds agree) — a last-ulp difference in Z could flip
-# floor(65536·rate) at a boundary and change membership.
+# Z = Σ n^τ on the 9dp integer grid (HUGEINT ≙ DECIMAL(38,0)) —
+# order-independent on both engines, so Z is bit-identical without
+# pinning a fold order (a last-ulp difference in Z could flip
+# floor(65536·rate) at a boundary and change membership).
 _TEMPERATURE_ORACLE = f"""
 WITH counts AS (
     SELECT source, COUNT(*)::DOUBLE AS n FROM documents GROUP BY source
 ),
 z AS (
-    SELECT list_reduce(
-        list_transform(list(n ORDER BY source), x -> pow(x, {_TEMP_TAU})),
-        (a, b) -> a + b) AS z
+    SELECT SUM(CAST(FLOOR(pow(n, {_TEMP_TAU}) * 1000000000.0 + 0.5)
+                    AS HUGEINT))::DOUBLE / 1000000000.0 AS z
     FROM counts
 ),
 rates AS (

@@ -752,10 +752,11 @@ WITH t AS (
     FROM documents GROUP BY source
 ),
 z AS (
-    SELECT list_reduce(
-               list_transform(list(n_tokens::DOUBLE ORDER BY source),
-                              x -> pow(x, {_EPOCH_TAU})),
-               (a, b) -> a + b) AS z,
+    -- Z = Σ n^τ on the 9dp integer grid (HUGEINT ≙ DECIMAL(38,0)):
+    -- order-independent, mirroring epoch_mixture_schedule
+    SELECT SUM(CAST(FLOOR(pow(n_tokens::DOUBLE, {_EPOCH_TAU})
+                          * 1000000000.0 + 0.5) AS HUGEINT))::DOUBLE
+               / 1000000000.0 AS z,
            SUM(n_tokens)::BIGINT AS total
     FROM t
 ),
@@ -786,8 +787,9 @@ def q_epoch_mixture(spark, sf_dir):
     budget — epochs>1 quantifies how often each low-resource source
     repeats (the multi-epoch budgeting check of public temperature-
     mixing / repeated-data scaling literature). One corpus aggregate;
-    everything after runs on the |sources| relation with a sorted-fold
-    normalizer, so the doubles are bit-identical across engines.
+    everything after runs on the |sources| relation with a gridded
+    DECIMAL(38,0) normalizer, so the doubles are bit-identical across
+    engines in any accumulation order.
     llm/sampling.py::epoch_mixture_schedule."""
     from rclabsapi_spark.llm.sampling import epoch_mixture_schedule
     from rclabsapi_spark.llm.text import bpe_ish_count
