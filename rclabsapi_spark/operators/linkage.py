@@ -13,11 +13,14 @@ co-occurs with X".
 Scale posture:
 
 - Fuzzy matching NEVER does the all-pairs cross join. Candidates come
-  from equality on a blocking key (shuffle on the key), oversized blocks
-  are dropped against a ``max_block`` cap (the same default-on guard as
-  LSH's ``max_bucket_size``), and the quadratic pair-gen is Σ block²
-  by construction. Edit distance runs JVM-side (``levenshtein``) on
-  candidates only.
+  from equality on a blocking key (shuffle on the key); blocks over the
+  ``max_block`` cap are salted into ⌈size/max_block⌉ md5 sub-blocks so
+  pair work inside an oversized block is ~size·max_block instead of
+  size² — recall degrades gracefully (a pair is found iff both rows
+  hash to the same sub-block, ~1/n_sub of cross-sub pairs lost) rather
+  than collapsing to zero when a head block ("J. Smith") crosses the
+  cap. Edit distance runs JVM-side (``levenshtein``) on candidates
+  only.
 - Basket pair-gen is the same shape: self-join within basket id, basket
   size capped, support counts partial-aggregate before the pair shuffle.
 """
@@ -38,33 +41,68 @@ def blocked_fuzzy_pairs(
     block_col,
     max_dist: int = 1,
     max_block: int = 1000,
+    salt: str = "sub",
 ) -> DataFrame:
     """Candidate duplicate pairs by edit distance within blocking keys:
-    all (a, b) with ``a.key < b.key``, equal block, block size ≤
-    ``max_block``, and ``levenshtein(a.name, b.name) ≤ max_dist``.
+    all (a, b) with ``a.key < b.key``, equal block, equal sub-block, and
+    ``levenshtein(a.name, b.name) ≤ max_dist``.
 
     Classic blocked record linkage (sorted-neighborhood family): recall
     is bounded by the blocking key — a pair whose names differ outside
     the blocked positions is not generated, which is the documented
-    tradeoff that makes the operator linear-ish instead of n². Pair work
-    is Σ block² with oversized blocks dropped (cap mirrored in the
-    oracle), so one hot key cannot go quadratic."""
-    w_b = Window.partitionBy("block")
+    tradeoff that makes the operator linear-ish instead of n².
+
+    Cap semantics (r13 — replaces the all-or-nothing drop): a block
+    within ``max_block`` keeps sub-block 0, so its recall is exact. A
+    block of size B > ``max_block`` is salted into n_sub = ⌈B/max_block⌉
+    md5 sub-blocks (a pure function of the key, mirrored in the oracle),
+    so its pair work is ~B·max_block instead of B² and its recall
+    degrades to ~1/n_sub of within-block pairs instead of zero — the
+    head-block regime ("J. Smith") where dup mass concentrates loses
+    most matches proportionally, never all of them.
+
+    Block sizes come from a partial-combining aggregate joined back
+    (NOT a count-over-block window): a window would funnel the whole
+    hot block through one task, and window skew is exactly what AQE
+    cannot split — the size join and the (block, sub) pair join both
+    stay AQE-skew-splittable, and every post-sub join group is
+    ~max_block by construction. The subbed relation is cached so both
+    pair-join sides reuse one materialization (the basket_pair_support
+    multi-consumer pattern) instead of re-scanning the fact twice."""
+    named = df.select(
+        F.col(key_col).alias("key"),
+        F.col(name_col).alias("name"),
+        block_col.alias("block"),
+    )
+    sizes = named.groupBy("block").agg(
+        F.count(F.lit(1)).alias("block_n")
+    )
+    n_sub = F.ceil(F.col("block_n") / F.lit(float(max_block))).cast("long")
+    sub = F.when(
+        F.col("block_n") <= max_block, F.lit(0).cast("long")
+    ).otherwise(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("key").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_sub
+    )
     base = (
-        df.select(
-            F.col(key_col).alias("key"),
-            F.col(name_col).alias("name"),
-            block_col.alias("block"),
-        )
-        .withColumn("block_n", F.count(F.lit(1)).over(w_b))
-        .filter(F.col("block_n") <= max_block)
+        named.join(sizes, "block")
+        .withColumn("sub", sub)
         .drop("block_n")
+        .cache()
     )
     a, b = base.alias("a"), base.alias("b")
     dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
     name_len = F.greatest(F.length("a.name"), F.length("b.name"))
     return (
-        a.join(b, "block")
+        a.join(b, ["block", "sub"])
         .filter(F.col("a.key") < F.col("b.key"))
         .filter(dist <= max_dist)
         .select(

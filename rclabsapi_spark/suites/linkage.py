@@ -34,17 +34,28 @@ WITH base AS (
            substring(c_name, 1, length(c_name) - 2) AS block
     FROM customer
 ),
-capped AS (
-    SELECT * FROM (
-        SELECT *, COUNT(*) OVER (PARTITION BY block) AS block_n FROM base
-    ) WHERE block_n <= 1000
+sized AS (
+    SELECT *, COUNT(*) OVER (PARTITION BY block) AS block_n FROM base
+),
+subbed AS (
+    -- blocks within the cap keep sub 0 (exact recall); oversized blocks
+    -- salt into ceil(size/cap) md5 sub-blocks (blocked_fuzzy_pairs)
+    SELECT key, name, block,
+           CASE WHEN block_n <= 1000 THEN CAST(0 AS BIGINT)
+                ELSE CAST(concat('0x', substring(
+                         md5('sub' || CAST(key AS VARCHAR)), 1, 8))
+                     AS BIGINT)
+                     % CAST(ceil(block_n / 1000.0) AS BIGINT)
+           END AS sub
+    FROM sized
 )
 SELECT a.key AS key_a, b.key AS key_b,
        levenshtein(a.name, b.name)::BIGINT AS lev_dist,
        FLOOR((1.0 - levenshtein(a.name, b.name)::DOUBLE /
               GREATEST(length(a.name), length(b.name))::DOUBLE)
              * 1000000.0 + 0.5) / 1000000.0 AS name_sim
-FROM capped a JOIN capped b ON a.block = b.block AND a.key < b.key
+FROM subbed a JOIN subbed b
+  ON a.block = b.block AND a.sub = b.sub AND a.key < b.key
 WHERE levenshtein(a.name, b.name) <= 1
 """
 
@@ -53,9 +64,11 @@ WHERE levenshtein(a.name, b.name) <= 1
 def q_fuzzy_names(spark, sf_dir):
     """Near-duplicate customer names by edit distance ≤ 1 inside
     drop-last-two-digits blocks. No all-pairs join: candidates come from
-    block equality (one shuffle on the block key), oversized blocks are
-    dropped against the default cap, and levenshtein runs JVM-side on
-    candidates only. operators/linkage.py::blocked_fuzzy_pairs."""
+    (block, sub-block) equality (one shuffle on the key), oversized
+    blocks salt into ⌈size/cap⌉ md5 sub-blocks — partial recall with
+    ~size·cap bounded work instead of the pre-r13 all-or-nothing drop —
+    and levenshtein runs JVM-side on candidates only.
+    operators/linkage.py::blocked_fuzzy_pairs."""
     cust = load_table(spark, sf_dir, "customer")
     block = F.expr("substring(c_name, 1, length(c_name) - 2)")
     return blocked_fuzzy_pairs(

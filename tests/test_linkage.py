@@ -55,19 +55,61 @@ def test_fuzzy_pairs_match_bruteforce_within_blocks(spark):
     assert len(got) > 0
 
 
-def test_fuzzy_pairs_block_cap_drops_hot_block(spark):
-    """A cap smaller than the block size must yield zero candidates from
-    that block instead of a quadratic blowup."""
+def test_fuzzy_pairs_block_cap_degrades_to_subblocks(spark):
+    """A cap smaller than the block size must degrade recall gracefully
+    (salted sub-blocks), not collapse to zero: the output is a nonempty
+    PROPER subset of the brute-force qualifying pairs, and every
+    emitted pair's two keys hash to the same sub-block."""
     cust = load_table(spark, SF_DIR, "customer")
-    out = blocked_fuzzy_pairs(
-        cust,
-        key_col="c_custkey",
-        name_col="c_name",
-        block_col=F.lit("ALL"),  # adversarial: one giant block
-        max_dist=1,
-        max_block=10,
+    got = {
+        (r["key_a"], r["key_b"])
+        for r in blocked_fuzzy_pairs(
+            cust,
+            key_col="c_custkey",
+            name_col="c_name",
+            block_col=F.lit("ALL"),  # adversarial: one giant block
+            max_dist=1,
+            max_block=10,
+        ).collect()
+    }
+    base = cust.select(
+        F.col("c_custkey").alias("key"), F.col("c_name").alias("name")
     )
-    assert out.count() == 0
+    a, b = base.alias("a"), base.alias("b")
+    brute = {
+        (r["key_a"], r["key_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("a.key") < F.col("b.key"))
+        .filter(F.levenshtein("a.name", "b.name") <= 1)
+        .select(
+            F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b")
+        )
+        .collect()
+    }
+    assert 0 < len(got) < len(brute)
+    assert got <= brute
+    # sub-block membership is the md5 hash the operator claims
+    n = cust.count()
+    n_sub = -(-n // 10)
+    sub = {
+        r["key"]: r["s"]
+        for r in base.select(
+            "key",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("sub"), F.col("key").cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % n_sub
+            ).alias("s"),
+        ).collect()
+    }
+    assert got == {p for p in brute if sub[p[0]] == sub[p[1]]}
 
 
 def test_basket_pairs_symmetric_support(spark):
