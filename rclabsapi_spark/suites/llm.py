@@ -3225,3 +3225,316 @@ def q_centroid_drift(spark, sf_dir):
             "cosine_to_global"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Policy-selection compositions (r13): dedup-policy savings card and the
+# drift-gated retrain trigger — tables a curation / index owner reads to
+# pick a policy, composed entirely from r12-verified operators.
+# ---------------------------------------------------------------------------
+
+_POLICY_SAVINGS_ORACLE = f"""
+WITH RECURSIVE t AS (
+    SELECT doc_id, source,
+           len(string_split(text, ' '))::BIGINT AS n_tok,
+           md5(text) AS h
+    FROM documents
+),
+k AS (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY h) AS keeper_id FROM t
+),
+base AS (
+    SELECT source, COUNT(*)::BIGINT AS n_docs,
+           SUM(n_tok)::BIGINT AS tokens_total,
+           SUM(CASE WHEN doc_id <> keeper_id THEN n_tok ELSE 0 END)::BIGINT
+               AS saved_exact
+    FROM k GROUP BY source
+),
+thr AS (
+    SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE}) AS mh WHERE jaccard >= 0.5
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM thr
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM thr
+),
+reach(src, dst) AS (
+    SELECT src, dst FROM edges
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+),
+clusters AS (
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+    FROM reach GROUP BY src
+),
+quality AS ({_QUALITY_ORACLE}),
+-- near-dup tier applies AFTER exact dedup: only exact keepers remain
+memb AS (
+    SELECT c.cluster_id, k.doc_id, k.source, k.n_tok, q.quality_score
+    FROM clusters c
+    JOIN k ON k.doc_id = c.doc_id AND k.doc_id = k.keeper_id
+    JOIN quality q ON q.doc_id = c.doc_id
+),
+flagged AS (
+    SELECT *, COUNT(*) OVER (PARTITION BY cluster_id) AS m,
+           MIN(doc_id) OVER (PARTITION BY cluster_id) AS minid,
+           FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
+               ORDER BY quality_score DESC, doc_id) AS qk
+    FROM memb
+),
+extra AS (
+    SELECT source,
+           SUM(CASE WHEN m >= 2 AND doc_id <> minid THEN n_tok ELSE 0 END)
+               ::BIGINT AS extra_minid,
+           SUM(CASE WHEN m >= 2 AND doc_id <> qk THEN n_tok ELSE 0 END)
+               ::BIGINT AS extra_quality
+    FROM flagged GROUP BY source
+)
+SELECT b.source, n_docs, tokens_total,
+       saved_exact AS tokens_saved_exact,
+       (saved_exact + COALESCE(extra_minid, 0))::BIGINT
+           AS tokens_saved_neardup,
+       (saved_exact + COALESCE(extra_quality, 0))::BIGINT
+           AS tokens_saved_quality,
+       {_rhu("saved_exact / tokens_total::DOUBLE", 6)} AS rate_exact,
+       {_rhu("(saved_exact + COALESCE(extra_minid, 0))"
+             " / tokens_total::DOUBLE", 6)} AS rate_neardup,
+       {_rhu("(saved_exact + COALESCE(extra_quality, 0))"
+             " / tokens_total::DOUBLE", 6)} AS rate_quality
+FROM base b LEFT JOIN extra e ON e.source = b.source
+"""
+
+
+@query("dedup_policy_savings", _POLICY_SAVINGS_ORACLE)
+def q_dedup_policy_savings(spark, sf_dir):
+    """Dedup-POLICY savings card: per source, the token budget each of
+    three escalating policies frees — (1) exact dedup only, (2) exact +
+    near-dup clusters keeping the min-id member, (3) exact + near-dup
+    keeping the HIGHEST-QUALITY member — the one table a curation owner
+    reads to pick a policy (is the near-dup tier worth its LSH cost on
+    this feed? does quality-keeper change the budget or only the kept
+    bytes?). Composes three r12-verified components on their exact
+    keeper rules: ``dedup_token_savings``' window-MIN exact tier,
+    ``dedup_minhash_lsh``→``dedup_clusters_star``'s near-dup clusters
+    (jaccard ≥ 0.5), and ``dedup_quality_keeper``'s max-quality/min-id
+    keeper. The near-dup tier applies AFTER exact dedup (members that
+    lost tier 1 can't be saved twice), every savings column is an exact
+    integer token sum attributed to the dropped doc's own source, and
+    the three rates divide those integers. Scale: one digest-keyed
+    window exchange (bodies never move), the LSH band shuffle (capped),
+    and cluster-sized windows — the cluster relation broadcasts onto
+    the keeper scan, so nothing corpus-sized meets anything
+    corpus-sized. llm/dedup.py::exact keeper + dedup_clusters;
+    llm/text.py::quality_features."""
+    from pyspark.sql import Window
+
+    from rclabsapi_spark.functions.scalars import round_half_up
+    from rclabsapi_spark.llm.dedup import dedup_clusters
+    from rclabsapi_spark.llm.text import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).alias("n_tok"),
+        F.md5(F.col("text")).alias("h"),
+    )
+    k = t.withColumn(
+        "keeper_id", F.min("doc_id").over(Window.partitionBy("h"))
+    )
+    dup = F.col("doc_id") != F.col("keeper_id")
+    base = k.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("tokens_total"),
+        F.sum(F.when(dup, F.col("n_tok")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("saved_exact"),
+    )
+    pairs = lsh_candidate_pairs(
+        docs, num_hashes=8, bands=4, max_bucket_size=50
+    ).filter(F.col("jaccard") >= 0.5)
+    clusters = dedup_clusters(pairs)
+    qf = quality_features(docs).select("doc_id", "quality_score")
+    q_memb = qf.join(F.broadcast(clusters.select("doc_id")), "doc_id")
+    memb = (
+        k.filter(~dup)
+        .select("doc_id", "source", "n_tok")
+        .join(F.broadcast(clusters), "doc_id")
+        .join(F.broadcast(q_memb), "doc_id")
+    )
+    w_c = Window.partitionBy("cluster_id")
+    qk = F.max(
+        F.struct(
+            F.col("quality_score").alias("q"),
+            (-F.col("doc_id")).alias("nid"),
+            F.col("doc_id").alias("id"),
+        )
+    ).over(w_c)["id"]
+    flagged = (
+        memb.withColumn("m", F.count(F.lit(1)).over(w_c))
+        .withColumn("minid", F.min("doc_id").over(w_c))
+        .withColumn("qk", qk)
+    )
+    in_tier = F.col("m") >= 2
+    extra = flagged.groupBy("source").agg(
+        F.sum(
+            F.when(
+                in_tier & (F.col("doc_id") != F.col("minid")), F.col("n_tok")
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("extra_minid"),
+        F.sum(
+            F.when(
+                in_tier & (F.col("doc_id") != F.col("qk")), F.col("n_tok")
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("extra_quality"),
+    )
+    j = base.join(F.broadcast(extra), "source", "left")
+    neardup = F.col("saved_exact") + F.coalesce("extra_minid", F.lit(0))
+    qual = F.col("saved_exact") + F.coalesce("extra_quality", F.lit(0))
+    tot = F.col("tokens_total").cast("double")
+    return j.select(
+        "source",
+        "n_docs",
+        "tokens_total",
+        F.col("saved_exact").alias("tokens_saved_exact"),
+        neardup.cast("long").alias("tokens_saved_neardup"),
+        qual.cast("long").alias("tokens_saved_quality"),
+        round_half_up(F.col("saved_exact") / tot, 6).alias("rate_exact"),
+        round_half_up(neardup / tot, 6).alias("rate_neardup"),
+        round_half_up(qual / tot, 6).alias("rate_quality"),
+    )
+
+
+_DRIFT_GATE_ORACLE = f"""
+WITH rec AS (
+    SELECT recall_incremental, recall_rebuild, recall_delta
+    FROM ({_IVF_INC_RECALL_ORACLE}) AS r WHERE query_id IS NULL
+),
+flat AS (
+    SELECT label, vec_id % 10 = 7 AS is_new,
+           unnest(range(1, len(embedding) + 1)) AS pos,
+           unnest(embedding)::DOUBLE AS x
+    FROM embeddings
+),
+per AS (
+    SELECT label, pos,
+           FLOOR((SUM(CASE WHEN NOT is_new
+                           THEN CAST(FLOOR(x * 1000000000.0 + 0.5) AS HUGEINT)
+                      END)::DOUBLE
+                  / (SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END)
+                     * 1000000000.0)) * 1000000.0 + 0.5) / 1000000.0 AS cb,
+           FLOOR((SUM(CASE WHEN is_new
+                           THEN CAST(FLOOR(x * 1000000000.0 + 0.5) AS HUGEINT)
+                      END)::DOUBLE
+                  / (SUM(CASE WHEN is_new THEN 1 ELSE 0 END)
+                     * 1000000000.0)) * 1000000.0 + 0.5) / 1000000.0 AS cn,
+           SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END)::BIGINT AS nb,
+           SUM(CASE WHEN is_new THEN 1 ELSE 0 END)::BIGINT AS nn
+    FROM flat GROUP BY label, pos
+),
+micro AS (
+    SELECT label, nb, nn,
+           CAST(ROUND(cb * 1000000.0, 0) AS BIGINT) AS bm,
+           CAST(ROUND(cn * 1000000.0, 0) AS BIGINT) AS nm
+    FROM per
+),
+g AS (
+    SELECT label, MAX(nb) AS n_base, MAX(nn) AS n_new,
+           FLOOR((SUM(bm * nm)::DOUBLE
+                  / (sqrt(SUM(bm * bm)::DOUBLE)
+                     * sqrt(SUM(nm * nm)::DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS cos_base_new
+    FROM micro GROUP BY label
+)
+SELECT g.label, n_base, n_new,
+       {_rhu("n_new / (n_base + n_new)::DOUBLE", 6)} AS new_share,
+       cos_base_new,
+       rec.recall_incremental, rec.recall_rebuild, rec.recall_delta,
+       rec.recall_delta <= -0.05 AS retrain
+FROM g CROSS JOIN rec
+"""
+
+
+@query("sim_drift_retrain_gate", _DRIFT_GATE_ORACLE)
+def q_drift_retrain_gate(spark, sf_dir):
+    """Drift-gated retrain trigger — closes the ANN-maintenance loop
+    opened by the r12 incremental-index pair: per LABEL, how far the
+    new batch's centroid (vec_id % 10 == 7, the same batch split as
+    ``sim_ivf_incremental_churn``) has drifted from the label's base
+    centroid (cosine on the gridded 6dp centroid components — the
+    ``sim_centroid_drift`` construction, conditional on batch side so
+    ONE explode pass computes both centroids), joined against the
+    index-level verdict: the macro recall delta of the incrementally-
+    maintained index vs a full rebuild (the ``sim_ivf_incremental_
+    recall`` composition, macro row). Reading the table: labels sort by
+    cos_base_new ascending = most-drifted first — the labels whose
+    batch drift predicts the recall loss — and ``retrain`` is the gate
+    bit (delta ≤ −0.05 ⇒ pay for the rebuild). Scale: the explode
+    combines map-side to |labels|×|dim| rows; the recall side is the
+    verified broadcast construction; the 1-row macro verdict cross-
+    joins under the reviewed 1-row-broadcast whitelist.
+    llm/similarity.py::ivf_assign + ann_recall_at_k."""
+    from rclabsapi_spark.functions.scalars import round_half_up
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        (F.col("vec_id") % 10 == 7).alias("is_new"),
+        F.posexplode("embedding").alias("pos", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    x_nano = F.floor(F.col("x") * 1000000000.0 + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    new = F.col("is_new")
+    per = comp.groupBy("label", "pos").agg(
+        F.sum(F.when(~new, x_nano)).alias("sb"),
+        F.sum(F.when(~new, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(new, x_nano)).alias("sn"),
+        F.sum(F.when(new, 1).otherwise(0)).alias("nn"),
+    )
+    cb = round_half_up(
+        F.col("sb").cast("double") / (F.col("nb") * 1000000000.0), 6
+    )
+    cn = round_half_up(
+        F.col("sn").cast("double") / (F.col("nn") * 1000000000.0), 6
+    )
+    micro = per.select(
+        "label",
+        "nb",
+        "nn",
+        F.round(cb * 1000000.0, 0).cast("long").alias("bm"),
+        F.round(cn * 1000000.0, 0).cast("long").alias("nm"),
+    )
+    bn = F.sum(F.col("bm") * F.col("nm")).cast("double")
+    bb = F.sum(F.col("bm") * F.col("bm")).cast("double")
+    nn2 = F.sum(F.col("nm") * F.col("nm")).cast("double")
+    g = micro.groupBy("label").agg(
+        F.max("nb").alias("n_base"),
+        F.max("nn").alias("n_new"),
+        round_half_up(bn / (F.sqrt(bb) * F.sqrt(nn2)), 6).alias(
+            "cos_base_new"
+        ),
+    )
+    rec = (
+        q_ivf_incremental_recall(spark, sf_dir)
+        .filter(F.col("query_id").isNull())
+        .select("recall_incremental", "recall_rebuild", "recall_delta")
+    )
+    share = F.col("n_new") / (F.col("n_base") + F.col("n_new")).cast(
+        "double"
+    )
+    return g.crossJoin(F.broadcast(rec)).select(
+        "label",
+        "n_base",
+        "n_new",
+        round_half_up(share, 6).alias("new_share"),
+        "cos_base_new",
+        "recall_incremental",
+        "recall_rebuild",
+        "recall_delta",
+        (F.col("recall_delta") <= -0.05).alias("retrain"),
+    )

@@ -465,11 +465,17 @@ def test_changepoint_windows_cluster_on_group(spark):
 
 def test_fuzzy_linkage_blocked_join_no_cartesian(spark):
     """Blocked fuzzy matching must join on the block key — no cartesian
-    product, no all-pairs join."""
+    product, no all-pairs join. Block sizes are an aggregate joined
+    back (AQE-skew-splittable), not a count-over-block window (window
+    skew cannot be split), so the size pass adds a pruned scan."""
+    from rclabsapi_spark.planaudit import audit
+
     p = _plan(spark, "link_fuzzy_names")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
-    assert _scans(p)["customer"] == 2  # both join sides, block-keyed
+    assert "Window" not in p  # sizes via aggregate, never window skew
+    scans, counts = audit(_fn(spark, "link_fuzzy_names"))
+    assert counts["cached"] >= 2  # both pair sides read the cached subs
 
 
 def test_basket_pairs_basket_keyed_join(spark):
@@ -674,6 +680,9 @@ def test_no_accidental_cartesian_anywhere(spark):
         # 1-row gridded (Z, total-docs) normalizer broadcast onto the
         # cached |domains| relation
         "clean_crawl_budget",
+        # 1-row macro recall verdict (exact integer hit ratio) broadcast
+        # onto the |labels| drift relation — the retrain gate join
+        "sim_drift_retrain_gate",
         # per-round 1-row best-pair argmax broadcast onto the vocab
         "train_bpe_merges",
         # 1-row bucket-histogram totals broadcast into the ratio table
@@ -1369,6 +1378,38 @@ def test_domain_contamination_bounded_scans(spark):
     assert counts["bhj"] >= 3
     p = _plan(spark, "clean_domain_contamination")
     assert "CartesianProduct" not in p and "NestedLoop" not in p
+
+
+def test_policy_savings_bounded_scans_no_smj(spark):
+    """Dedup-policy savings card: Catalyst shares the documents scan
+    between the keeper/LSH/quality passes (≤3 pruned scans); clusters
+    and the cluster-member quality rows broadcast onto the keeper
+    relation (never a corpus-vs-corpus sort-merge); the only windows
+    are digest- and cluster-partitioned."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "dedup_policy_savings"))
+    assert scans["documents"] <= 3
+    assert counts["bhj"] >= 3
+    assert counts.get("smj", 0) == 0
+    p = _plan(spark, "dedup_policy_savings")
+    assert "CartesianProduct" not in p
+
+
+def test_drift_retrain_gate_one_embeddings_pass(spark):
+    """Drift-gated retrain trigger: the drift side is one explode pass
+    over embeddings; the recall side reuses its own cached vector
+    relation (the incremental-recall construction); the 1-row macro
+    verdict broadcasts onto the |labels| relation (reviewed BNLJ).
+    No sort-merge join, no cartesian of fact relations."""
+    from rclabsapi_spark.planaudit import audit
+
+    scans, counts = audit(_fn(spark, "sim_drift_retrain_gate"))
+    assert scans["embeddings"] <= 2
+    assert counts["cached"] >= 4
+    assert counts.get("smj", 0) == 0
+    p = _plan(spark, "sim_drift_retrain_gate")
+    assert "CartesianProduct" not in p
 
 
 def test_ivf_recall_reads_one_cached_scan(spark):
