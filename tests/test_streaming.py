@@ -1644,6 +1644,62 @@ def test_token_savings_stream_matches_batch_report(spark, tmp_path):
     assert snap() == want
 
 
+def test_token_savings_corrupt_store_fails_batch(spark, tmp_path):
+    """A fingerprint store that exists but cannot be read (corrupt
+    footer) must FAIL the batch, not silently count as empty — an empty
+    read would re-mark every previously-seen duplicate as 'kept' and
+    inflate tokens_kept (the r12 advisory). Only a genuinely absent
+    path means 'first batch'."""
+    import os
+
+    import pytest
+
+    from rclabsapi_spark.streaming.accounting import token_savings_sink
+
+    fp_dir = str(tmp_path / "fp_store")
+    os.makedirs(f"{fp_dir}/batch_id=0")
+    with open(f"{fp_dir}/batch_id=0/part-00000.parquet", "wb") as fh:
+        fh.write(b"this is not a parquet file")
+    sink = token_savings_sink(fp_dir, str(tmp_path / "deltas"))
+    batch = spark.createDataFrame(
+        [(1, "a b", "s")], "doc_id long, text string, source string"
+    )
+    with pytest.raises(Exception):
+        sink(batch, 1)
+    # and nothing was accounted: the delta dir must not exist
+    assert not os.path.exists(str(tmp_path / "deltas"))
+
+
+def test_token_savings_duplicate_batch_keys_dropped(spark, tmp_path):
+    """A micro-batch carrying the same doc_id twice must count it once:
+    the statuses⋈batch join is on the key, so without the defensive
+    dropDuplicates a doubled key would fan out and inflate
+    n_docs/token totals (the r12 advisory)."""
+    from rclabsapi_spark.streaming.accounting import (
+        token_savings_sink,
+        token_savings_totals,
+    )
+
+    sink = token_savings_sink(
+        str(tmp_path / "fp_store"), str(tmp_path / "deltas")
+    )
+    batch = spark.createDataFrame(
+        [(1, "a b", "s"), (1, "a b", "s"), (2, "c", "s")],
+        "doc_id long, text string, source string",
+    )
+    sink(batch, 0)
+    got = {
+        r["source"]: r.asDict()
+        for r in token_savings_totals(
+            spark, str(tmp_path / "deltas")
+        ).collect()
+    }
+    assert got["s"]["n_docs"] == 2
+    assert got["s"]["n_dup_docs"] == 0
+    assert got["s"]["tokens_total"] == 3
+    assert got["s"]["tokens_kept"] == 3
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
