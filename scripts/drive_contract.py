@@ -5,6 +5,7 @@ every queries() entry through Spark AND its oracle_sql() through DuckDB,
 compared on row count, sorted column names, and an order-insensitive
 value hash."""
 import hashlib
+import os
 import sys
 import time
 
@@ -15,7 +16,8 @@ import duckdb
 import rclabsapi_spark.session as session
 from __spark_entry__ import entry, oracle_sql, queries
 
-SF_DIR = "/root/testdata/sf0.01"
+# override for spot-checks at other scales (the driver pins sf0.01)
+SF_DIR = os.environ.get("SPARK_GRAFT_CONTRACT_SF", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
