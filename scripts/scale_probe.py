@@ -71,7 +71,9 @@ def build(spark, mult: int) -> str:
     exact-dup structure trivial). customer: names kept IDENTICAL per
     replica, so every fuzzy-match block inflates ×N — the hot-block
     regime for Σ block² pair generation (sf0.1 is 150 blocks of
-    exactly 100, so ×16 crosses max_block=1000 and ALL blocks drop)."""
+    exactly 100, so ×16 crosses max_block=1000 and ALL blocks salt
+    into 2 sub-blocks: partial recall, ~size·cap work — the r13
+    graceful-degradation contract)."""
     out = f"{BASE}/x{mult}"
     # Cache keyed on the SOURCE path: a replica built from a different
     # SPARK_GRAFT_SF_DIR must not be silently reused (ADVICE r12).
