@@ -27,7 +27,7 @@ Scale posture:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rclabsapi_spark.functions.scalars import round_half_up
@@ -131,22 +131,29 @@ def basket_pair_support(
     The Apriori-style first step (frequent 2-itemsets), kept linear:
     baskets are deduped to distinct (basket, item), oversized baskets
     dropped against ``max_basket`` (pair work is Σ basket² — the cap is
-    the quadratic guard), and the pair self-join shuffles once on the
-    basket id. Item supports and N are broadcast-sized aggregates; lift
-    is per-row arithmetic on exact counts. Deterministic top-k:
-    support desc, then item pair lexicographic."""
+    the quadratic guard; unlike fuzzy-name head blocks, an oversized
+    basket is corrupt data, not concentrated signal, so all-or-nothing
+    is the right contract here), and the pair self-join shuffles once
+    on the basket id. Basket sizes come from a partial-combining
+    aggregate semi-joined back, NOT a count-over-basket window — a
+    window would funnel an adversarial mega-basket through one
+    unsplittable task (the blocked_fuzzy_pairs r13 lesson); the size
+    join is AQE-skew-splittable. Item supports and N are
+    broadcast-sized aggregates; lift is per-row arithmetic on exact
+    counts. Deterministic top-k: support desc, then item pair
+    lexicographic."""
     distinct = items.select(
         F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
     ).distinct()
-    w_basket = Window.partitionBy("basket")
+    small = (
+        distinct.groupBy("basket")
+        .agg(F.count(F.lit(1)).alias("basket_n"))
+        .filter(F.col("basket_n") <= max_basket)
+        .select("basket")
+    )
     # cached: four consumers (both pair-join sides, item supports, N) —
     # without it each re-runs the fact dedup
-    capped = (
-        distinct.withColumn("basket_n", F.count(F.lit(1)).over(w_basket))
-        .filter(F.col("basket_n") <= max_basket)
-        .drop("basket_n")
-        .cache()
-    )
+    capped = distinct.join(small, "basket").cache()
     a, b = capped.alias("a"), capped.alias("b")
     pairs = (
         a.join(b, "basket")
