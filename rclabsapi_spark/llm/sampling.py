@@ -269,9 +269,18 @@ def temperature_sample(
 
     Physical plan: one per-stratum count, one 1-row normalizer, both
     broadcast back onto the corpus scan, then a codegen'd filter — the
-    corpus never shuffles."""
-    counts = df.groupBy(strat_col).agg(
-        F.count(F.lit(1)).cast("double").alias("_n")
+    corpus never shuffles. The |strata| counts relation is CACHED
+    before it fans out to temperature_rates' two consumers (the 1-row
+    Z aggregate and the rates select) — the crawl_budget_allocation
+    pattern; without it each consumer re-runs the corpus count. The
+    cache lives here, in the batch caller, NOT inside
+    temperature_rates: the streaming re-weighting sink calls
+    temperature_rates per micro-batch, and an in-callee cache would
+    accumulate storage across batches."""
+    counts = (
+        df.groupBy(strat_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        .cache()
     )
     rates = temperature_rates(
         counts, strat_col=strat_col, tau=tau, target_total=target_total
