@@ -107,3 +107,101 @@ def psi_vs_reference(
             grid_sum((q - p) * F.log(q / p), 6).alias("psi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Live per-label embedding-centroid drift — the streaming input to the
+# batch retrain gate (suites/llm.py::q_drift_retrain_gate, r13)
+# ---------------------------------------------------------------------------
+
+
+def centroid_delta_sink(
+    delta_dir: str,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+):
+    """``foreachBatch`` handler maintaining per-label centroid state as
+    the embedding stream ingests: each micro-batch writes its
+    per-(label, pos) component sums on the 9dp integer grid
+    (DECIMAL(38,0)) plus counts, partitioned by ``batch_id`` with
+    dynamic-partition OVERWRITE — the ``streaming.accounting`` deltas
+    construction, so a replayed batch (at-least-once foreachBatch)
+    overwrites its own partitions instead of double-counting.
+
+    The grid is what makes the twin EXACT, not just close: integer
+    delta sums commute, so folding any batch partitioning of the
+    corpus reproduces the batch computation's centroid components
+    bit-for-bit (the replay-parity test asserts full equality, no
+    tolerance). Per batch this is one explode + one (label, pos)
+    aggregate — map-side combining keeps shuffle bytes centroid-sized,
+    never batch-sized; state on disk is |labels|·|dim| rows per batch.
+
+    Reference: the live metric recording of ST6 threshold monitoring
+    (system_metrics.hpp:43-54) lifted to embedding subpopulations —
+    the input a retrain gate watches between index rebuilds."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        comp = batch.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(vec_col).alias("pos", "x"),
+        ).withColumn("x", F.col("x").cast("double"))
+        x_nano = F.floor(F.col("x") * 1000000000.0 + F.lit(0.5)).cast(
+            "decimal(38,0)"
+        )
+        deltas = comp.groupBy("label", "pos").agg(
+            F.sum(x_nano).alias("sum_nano"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        (
+            deltas.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(delta_dir)
+        )
+
+    return handle
+
+
+def centroid_drift_report(
+    spark, delta_dir: str, baseline: DataFrame
+) -> DataFrame:
+    """Fold the per-batch centroid deltas into the running per-label
+    report against a FROZEN baseline: (label, n_vecs, cos_to_baseline).
+
+    ``baseline`` is a (label, pos, c) relation of 6dp-rounded baseline
+    centroid components (e.g. the base-index centroids the batch
+    retrain gate froze). The fold sums integer deltas (order-
+    independent), rounds the mean to the same 6dp grid as the batch
+    construction (suites/llm.py centroid conventions), and takes the
+    micro-int cosine per label — so the report equals the batch
+    computation over the same rows exactly. The |labels|·|dim| baseline
+    broadcasts onto the folded components."""
+    from rclabsapi_spark.functions.scalars import round_half_up
+
+    deltas = spark.read.parquet(delta_dir)
+    folded = deltas.groupBy("label", "pos").agg(
+        F.sum("sum_nano").alias("s"),
+        F.sum("n").alias("n"),
+    )
+    mean_c = round_half_up(
+        F.col("s").cast("double") / (F.col("n") * 1000000000.0), 6
+    )
+    j = folded.join(
+        F.broadcast(baseline.select("label", "pos", "c")), ["label", "pos"]
+    ).select(
+        "label",
+        "n",
+        F.round(mean_c * 1000000.0, 0).cast("long").alias("lm"),
+        F.round(F.col("c") * 1000000.0, 0).cast("long").alias("bm"),
+    )
+    lb = F.sum(F.col("lm") * F.col("bm")).cast("double")
+    ll = F.sum(F.col("lm") * F.col("lm")).cast("double")
+    bb = F.sum(F.col("bm") * F.col("bm")).cast("double")
+    return j.groupBy("label").agg(
+        F.max("n").alias("n_vecs"),
+        round_half_up(lb / (F.sqrt(ll) * F.sqrt(bb)), 6).alias(
+            "cos_to_baseline"
+        ),
+    )

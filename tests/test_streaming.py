@@ -896,6 +896,108 @@ def test_streaming_drift_counts_match_batch_and_psi_flags_shift(
     assert min(drifted) > 0.25
 
 
+def test_streaming_centroid_drift_matches_batch_exactly(spark, tmp_path):
+    """Replay parity for the live centroid-drift twin: embeddings
+    ingested as three micro-batches fold to EXACTLY (no tolerance) the
+    batch per-label cosine-to-baseline — the 9dp integer-grid deltas
+    commute, so any batch partitioning reproduces the batch centroids
+    bit-for-bit. A replayed batch must not change the report."""
+    import os
+
+    from rclabsapi_spark.functions.scalars import round_half_up
+    from rclabsapi_spark.streaming.drift import (
+        centroid_delta_sink,
+        centroid_drift_report,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def centroids(df):
+        comp = df.select(
+            "label", F.posexplode("embedding").alias("pos", "x")
+        ).withColumn("x", F.col("x").cast("double"))
+        nano = F.floor(F.col("x") * 1000000000.0 + F.lit(0.5)).cast(
+            "decimal(38,0)"
+        )
+        return comp.groupBy("label", "pos").agg(
+            round_half_up(
+                F.sum(nano).cast("double")
+                / (F.count(F.lit(1)) * 1000000000.0),
+                6,
+            ).alias("c"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    baseline = centroids(emb.filter(F.col("vec_id") % 10 != 7)).select(
+        "label", "pos", "c"
+    )
+
+    # three doc-ordered micro-batches covering the full table
+    in_dir = str(tmp_path / "emb_in")
+    os.makedirs(in_dir)
+    hi = emb.agg({"vec_id": "max"}).first()[0] + 1
+    cuts = [0, hi // 3, 2 * hi // 3, hi]
+    for lo, up in zip(cuts, cuts[1:]):
+        emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < up)
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    delta_dir = str(tmp_path / "centroid_deltas")
+    sink = centroid_delta_sink(delta_dir)
+    q = (
+        spark.readStream.format("parquet")
+        .schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(in_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def report():
+        return {
+            r["label"]: (r["n_vecs"], r["cos_to_baseline"])
+            for r in centroid_drift_report(
+                spark, delta_dir, baseline
+            ).collect()
+        }
+
+    got = report()
+
+    # batch twin over the SAME rows: full-corpus centroids vs baseline
+    full = centroids(emb)
+    j = full.join(baseline.withColumnRenamed("c", "b"), ["label", "pos"])
+    j = j.select(
+        "label",
+        "n",
+        F.round(F.col("c") * 1000000.0, 0).cast("long").alias("lm"),
+        F.round(F.col("b") * 1000000.0, 0).cast("long").alias("bm"),
+    )
+    lb = F.sum(F.col("lm") * F.col("bm")).cast("double")
+    ll = F.sum(F.col("lm") * F.col("lm")).cast("double")
+    bb = F.sum(F.col("bm") * F.col("bm")).cast("double")
+    want = {
+        r["label"]: (r["n_vecs"], r["cos"])
+        for r in j.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            round_half_up(lb / (F.sqrt(ll) * F.sqrt(bb)), 6).alias("cos"),
+        )
+        .collect()
+    }
+    assert got == want  # exact: grid deltas commute
+    assert len(got) >= 2
+
+    # replay the middle batch verbatim: overwrites its own partitions
+    mid = emb.filter(
+        (F.col("vec_id") >= cuts[1]) & (F.col("vec_id") < cuts[2])
+    )
+    sink(mid, 1)
+    assert report() == want
+
+
 def test_streaming_heartbeat_timeout_fires_on_watermark(spark, tmp_path):
     """Event-time dead-man switch: a user who stops heartbeating emits a
     silence row once later events advance the watermark past their
