@@ -147,6 +147,11 @@ _BIGINT_GRID_ALLOWED = {
     "suites/cleaning.py",
     # |dim|-bounded centroid-component micro second levels (cm/gm)
     "suites/llm.py",
+    # same |dim|-bounded micro second level (lm/bm) in the streaming
+    # centroid-drift twin — sums are Σ over |dim| terms of (≤2e6)²,
+    # ≤ ~4e12·dim, orders below 2^63; the first-level accumulation is
+    # DECIMAL(38,0) deltas
+    "streaming/drift.py",
     # per-threshold mean over the CAPPED candidate-pair relation —
     # headroom class (1e6/row, capped pair counts)
     "suites/metrics_ext.py",
