@@ -102,6 +102,17 @@ def build(spark, mult: int) -> str:
     _replicas(cust, mult, "c_custkey", lambda i: rest).write.mode(
         "overwrite"
     ).parquet(f"{out}/customer.parquet")
+    # lineitem (pruned to the basket columns): l_orderkey kept IDENTICAL
+    # per replica while l_partkey offsets, so every basket's distinct
+    # item count inflates ×N — the adversarial mega-basket regime for
+    # the Σ basket² pair generator (sf0.1 baskets run 1-17 items, so ×4
+    # pushes the head past max_basket=50 and ×8+ drops most of them)
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    _replicas(li, mult, "l_partkey", lambda i: ["l_orderkey"]).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/lineitem.parquet")
     with open(marker, "w") as fh:
         fh.write(SRC)
     return out
