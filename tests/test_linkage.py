@@ -112,6 +112,86 @@ def test_fuzzy_pairs_block_cap_degrades_to_subblocks(spark):
     assert got == {p for p in brute if sub[p[0]] == sub[p[1]]}
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=6,  # each example runs several Spark jobs
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    rows=st.dictionaries(
+        st.integers(0, 40),
+        st.tuples(
+            st.text(alphabet="ab", min_size=1, max_size=3),  # name
+            st.sampled_from(["X", "Y"]),  # block
+        ),
+        min_size=2,
+        max_size=25,
+    ),
+    max_block=st.sampled_from([2, 5, 1000]),
+)
+def test_fuzzy_subblock_recall_contract(spark, rows, max_block):
+    """Property: the emitted pair set is EXACTLY the brute-force
+    qualifying pairs restricted to same-sub-block membership, where sub
+    is 0 for blocks within the cap and md5(salt||key) % ceil(size/cap)
+    otherwise — i.e. blocks at/below the cap have exact recall, blocks
+    above degrade to the documented hash-partition recall, and nothing
+    outside the contract ever appears."""
+    import hashlib
+    import math
+
+    data = [(k, n, b) for k, (n, b) in rows.items()]
+    df = spark.createDataFrame(data, "key long, name string, blk string")
+    got = {
+        (r["key_a"], r["key_b"])
+        for r in blocked_fuzzy_pairs(
+            df,
+            key_col="key",
+            name_col="name",
+            block_col=F.col("blk"),
+            max_dist=1,
+            max_block=max_block,
+        ).collect()
+    }
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    sizes = {}
+    for _, (_, b) in rows.items():
+        sizes[b] = sizes.get(b, 0) + 1
+
+    def sub(key, block):
+        n = sizes[block]
+        if n <= max_block:
+            return 0
+        n_sub = math.ceil(n / max_block)
+        h = hashlib.md5(f"sub{key}".encode()).hexdigest()[:8]
+        return int(h, 16) % n_sub
+
+    want = set()
+    for ka, (na, ba) in rows.items():
+        for kb, (nb, bb) in rows.items():
+            if ka < kb and ba == bb and lev(na, nb) <= 1:
+                if sub(ka, ba) == sub(kb, bb):
+                    want.add((ka, kb))
+    assert got == want
+
+
 def test_basket_pairs_symmetric_support(spark):
     """support_ab of an emitted pair equals the brute-force count of
     baskets containing both items, and item order is canonical."""
