@@ -998,6 +998,88 @@ def test_streaming_centroid_drift_matches_batch_exactly(spark, tmp_path):
     assert report() == want
 
 
+def test_streaming_ivf_churn_matches_batch_query(spark, tmp_path):
+    """Replay parity for the live ANN churn twin: the day's new vectors
+    (vec_id % 10 == 7, the r12 incremental-index scenario) ingested as
+    micro-batches fold to EXACTLY the registered batch churn table
+    (sim_ivf_incremental_churn) — integer arrival counts commute — and
+    a replayed batch must not change it."""
+    import os
+
+    from rclabsapi_spark.llm.similarity import _as_double, ivf_assign
+    from rclabsapi_spark.registry import get_registry
+    from rclabsapi_spark.streaming.ann import churn_delta_sink, churn_report
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    v = _as_double(F.col("embedding"))
+    old = emb.filter(F.col("vec_id") % 10 != 7)
+    cents = (
+        old.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").cast("int").alias("centroid_id"),
+            v.alias("cvec"),
+        )
+        .cache()
+    )
+    base_sizes = (
+        cents.select("centroid_id")
+        .join(
+            ivf_assign(old, centroids=cents)
+            .groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).alias("n_base")),
+            "centroid_id",
+            "left",
+        )
+        .select(
+            "centroid_id", F.coalesce("n_base", F.lit(0)).alias("n_base")
+        )
+    )
+
+    new = emb.filter(F.col("vec_id") % 10 == 7)
+    in_dir = str(tmp_path / "new_in")
+    os.makedirs(in_dir)
+    hi = emb.agg({"vec_id": "max"}).first()[0] + 1
+    for lo, up in [(0, hi // 2), (hi // 2, hi)]:
+        new.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < up)
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    delta_dir = str(tmp_path / "churn_deltas")
+    sink = churn_delta_sink(delta_dir, cents)
+    q = (
+        spark.readStream.format("parquet")
+        .schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(in_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_churn"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def report():
+        return {
+            r["centroid_id"]: r.asDict()
+            for r in churn_report(spark, delta_dir, base_sizes).collect()
+        }
+
+    got = report()
+    want = {
+        r["centroid_id"]: r.asDict()
+        for r in get_registry()["sim_ivf_incremental_churn"]
+        .fn(spark, sf)
+        .collect()
+    }
+    assert got == want  # exact: integer arrival counts commute
+    assert sum(r["n_new"] for r in got.values()) == new.count()
+
+    # replay the first batch verbatim: overwrites its own partitions
+    sink(new.filter(F.col("vec_id") < hi // 2), 0)
+    assert report() == want
+
+
 def test_streaming_heartbeat_timeout_fires_on_watermark(spark, tmp_path):
     """Event-time dead-man switch: a user who stops heartbeating emits a
     silence row once later events advance the watermark past their
