@@ -121,6 +121,19 @@ def main() -> None:
     if slope is not None:
         out["slope"] = slope
     print(json.dumps(out))
+    # The full record above can run long enough that tail-capture
+    # tooling truncates it mid-object (BENCH_r12/r13 landed with
+    # "parsed": null). Emit a second, SHORT, self-contained summary
+    # line last so any tail window always holds one complete JSON
+    # record with the headline numbers.
+    print(json.dumps({
+        "metric": "headline_query_wallclock_summary",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "rows_per_sec": out["rows_per_sec"],
+    }))
 
 
 if __name__ == "__main__":

@@ -233,6 +233,44 @@ def sql_grid_ratio(
     return f"FLOOR(({mult} * {ng} / {dg}) * {scale} + 0.5) / {scale}"
 
 
+def grid_term(x: Column, grid: float = 1e9) -> Column:
+    """Round ONE potentially-large double onto the integer ``grid`` as
+    DECIMAL(38,0), bit-identically to DuckDB's ``CAST(FLOOR(x·grid+0.5)
+    AS HUGEINT)`` — for normalizer terms (n^τ, n^τ·priority) whose
+    magnitude grows with corpus size, unlike the bounded per-row money/
+    metric inputs of :func:`grid_sum` / :func:`grid_mean` (≪ 2^53,
+    deliberately unguarded).
+
+    Why this shape and not a decimal cast: Spark's ``floor(double)``
+    yields a LONG holding the double's exact integer value for
+    |x·grid| < 2^63 — measured bit-identical to DuckDB's
+    floor→HUGEINT through the whole (2^53, 2^63) range. Above 2^63
+    the long SATURATES silently (ADVICE r13), and the "obvious"
+    repair — cast the double to DECIMAL first — is WORSE: Spark's
+    double→decimal cast goes through the shortest decimal
+    representation (``BigDecimal.valueOf``), which differs from the
+    exact binary value DuckDB converts, silently losing bit-identity
+    from 2^53 up (measured: 1234567890123456768.0 floors to …768 as
+    long but casts to …770 via DECIMAL(38,9)). So the supported
+    domain is |x·grid| < 2^63 — n^τ < 9.2e9 grid units ≙ multi-
+    billion-count strata at τ=1, rescale τ or pre-normalize above
+    that — and crossing it raises a loud per-row error instead of
+    silently diverging from the oracle."""
+    scaled = x * grid + F.lit(0.5)
+    ceiling = float(2**63)
+    guard = F.assert_true(
+        (scaled < F.lit(ceiling)) & (scaled > F.lit(-ceiling)),
+        F.concat(
+            F.lit(
+                "grid term exceeds the 2^63 grid ceiling"
+                " (|x*grid| too large; rescale tau/grid): "
+            ),
+            scaled.cast("string"),
+        ),
+    )
+    return F.when(guard.isNull(), F.floor(scaled)).cast("decimal(38,0)")
+
+
 def guarded_div(num: Column, den: Column, default: float = 0.0) -> Column:
     """Division with the reference's divide-by-zero guard (A11,
     job_monitoring_models.cpp:160-209): ``den > 0 ? num/den : default``."""

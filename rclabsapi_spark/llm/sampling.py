@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from rclabsapi_spark.functions.scalars import grid_term
+
 
 def hash_bucket(key: Column, *, salt: str = "") -> Column:
     """4-hex-digit (16-bit) deterministic bucket of a key."""
@@ -234,9 +236,13 @@ def temperature_rates(
     |strata| relation in one array row (the crawl_budget_allocation
     pattern, which replaced this function's original
     array_sort(collect_list) fold in r13 — a last-ulp difference in Z
-    could flip floor(65536·rate) at a boundary and change membership)."""
+    could flip floor(65536·rate) at a boundary and change membership).
+    Domain: each n^τ grid term must stay below 2^63 nanos (n^τ <
+    ~9.2e9 — multi-billion-count strata at τ=1); :func:`grid_term`
+    raises loudly past that ceiling rather than silently saturating
+    or losing oracle bit-identity (ADVICE r13, see grid_term)."""
     term = F.pow(F.col("_n"), F.lit(float(tau)))
-    term_g = F.floor(term * 1000000000.0 + F.lit(0.5)).cast("decimal(38,0)")
+    term_g = grid_term(term)
     z = counts.agg(F.sum(term_g).alias("_z_g"))
     z_d = F.col("_z_g").cast("double") / 1000000000.0
     return counts.crossJoin(F.broadcast(z)).select(
@@ -276,7 +282,12 @@ def temperature_sample(
     cache lives here, in the batch caller, NOT inside
     temperature_rates: the streaming re-weighting sink calls
     temperature_rates per micro-batch, and an in-callee cache would
-    accumulate storage across batches."""
+    accumulate storage across batches. Cache lifetime (ADVICE r13):
+    the cache is owned by the returned plan; a long-lived session
+    invoking this repeatedly should unpersist between invocations
+    (``spark.catalog.clearCache()``) — superseded entries linger
+    until LRU eviction otherwise, a storage-pressure footgun, never
+    a correctness one."""
     counts = (
         df.groupBy(strat_col)
         .agg(F.count(F.lit(1)).cast("double").alias("_n"))
@@ -436,12 +447,14 @@ def epoch_mixture_schedule(
     floor from bit-identical doubles, and the reported ratios are
     integer-derived then round_half_up(6). The input relation is
     stratum-sized (≤ thousands of rows) but no task ever holds it in
-    one array row, so the shape survives arbitrary |strata|."""
+    one array row, so the shape survives arbitrary |strata|. Domain:
+    each n^τ grid term must stay below 2^63 nanos; :func:`grid_term`
+    raises loudly past that ceiling (ADVICE r13, see grid_term)."""
     from rclabsapi_spark.functions.scalars import round_half_up
 
     n = F.col(tokens_col).cast("double")
     term = F.pow(n, F.lit(float(tau)))
-    term_g = F.floor(term * 1000000000.0 + F.lit(0.5)).cast("decimal(38,0)")
+    term_g = grid_term(term)
     z = token_counts.agg(
         F.sum(term_g).alias("_z_g"),
         F.sum(F.col(tokens_col)).alias("_total"),
@@ -500,7 +513,9 @@ def crawl_budget_allocation(
     that single-task array is exactly the Exchange-SinglePartition OOM
     class). The degenerate Z=0 corpus (every priority zero) allocates
     nothing: weights and targets clamp to 0 instead of dividing to
-    NULL/NaN."""
+    NULL/NaN. Domain: each n^τ·p grid term must stay below 2^63
+    nanos; :func:`grid_term` raises loudly past that ceiling
+    (ADVICE r13, see grid_term)."""
     from rclabsapi_spark.functions.scalars import round_half_up
 
     stats = domain_stats.select(
@@ -512,7 +527,7 @@ def crawl_budget_allocation(
         F.pow(F.col("_n_long").cast("double"), F.lit(float(tau)))
         * F.col("_p_orig").cast("double")
     )
-    term_g = F.floor(term * 1000000000.0 + F.lit(0.5)).cast("decimal(38,0)")
+    term_g = grid_term(term)
     z = stats.agg(
         F.sum(term_g).alias("_z_g"),
         F.sum("_n_long").alias("_total"),

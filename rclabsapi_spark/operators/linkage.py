@@ -14,13 +14,14 @@ Scale posture:
 
 - Fuzzy matching NEVER does the all-pairs cross join. Candidates come
   from equality on a blocking key (shuffle on the key); blocks over the
-  ``max_block`` cap are salted into ⌈size/max_block⌉ md5 sub-blocks so
-  pair work inside an oversized block is ~size·max_block instead of
-  size² — recall degrades gracefully (a pair is found iff both rows
-  hash to the same sub-block, ~1/n_sub of cross-sub pairs lost) rather
-  than collapsing to zero when a head block ("J. Smith") crosses the
-  cap. Edit distance runs JVM-side (``levenshtein``) on candidates
-  only.
+  ``max_block`` cap are salted into ⌈size/max_block⌉ md5 sub-blocks —
+  independently per salt, pairs unioned distinct across salts (r14) —
+  so pair work inside an oversized block is ~|salts|·size·max_block
+  instead of size² and recall degrades gracefully to
+  1−(1−1/n_sub)^|salts| (a pair is found iff both rows share a
+  sub-block under at least one salt) rather than collapsing to zero
+  when a head block ("J. Smith") crosses the cap. Edit distance runs
+  JVM-side (``levenshtein``) on candidates only.
 - Basket pair-gen is the same shape: self-join within basket id, basket
   size capped, support counts partial-aggregate before the pair shuffle.
 """
@@ -41,34 +42,49 @@ def blocked_fuzzy_pairs(
     block_col,
     max_dist: int = 1,
     max_block: int = 1000,
-    salt: str = "sub",
+    salts: tuple[str, ...] = ("sub", "sub2"),
 ) -> DataFrame:
     """Candidate duplicate pairs by edit distance within blocking keys:
-    all (a, b) with ``a.key < b.key``, equal block, equal sub-block, and
-    ``levenshtein(a.name, b.name) ≤ max_dist``.
+    all (a, b) with ``a.key < b.key``, equal block, equal sub-block
+    under at least one salt, and ``levenshtein(a.name, b.name) ≤
+    max_dist``.
 
     Classic blocked record linkage (sorted-neighborhood family): recall
     is bounded by the blocking key — a pair whose names differ outside
     the blocked positions is not generated, which is the documented
     tradeoff that makes the operator linear-ish instead of n².
 
-    Cap semantics (r13 — replaces the all-or-nothing drop): a block
-    within ``max_block`` keeps sub-block 0, so its recall is exact. A
-    block of size B > ``max_block`` is salted into n_sub = ⌈B/max_block⌉
-    md5 sub-blocks (a pure function of the key, mirrored in the oracle),
-    so its pair work is ~B·max_block instead of B² and its recall
-    degrades to ~1/n_sub of within-block pairs instead of zero — the
-    head-block regime ("J. Smith") where dup mass concentrates loses
-    most matches proportionally, never all of them.
+    Cap semantics (r13, multi-salt r14): a block within ``max_block``
+    keeps a single sub-block 0, so its recall is exact and costs one
+    candidate row. A block of size B > ``max_block`` is salted into
+    n_sub = ⌈B/max_block⌉ md5 sub-blocks INDEPENDENTLY per salt in
+    ``salts`` (pure functions of the key, mirrored in the oracle), and
+    the emitted pairs are the DISTINCT union over salts — a pair is
+    found iff both rows land in the same sub-block under at least one
+    salt, so within-block recall is 1−(1−1/n_sub)^|salts| (two salts:
+    ~75% at n_sub=2, ~44% at n_sub=4) for |salts|·B·max_block pair
+    work instead of B² — the head-block regime ("J. Smith") where dup
+    mass concentrates degrades gracefully, never to zero, and doubling
+    the salt list doubles the (already linear) capped work, never the
+    quadratic term.
 
     Block sizes come from a partial-combining aggregate joined back
     (NOT a count-over-block window): a window would funnel the whole
     hot block through one task, and window skew is exactly what AQE
-    cannot split — the size join and the (block, sub) pair join both
-    stay AQE-skew-splittable, and every post-sub join group is
-    ~max_block by construction. The subbed relation is cached so both
+    cannot split — the size join and the (block, sid, sub) pair join
+    both stay AQE-skew-splittable, and every post-sub join group is
+    ~max_block by construction.
+
+    Cache lifetime (ADVICE r13): the subbed relation is cached so both
     pair-join sides reuse one materialization (the basket_pair_support
-    multi-consumer pattern) instead of re-scanning the fact twice."""
+    multi-consumer pattern) instead of re-scanning the fact twice. The
+    cache is owned by the RETURNED PLAN — it cannot be unpersisted
+    here because nothing has run yet. Callers that invoke this
+    repeatedly with different inputs in one long-lived session should
+    unpersist between invocations (``spark.catalog.clearCache()`` or
+    hold/unpersist their own cached input); otherwise superseded
+    entries linger until LRU eviction — storage pressure only, never
+    correctness."""
     named = df.select(
         F.col(key_col).alias("key"),
         F.col(name_col).alias("name"),
@@ -78,31 +94,65 @@ def blocked_fuzzy_pairs(
         F.count(F.lit(1)).alias("block_n")
     )
     n_sub = F.ceil(F.col("block_n") / F.lit(float(max_block))).cast("long")
-    sub = F.when(
-        F.col("block_n") <= max_block, F.lit(0).cast("long")
+
+    def sub_for(salt: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.lit(salt), F.col("key").cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % n_sub
+        )
+
+    # one (salt-id, sub) entry for small blocks, one per salt for
+    # oversized blocks — exploded so the pair join key is (block, sid,
+    # sub) and each salt's candidate space stays ~max_block-sized
+    entries = F.when(
+        F.col("block_n") <= max_block,
+        F.array(
+            F.struct(
+                F.lit(0).alias("sid"), F.lit(0).cast("long").alias("sub")
+            )
+        ),
     ).otherwise(
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(salt), F.col("key").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % n_sub
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("sid"), sub_for(s).alias("sub")
+                )
+                for i, s in enumerate(salts)
+            ]
+        )
     )
     base = (
         named.join(sizes, "block")
-        .withColumn("sub", sub)
-        .drop("block_n")
+        .select(
+            "key",
+            "name",
+            "block",
+            F.explode(entries).alias("_ss"),
+        )
+        .select(
+            "key",
+            "name",
+            "block",
+            F.col("_ss.sid").alias("sid"),
+            F.col("_ss.sub").alias("sub"),
+        )
         .cache()
     )
     a, b = base.alias("a"), base.alias("b")
     dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
     name_len = F.greatest(F.length("a.name"), F.length("b.name"))
     return (
-        a.join(b, ["block", "sub"])
+        a.join(b, ["block", "sid", "sub"])
         .filter(F.col("a.key") < F.col("b.key"))
         .filter(dist <= max_dist)
         .select(
@@ -113,6 +163,10 @@ def blocked_fuzzy_pairs(
                 1.0 - dist.cast("double") / name_len.cast("double")
             ).alias("name_sim"),
         )
+        # a pair found under BOTH salts appears once — lev_dist and
+        # name_sim are functions of the pair, so key-level dedup is
+        # deterministic
+        .dropDuplicates(["key_a", "key_b"])
     )
 
 

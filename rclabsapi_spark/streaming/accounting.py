@@ -59,7 +59,15 @@ def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
     try:
         return spark.read.schema(schema).parquet(path)
     except AnalysisException as exc:
-        cond = getattr(exc, "getCondition", exc.getErrorClass)()
+        # getCondition is the Spark 4 name; getErrorClass was removed on
+        # some builds, so resolve the fallback lazily — an eager
+        # ``getattr(exc, ..., exc.getErrorClass)`` would raise
+        # AttributeError before the legit first-batch PATH_NOT_FOUND
+        # check ever runs (ADVICE r13).
+        if hasattr(exc, "getCondition"):
+            cond = exc.getCondition()
+        else:
+            cond = getattr(exc, "getErrorClass", lambda: None)()
         if "PATH_NOT_FOUND" in str(cond or "") or "PATH_NOT_FOUND" in str(
             exc
         ):
@@ -85,15 +93,32 @@ def token_savings_sink(
 
     Contract: ``key_col`` must be unique within a micro-batch — the
     statuses⋈batch join below is on that key, so a duplicated key would
-    fan out and inflate n_docs/token totals. Enforced defensively with a
-    ``dropDuplicates`` on entry (ADVICE r12); a source that replays the
+    fan out and inflate n_docs/token totals. Enforced defensively on
+    entry (ADVICE r12) with a DETERMINISTIC survivor — min_by on
+    (md5(text), source), not ``dropDuplicates`` whose arbitrary pick
+    could make a replay of the same batch_id write different deltas
+    than the original run when the same doc_id arrives with different
+    text/source in one batch (ADVICE r13). A source that replays the
     same doc_id within one batch loses the extra copies, which is the
     correct dedup-accounting answer anyway."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         n = int(batch_id)
-        batch = batch.dropDuplicates([key_col])
+        others = [c for c in batch.columns if c != key_col]
+        batch = (
+            batch.groupBy(key_col)
+            .agg(
+                F.min_by(
+                    F.struct(*[F.col(c) for c in others]),
+                    F.struct(
+                        F.md5(F.col(text_col).cast("binary")).alias("h"),
+                        F.col(source_col).alias("s"),
+                    ),
+                ).alias("_surv")
+            )
+            .select(key_col, "_surv.*")
+        )
         store = _read_or_empty(
             spark, fp_dir, "text_hash string, batch_id long"
         ).filter(F.col("batch_id") < n)
@@ -138,18 +163,81 @@ def token_savings_sink(
     return handle
 
 
+_DELTA_SCHEMA = "source string, " + ", ".join(
+    f"{c} long" for c in _DELTA_COLS
+) + ", batch_id long"
+
+
+def _fold_deltas(spark: SparkSession, delta_dir: str) -> DataFrame:
+    """Per-source integer totals over the delta store. Explicit schema
+    via ``_read_or_empty``: an absent or partition-file-free store
+    folds to zero rows instead of raising on schema inference (the
+    ADVICE r13 class fixed in streaming/ann.py and streaming/drift.py
+    — applied here for the same first-batch window)."""
+    return (
+        _read_or_empty(spark, delta_dir, _DELTA_SCHEMA)
+        .groupBy("source")
+        .agg(*[F.sum(c).cast("long").alias(c) for c in _DELTA_COLS])
+    )
+
+
 def token_savings_totals(spark: SparkSession, delta_dir: str) -> DataFrame:
     """Fold the per-batch deltas into the running report — the same
     columns (and the same exact-integer-ratio rate) as the batch
     ``dedup_token_savings`` query, so the two are directly comparable."""
-    deltas = spark.read.parquet(delta_dir)
-    totals = deltas.groupBy("source").agg(
-        *[F.sum(c).cast("long").alias(c) for c in _DELTA_COLS]
-    )
-    return totals.select(
+    return _fold_deltas(spark, delta_dir).select(
         "source",
         *_DELTA_COLS,
         round_half_up(
             F.col("tokens_dropped") / F.col("tokens_total").cast("double"), 6
         ).alias("savings_rate"),
+    )
+
+
+def policy_savings_report(
+    spark: SparkSession, delta_dir: str, frozen_extras: DataFrame
+) -> DataFrame:
+    """Live dedup-POLICY savings card — the streaming view of the
+    registered ``dedup_policy_savings`` table (the card a curation
+    owner watches between policy re-runs).
+
+    Frozen-base + live-deltas construction (the streaming/ann churn and
+    streaming/drift pattern): the EXACT tier accumulates live from the
+    ``token_savings_sink`` batch-id deltas (integer token sums commute,
+    exactly-once via dynamic partition overwrite), while the near-dup
+    and quality tiers ride ``frozen_extras`` — a (source, extra_minid,
+    extra_quality) relation pinned at the last batch policy run (the
+    registered card's tier-2/tier-3 EXTRA token savings over the exact
+    tier; cluster membership and keeper choice are global decisions
+    that are NOT delta-additive, which is exactly why the batch card
+    re-runs on a cadence and this view folds live exact savings onto
+    its frozen extras in between). Columns and the integer-ratio rates
+    are the registered card's, so the two are row-for-row comparable:
+    when the frozen extras come from the same corpus the fold has
+    ingested (in key order, the ``dedup_token_savings`` parity regime),
+    the report EQUALS the registered batch card exactly — asserted
+    with no tolerance by the parity test. The |sources|-sized extras
+    relation broadcasts onto the folded totals; nothing corpus-sized
+    moves at report time."""
+    totals = _fold_deltas(spark, delta_dir)
+    extras = frozen_extras.select(
+        "source",
+        F.col("extra_minid").cast("long").alias("extra_minid"),
+        F.col("extra_quality").cast("long").alias("extra_quality"),
+    )
+    j = totals.join(F.broadcast(extras), "source", "left")
+    saved_exact = F.col("tokens_dropped")
+    neardup = saved_exact + F.coalesce("extra_minid", F.lit(0))
+    qual = saved_exact + F.coalesce("extra_quality", F.lit(0))
+    tot = F.col("tokens_total").cast("double")
+    return j.select(
+        "source",
+        "n_docs",
+        "tokens_total",
+        saved_exact.alias("tokens_saved_exact"),
+        neardup.cast("long").alias("tokens_saved_neardup"),
+        qual.cast("long").alias("tokens_saved_quality"),
+        round_half_up(saved_exact / tot, 6).alias("rate_exact"),
+        round_half_up(neardup / tot, 6).alias("rate_neardup"),
+        round_half_up(qual / tot, 6).alias("rate_quality"),
     )

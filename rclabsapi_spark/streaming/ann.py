@@ -72,11 +72,25 @@ def churn_report(
     directly comparable. ``base_sizes`` is the frozen index's
     (centroid_id, n_base) list-size relation; centroids with no
     arrivals report n_new = 0. new_share divides exact integer
-    counts."""
-    from rclabsapi_spark.functions.scalars import round_half_up
+    counts.
 
+    The delta store is read with an EXPLICIT schema via the accounting
+    module's ``_read_or_empty``: before any non-empty batch lands — or
+    when every batch so far assigned zero vectors, so the dynamic
+    overwrite created the directory but no partition files — the store
+    folds to an empty relation and the report correctly returns
+    ``base_sizes`` with n_new = 0 instead of raising on schema
+    inference (ADVICE r13)."""
+    from rclabsapi_spark.functions.scalars import round_half_up
+    from rclabsapi_spark.streaming.accounting import _read_or_empty
+
+    id_type = dict(base_sizes.dtypes)["centroid_id"]
     arrivals = (
-        spark.read.parquet(delta_dir)
+        _read_or_empty(
+            spark,
+            delta_dir,
+            f"centroid_id {id_type}, n_new long, batch_id long",
+        )
         .groupBy("centroid_id")
         .agg(F.sum("n_new").cast("long").alias("n_new"))
     )

@@ -177,10 +177,23 @@ def centroid_drift_report(
     construction (suites/llm.py centroid conventions), and takes the
     micro-int cosine per label — so the report equals the batch
     computation over the same rows exactly. The |labels|·|dim| baseline
-    broadcasts onto the folded components."""
-    from rclabsapi_spark.functions.scalars import round_half_up
+    broadcasts onto the folded components.
 
-    deltas = spark.read.parquet(delta_dir)
+    The delta store is read with an EXPLICIT schema via the accounting
+    module's ``_read_or_empty``: an absent or partition-file-free store
+    (no batch yet, or only empty batches under dynamic overwrite) folds
+    to an empty relation — the report returns zero rows rather than
+    raising on schema inference (ADVICE r13)."""
+    from rclabsapi_spark.functions.scalars import round_half_up
+    from rclabsapi_spark.streaming.accounting import _read_or_empty
+
+    label_type = dict(baseline.dtypes)["label"]
+    deltas = _read_or_empty(
+        spark,
+        delta_dir,
+        f"label {label_type}, pos int, sum_nano decimal(38,0),"
+        " n long, batch_id long",
+    )
     folded = deltas.groupBy("label", "pos").agg(
         F.sum("sum_nano").alias("s"),
         F.sum("n").alias("n"),

@@ -38,24 +38,29 @@ sized AS (
     SELECT *, COUNT(*) OVER (PARTITION BY block) AS block_n FROM base
 ),
 subbed AS (
-    -- blocks within the cap keep sub 0 (exact recall); oversized blocks
-    -- salt into ceil(size/cap) md5 sub-blocks (blocked_fuzzy_pairs)
-    SELECT key, name, block,
+    -- blocks within the cap keep a single (sid 0, sub 0) entry (exact
+    -- recall); oversized blocks salt into ceil(size/cap) md5 sub-blocks
+    -- INDEPENDENTLY per salt, pairs unioned DISTINCT across salts —
+    -- recall 1-(1-1/n_sub)^2 for 2x the capped work (blocked_fuzzy_pairs)
+    SELECT key, name, block, s.sid,
            CASE WHEN block_n <= 1000 THEN CAST(0 AS BIGINT)
                 ELSE CAST(concat('0x', substring(
-                         md5('sub' || CAST(key AS VARCHAR)), 1, 8))
+                         md5(s.salt || CAST(key AS VARCHAR)), 1, 8))
                      AS BIGINT)
                      % CAST(ceil(block_n / 1000.0) AS BIGINT)
            END AS sub
     FROM sized
+    CROSS JOIN (VALUES (0, 'sub'), (1, 'sub2')) AS s(sid, salt)
+    WHERE block_n > 1000 OR s.sid = 0
 )
-SELECT a.key AS key_a, b.key AS key_b,
+SELECT DISTINCT a.key AS key_a, b.key AS key_b,
        levenshtein(a.name, b.name)::BIGINT AS lev_dist,
        FLOOR((1.0 - levenshtein(a.name, b.name)::DOUBLE /
               GREATEST(length(a.name), length(b.name))::DOUBLE)
              * 1000000.0 + 0.5) / 1000000.0 AS name_sim
 FROM subbed a JOIN subbed b
-  ON a.block = b.block AND a.sub = b.sub AND a.key < b.key
+  ON a.block = b.block AND a.sid = b.sid AND a.sub = b.sub
+ AND a.key < b.key
 WHERE levenshtein(a.name, b.name) <= 1
 """
 
@@ -64,11 +69,12 @@ WHERE levenshtein(a.name, b.name) <= 1
 def q_fuzzy_names(spark, sf_dir):
     """Near-duplicate customer names by edit distance ≤ 1 inside
     drop-last-two-digits blocks. No all-pairs join: candidates come from
-    (block, sub-block) equality (one shuffle on the key), oversized
-    blocks salt into ⌈size/cap⌉ md5 sub-blocks — partial recall with
-    ~size·cap bounded work instead of the pre-r13 all-or-nothing drop —
-    and levenshtein runs JVM-side on candidates only.
-    operators/linkage.py::blocked_fuzzy_pairs."""
+    (block, salt, sub-block) equality (one shuffle on the key),
+    oversized blocks salt into ⌈size/cap⌉ md5 sub-blocks independently
+    under TWO salts with the pairs unioned distinct — recall
+    1−(1−1/n_sub)² for 2·size·cap bounded work instead of the pre-r13
+    all-or-nothing drop — and levenshtein runs JVM-side on candidates
+    only. operators/linkage.py::blocked_fuzzy_pairs."""
     cust = load_table(spark, sf_dir, "customer")
     block = F.expr("substring(c_name, 1, length(c_name) - 2)")
     return blocked_fuzzy_pairs(

@@ -187,3 +187,58 @@ def test_bigint_grid_accumulators_are_bounded_group_only():
         "groups wrap BIGINT) or document the bound here:\n"
         + "\n".join(offenders)
     )
+
+
+# ---------------------------------------------------------------------------
+# grid_term: the guarded large-magnitude grid conversion (ADVICE r13)
+# ---------------------------------------------------------------------------
+
+
+def test_grid_term_bit_identical_to_duckdb_below_ceiling(spark):
+    """grid_term must equal DuckDB's CAST(FLOOR(x*grid+0.5) AS HUGEINT)
+    for doubles through the ENTIRE supported domain — including
+    (2^53, 2^63) where Spark's floor->long stays exact but a
+    double->decimal cast would already diverge (shortest-repr
+    conversion vs exact binary value)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from rclabsapi_spark.functions.scalars import grid_term
+
+    xs = [
+        0.0,
+        123.456789123,
+        -987.000000001,
+        9.8e6,          # grid value ~9.8e15 > 2^53: the exactness zone
+        1.23456789e9,   # grid value ~1.2e18, deep in (2^53, 2^63)
+        9.2e9,          # grid value 9.2e18, just under 2^63
+    ]
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    got = [
+        int(r["g"])
+        for r in df.select(grid_term(F.col("x")).alias("g"))
+        .orderBy("g")
+        .collect()
+    ]
+    want = sorted(
+        int(row[0])
+        for row in duckdb.sql(
+            f"SELECT CAST(FLOOR(x * 1e9 + 0.5) AS HUGEINT) AS g FROM "
+            f"(SELECT UNNEST({xs!r}::DOUBLE[]) AS x)"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_grid_term_raises_loudly_past_2_63(spark):
+    """Above the 2^63 grid ceiling Spark's long floor would silently
+    saturate (and NO decimal path matches DuckDB's exact double
+    conversion) — the contract is a loud per-row error instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rclabsapi_spark.functions.scalars import grid_term
+
+    df = spark.createDataFrame([(1.0e10,)], "x double")  # 1e19 > 2^63
+    with pytest.raises(Exception, match="grid ceiling"):
+        df.select(grid_term(F.col("x")).alias("g")).collect()

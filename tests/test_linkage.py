@@ -88,28 +88,39 @@ def test_fuzzy_pairs_block_cap_degrades_to_subblocks(spark):
     }
     assert 0 < len(got) < len(brute)
     assert got <= brute
-    # sub-block membership is the md5 hash the operator claims
+    # sub-block membership is the md5 hash the operator claims — under
+    # EITHER of the two independent salts (r14 union contract)
     n = cust.count()
     n_sub = -(-n // 10)
-    sub = {
-        r["key"]: r["s"]
-        for r in base.select(
-            "key",
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit("sub"), F.col("key").cast("string"))),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % n_sub
-            ).alias("s"),
-        ).collect()
+    subs = {}
+    for salt in ("sub", "sub2"):
+        subs[salt] = {
+            r["key"]: r["s"]
+            for r in base.select(
+                "key",
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(salt), F.col("key").cast("string")
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % n_sub
+                ).alias("s"),
+            ).collect()
+        }
+    assert got == {
+        p
+        for p in brute
+        if any(subs[s][p[0]] == subs[s][p[1]] for s in ("sub", "sub2"))
     }
-    assert got == {p for p in brute if sub[p[0]] == sub[p[1]]}
 
 
 from hypothesis import HealthCheck, given, settings
@@ -135,11 +146,12 @@ from hypothesis import strategies as st
 )
 def test_fuzzy_subblock_recall_contract(spark, rows, max_block):
     """Property: the emitted pair set is EXACTLY the brute-force
-    qualifying pairs restricted to same-sub-block membership, where sub
-    is 0 for blocks within the cap and md5(salt||key) % ceil(size/cap)
-    otherwise — i.e. blocks at/below the cap have exact recall, blocks
-    above degrade to the documented hash-partition recall, and nothing
-    outside the contract ever appears."""
+    qualifying pairs restricted to same-sub-block membership under AT
+    LEAST ONE of the two salts, where sub is 0 for blocks within the
+    cap and md5(salt||key) % ceil(size/cap) per salt otherwise — i.e.
+    blocks at/below the cap have exact recall, blocks above degrade to
+    the documented 1−(1−1/n_sub)² union recall, and nothing outside
+    the contract ever appears (each pair exactly once)."""
     import hashlib
     import math
 
@@ -175,19 +187,25 @@ def test_fuzzy_subblock_recall_contract(spark, rows, max_block):
     for _, (_, b) in rows.items():
         sizes[b] = sizes.get(b, 0) + 1
 
-    def sub(key, block):
+    def subs(key, block):
         n = sizes[block]
         if n <= max_block:
-            return 0
+            return [0]
         n_sub = math.ceil(n / max_block)
-        h = hashlib.md5(f"sub{key}".encode()).hexdigest()[:8]
-        return int(h, 16) % n_sub
+        return [
+            int(hashlib.md5(f"{salt}{key}".encode()).hexdigest()[:8], 16)
+            % n_sub
+            for salt in ("sub", "sub2")
+        ]
 
     want = set()
     for ka, (na, ba) in rows.items():
         for kb, (nb, bb) in rows.items():
             if ka < kb and ba == bb and lev(na, nb) <= 1:
-                if sub(ka, ba) == sub(kb, bb):
+                if any(
+                    sa == sb
+                    for sa, sb in zip(subs(ka, ba), subs(kb, bb))
+                ):
                     want.add((ka, kb))
     assert got == want
 

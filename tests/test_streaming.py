@@ -1964,3 +1964,170 @@ def test_token_accounting_invariants_any_order(spark, docs, rng, n_batches):
             assert r["savings_rate"] == want_rate
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_churn_report_before_first_batch_returns_base_sizes(spark, tmp_path):
+    """An absent delta store (no batch has landed yet) must fold to
+    n_new = 0 for every centroid — not raise on schema inference
+    (ADVICE r13). Same for a store directory with no partition files."""
+    from rclabsapi_spark.streaming.ann import churn_report
+
+    base_sizes = spark.createDataFrame(
+        [(0, 10), (1, 3)], "centroid_id int, n_base long"
+    )
+    got = {
+        r["centroid_id"]: r.asDict()
+        for r in churn_report(
+            spark, str(tmp_path / "never_written"), base_sizes
+        ).collect()
+    }
+    assert got == {
+        0: {"centroid_id": 0, "n_base": 10, "n_new": 0,
+            "n_total": 10, "new_share": 0.0},
+        1: {"centroid_id": 1, "n_base": 3, "n_new": 0,
+            "n_total": 3, "new_share": 0.0},
+    }
+
+
+def test_centroid_drift_report_before_first_batch_returns_no_rows(
+    spark, tmp_path
+):
+    """An absent centroid-delta store folds to an empty report instead
+    of raising (ADVICE r13)."""
+    from rclabsapi_spark.streaming.drift import centroid_drift_report
+
+    baseline = spark.createDataFrame(
+        [("en", 0, 0.5), ("en", 1, 0.25)], "label string, pos int, c double"
+    )
+    assert (
+        centroid_drift_report(
+            spark, str(tmp_path / "never_written"), baseline
+        ).count()
+        == 0
+    )
+
+
+def test_token_savings_conflicting_batch_keys_pick_deterministic_survivor(
+    spark, tmp_path
+):
+    """When one micro-batch carries the same doc_id with DIFFERENT
+    text/source, the survivor must be deterministic — min by
+    (md5(text), source) — so a replay of that batch_id rewrites
+    identical deltas regardless of row order (ADVICE r13)."""
+    import hashlib
+
+    from rclabsapi_spark.streaming.accounting import (
+        token_savings_sink,
+        token_savings_totals,
+    )
+
+    rows = [(1, "zz yy xx", "s_z"), (1, "aa bb", "s_a"), (2, "c", "s_a")]
+    surv_text, surv_src = min(
+        ((t, s) for d, t, s in rows if d == 1),
+        key=lambda ts: (hashlib.md5(ts[0].encode()).hexdigest(), ts[1]),
+    )
+
+    def run(order, tag):
+        fp = str(tmp_path / f"fp_{tag}")
+        dl = str(tmp_path / f"dl_{tag}")
+        sink = token_savings_sink(fp, dl)
+        batch = spark.createDataFrame(
+            order, "doc_id long, text string, source string"
+        )
+        sink(batch, 0)
+        return {
+            r["source"]: r.asDict()
+            for r in token_savings_totals(spark, dl).collect()
+        }
+
+    fwd = run(rows, "fwd")
+    rev = run(list(reversed(rows)), "rev")
+    assert fwd == rev
+    # the surviving copy is the md5-min one: its source carries doc 1
+    n_tok = len(surv_text.split())
+    assert fwd[surv_src]["n_docs"] >= 1
+    assert fwd[surv_src]["tokens_total"] >= n_tok
+
+
+def test_policy_savings_stream_matches_batch_card(spark, tmp_path):
+    """Replay parity for the live policy-savings card: documents
+    ingested as doc_id-ordered micro-batches through the accounting
+    sink, folded with the frozen near-dup/quality extras of the last
+    batch policy run, must equal the registered
+    ``dedup_policy_savings`` card row-for-row (all three tiers and all
+    three rates, no tolerance) — and a replayed micro-batch must not
+    change it. Before ANY batch lands, the report degrades to zero
+    rows instead of raising (the _read_or_empty contract)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rclabsapi_spark.registry import get_registry
+    from rclabsapi_spark.streaming.accounting import (
+        policy_savings_report,
+        token_savings_sink,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+
+    card = get_registry()["dedup_policy_savings"].fn(spark, sf).cache()
+    frozen_extras = card.select(
+        "source",
+        (F.col("tokens_saved_neardup") - F.col("tokens_saved_exact"))
+        .alias("extra_minid"),
+        (F.col("tokens_saved_quality") - F.col("tokens_saved_exact"))
+        .alias("extra_quality"),
+    )
+    delta_dir = str(tmp_path / "deltas")
+    # first-batch window: absent store folds to an empty card
+    assert (
+        policy_savings_report(spark, delta_dir, frozen_extras).count() == 0
+    )
+
+    hi = docs.agg({"doc_id": "max"}).first()[0] + 1
+    cuts = [0, hi // 3, 2 * hi // 3, hi]
+    in_dir = str(tmp_path / "docs_in")
+    os.makedirs(in_dir)
+    for i, (lo, up) in enumerate(zip(cuts, cuts[1:])):
+        part = docs.filter(
+            (docs.doc_id >= lo) & (docs.doc_id < up)
+        ).coalesce(1)
+        part.write.mode("append").parquet(in_dir)
+        for f in os.listdir(in_dir):
+            p = os.path.join(in_dir, f)
+            if f.endswith(".parquet") and os.path.getmtime(p) > 1e9 + i:
+                os.utime(p, (1e9 + i, 1e9 + i))
+
+    sink = token_savings_sink(str(tmp_path / "fp_store"), delta_dir)
+    q = (
+        spark.readStream.format("parquet")
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(in_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_pol"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    def snap():
+        return {
+            r["source"]: r.asDict()
+            for r in policy_savings_report(
+                spark, delta_dir, frozen_extras
+            ).collect()
+        }
+
+    want = {r["source"]: r.asDict() for r in card.collect()}
+    assert snap() == want
+
+    # replay the LAST micro-batch verbatim (at-least-once contract):
+    # overwrites its own partitions, the card must be unchanged
+    last = docs.filter(
+        (docs.doc_id >= cuts[-2]) & (docs.doc_id < cuts[-1])
+    )
+    sink(last, 2)
+    assert snap() == want
+    card.unpersist()
