@@ -54,26 +54,35 @@ def blocked_fuzzy_pairs(
     the blocked positions is not generated, which is the documented
     tradeoff that makes the operator linear-ish instead of n².
 
-    Cap semantics (r13, multi-salt r14): a block within ``max_block``
-    keeps a single sub-block 0, so its recall is exact and costs one
-    candidate row. A block of size B > ``max_block`` is salted into
-    n_sub = ⌈B/max_block⌉ md5 sub-blocks INDEPENDENTLY per salt in
-    ``salts`` (pure functions of the key, mirrored in the oracle), and
-    the emitted pairs are the DISTINCT union over salts — a pair is
-    found iff both rows land in the same sub-block under at least one
-    salt, so within-block recall is 1−(1−1/n_sub)^|salts| (two salts:
-    ~75% at n_sub=2, ~44% at n_sub=4) for |salts|·B·max_block pair
-    work instead of B² — the head-block regime ("J. Smith") where dup
-    mass concentrates degrades gracefully, never to zero, and doubling
-    the salt list doubles the (already linear) capped work, never the
-    quadratic term.
+    Cap semantics (r13, second-salt union r14): a block within
+    ``max_block`` keeps a single sub-block 0, so its recall is exact. A
+    block of size B > ``max_block`` is salted into n_sub =
+    ⌈B/max_block⌉ md5 sub-blocks INDEPENDENTLY under two salts (pure
+    functions of the key, mirrored in the oracle), and a pair is
+    emitted iff both rows share a sub-block under AT LEAST ONE salt —
+    within-block recall 1−(1−1/n_sub)² (~75% at n_sub=2, ~44% at
+    n_sub=4, vs 1/n_sub single-salt) for 2·B·max_block pair work
+    instead of B² — the head-block regime ("J. Smith") where dup mass
+    concentrates degrades gracefully, never to zero, and the second
+    salt doubles the (already linear) capped work, never the quadratic
+    term.
+
+    Exactly-once per pair WITHOUT an output-side exchange: each pair is
+    emitted under its FIRST matching salt — the salt-0 join on
+    (block, sub0), then a salt-1 rescue join on (block, sub1) filtered
+    to ``a.sub0 != b.sub0`` — two disjoint branches unioned, so no
+    distinct/dropDuplicates shuffle on the (potentially tens of
+    millions of rows) pair relation. ``sub1`` is NULL for blocks
+    within the cap, so the rescue join's input is EMPTY in the common
+    no-oversized-block case and the second salt costs nothing there
+    (equi-join null keys drop).
 
     Block sizes come from a partial-combining aggregate joined back
     (NOT a count-over-block window): a window would funnel the whole
     hot block through one task, and window skew is exactly what AQE
-    cannot split — the size join and the (block, sid, sub) pair join
-    both stay AQE-skew-splittable, and every post-sub join group is
-    ~max_block by construction.
+    cannot split — the size join and both pair joins stay
+    AQE-skew-splittable, and every post-sub join group is ~max_block
+    by construction.
 
     Cache lifetime (ADVICE r13): the subbed relation is cached so both
     pair-join sides reuse one materialization (the basket_pair_support
@@ -111,63 +120,49 @@ def blocked_fuzzy_pairs(
             % n_sub
         )
 
-    # one (salt-id, sub) entry for small blocks, one per salt for
-    # oversized blocks — exploded so the pair join key is (block, sid,
-    # sub) and each salt's candidate space stays ~max_block-sized
-    entries = F.when(
-        F.col("block_n") <= max_block,
-        F.array(
-            F.struct(
-                F.lit(0).alias("sid"), F.lit(0).cast("long").alias("sub")
-            )
-        ),
-    ).otherwise(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("sid"), sub_for(s).alias("sub")
-                )
-                for i, s in enumerate(salts)
-            ]
-        )
-    )
+    oversized = F.col("block_n") > max_block
     base = (
         named.join(sizes, "block")
         .select(
             "key",
             "name",
             "block",
-            F.explode(entries).alias("_ss"),
-        )
-        .select(
-            "key",
-            "name",
-            "block",
-            F.col("_ss.sid").alias("sid"),
-            F.col("_ss.sub").alias("sub"),
+            F.when(~oversized, F.lit(0).cast("long"))
+            .otherwise(sub_for(salts[0]))
+            .alias("sub0"),
+            # NULL for in-cap blocks: the rescue join's equi-key drops
+            # them, so the second salt is free in the common case
+            F.when(oversized, sub_for(salts[1])).alias("sub1"),
         )
         .cache()
     )
-    a, b = base.alias("a"), base.alias("b")
-    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
-    name_len = F.greatest(F.length("a.name"), F.length("b.name"))
-    return (
-        a.join(b, ["block", "sid", "sub"])
-        .filter(F.col("a.key") < F.col("b.key"))
-        .filter(dist <= max_dist)
-        .select(
-            F.col("a.key").alias("key_a"),
-            F.col("b.key").alias("key_b"),
-            dist.cast("long").alias("lev_dist"),
-            round_half_up(
-                1.0 - dist.cast("double") / name_len.cast("double")
-            ).alias("name_sim"),
+
+    def emit(joined):
+        dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
+        name_len = F.greatest(F.length("a.name"), F.length("b.name"))
+        return (
+            joined.filter(F.col("a.key") < F.col("b.key"))
+            .filter(dist <= max_dist)
+            .select(
+                F.col("a.key").alias("key_a"),
+                F.col("b.key").alias("key_b"),
+                dist.cast("long").alias("lev_dist"),
+                round_half_up(
+                    1.0 - dist.cast("double") / name_len.cast("double")
+                ).alias("name_sim"),
+            )
         )
-        # a pair found under BOTH salts appears once — lev_dist and
-        # name_sim are functions of the pair, so key-level dedup is
-        # deterministic
-        .dropDuplicates(["key_a", "key_b"])
+
+    a, b = base.alias("a"), base.alias("b")
+    first = emit(a.join(b, ["block", "sub0"]))
+    # rescue: pairs the first salt separated — disjoint from `first`
+    # by the sub0 inequality, so the union is exactly-once per pair
+    second = emit(
+        a.join(b, ["block", "sub1"]).filter(
+            F.col("a.sub0") != F.col("b.sub0")
+        )
     )
+    return first.unionByName(second)
 
 
 def basket_pair_support(

@@ -38,28 +38,43 @@ sized AS (
     SELECT *, COUNT(*) OVER (PARTITION BY block) AS block_n FROM base
 ),
 subbed AS (
-    -- blocks within the cap keep a single (sid 0, sub 0) entry (exact
-    -- recall); oversized blocks salt into ceil(size/cap) md5 sub-blocks
-    -- INDEPENDENTLY per salt, pairs unioned DISTINCT across salts —
-    -- recall 1-(1-1/n_sub)^2 for 2x the capped work (blocked_fuzzy_pairs)
-    SELECT key, name, block, s.sid,
+    -- blocks within the cap keep sub0 = 0 / sub1 = NULL (exact recall,
+    -- rescue join drops on the null key); oversized blocks salt into
+    -- ceil(size/cap) md5 sub-blocks INDEPENDENTLY under two salts —
+    -- recall 1-(1-1/n_sub)^2 for 2x the capped work; each pair is
+    -- emitted under its FIRST matching salt, so the two branches are
+    -- disjoint and the union needs no DISTINCT (blocked_fuzzy_pairs)
+    SELECT key, name, block,
            CASE WHEN block_n <= 1000 THEN CAST(0 AS BIGINT)
                 ELSE CAST(concat('0x', substring(
-                         md5(s.salt || CAST(key AS VARCHAR)), 1, 8))
+                         md5('sub' || CAST(key AS VARCHAR)), 1, 8))
                      AS BIGINT)
                      % CAST(ceil(block_n / 1000.0) AS BIGINT)
-           END AS sub
+           END AS sub0,
+           CASE WHEN block_n <= 1000 THEN NULL
+                ELSE CAST(concat('0x', substring(
+                         md5('sub2' || CAST(key AS VARCHAR)), 1, 8))
+                     AS BIGINT)
+                     % CAST(ceil(block_n / 1000.0) AS BIGINT)
+           END AS sub1
     FROM sized
-    CROSS JOIN (VALUES (0, 'sub'), (1, 'sub2')) AS s(sid, salt)
-    WHERE block_n > 1000 OR s.sid = 0
 )
-SELECT DISTINCT a.key AS key_a, b.key AS key_b,
+SELECT a.key AS key_a, b.key AS key_b,
        levenshtein(a.name, b.name)::BIGINT AS lev_dist,
        FLOOR((1.0 - levenshtein(a.name, b.name)::DOUBLE /
               GREATEST(length(a.name), length(b.name))::DOUBLE)
              * 1000000.0 + 0.5) / 1000000.0 AS name_sim
 FROM subbed a JOIN subbed b
-  ON a.block = b.block AND a.sid = b.sid AND a.sub = b.sub
+  ON a.block = b.block AND a.sub0 = b.sub0 AND a.key < b.key
+WHERE levenshtein(a.name, b.name) <= 1
+UNION ALL
+SELECT a.key AS key_a, b.key AS key_b,
+       levenshtein(a.name, b.name)::BIGINT AS lev_dist,
+       FLOOR((1.0 - levenshtein(a.name, b.name)::DOUBLE /
+              GREATEST(length(a.name), length(b.name))::DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS name_sim
+FROM subbed a JOIN subbed b
+  ON a.block = b.block AND a.sub1 = b.sub1 AND a.sub0 <> b.sub0
  AND a.key < b.key
 WHERE levenshtein(a.name, b.name) <= 1
 """
