@@ -2131,3 +2131,110 @@ def test_policy_savings_stream_matches_batch_card(spark, tmp_path):
     sink(last, 2)
     assert snap() == want
     card.unpersist()
+
+
+def test_crawl_budget_stream_matches_batch_allocation(spark, tmp_path):
+    """Replay parity for the live crawl-budget twin — the strongest
+    parity class here: per-domain COUNT deltas commute in any ingestion
+    order, so documents ingested under a deliberately NON-key-ordered
+    split (doc_id % 3) still fold to EXACTLY the registered
+    ``clean_crawl_budget`` allocation when the frozen priors come from
+    the same corpus; a replayed micro-batch must not change it, and an
+    absent store folds to a zero-row report."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rclabsapi_spark.llm.cleaning import (
+        canonicalize_url,
+        url_registrable_domain,
+    )
+    from rclabsapi_spark.registry import get_registry
+    from rclabsapi_spark.streaming.budget import (
+        crawl_budget_report,
+        domain_count_sink,
+    )
+    from rclabsapi_spark.suites.cleaning import (
+        _BUDGET_MULT,
+        _BUDGET_TAU,
+        _domain_quality_frame,
+        _pseudo_url_col,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    frozen = (
+        _domain_quality_frame(spark, sf).select("domain", "priority").cache()
+    )
+    delta_dir = str(tmp_path / "deltas")
+
+    def snap():
+        return {
+            r["domain"]: r.asDict()
+            for r in crawl_budget_report(
+                spark,
+                delta_dir,
+                frozen,
+                tau=_BUDGET_TAU,
+                budget_multiplier=_BUDGET_MULT,
+            ).collect()
+        }
+
+    assert snap() == {}  # first-batch window: absent store, no rows
+
+    in_dir = str(tmp_path / "docs_in")
+    os.makedirs(in_dir)
+    for i in range(3):
+        part = docs.filter(docs.doc_id % 3 == i).coalesce(1)
+        part.write.mode("append").parquet(in_dir)
+        for f in os.listdir(in_dir):
+            p = os.path.join(in_dir, f)
+            if f.endswith(".parquet") and os.path.getmtime(p) > 1e9 + i:
+                os.utime(p, (1e9 + i, 1e9 + i))
+
+    domain = url_registrable_domain(canonicalize_url(_pseudo_url_col()))
+    sink = domain_count_sink(delta_dir, domain_col=domain)
+    q = (
+        spark.readStream.format("parquet")
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(in_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_bud"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    want = {
+        r["domain"]: r.asDict()
+        for r in get_registry()["clean_crawl_budget"].fn(spark, sf).collect()
+    }
+    got = snap()
+    assert got == want
+
+    # replay the LAST micro-batch verbatim: overwrites its own
+    # partitions, the allocation must be unchanged (exactly-once)
+    sink(docs.filter(docs.doc_id % 3 == 2), 2)
+    assert snap() == want
+
+    # a live domain with NO frozen prior gets zero weight and a zero
+    # target (the "needs a prior first" signal), never NULL
+    sink(
+        docs.limit(5).withColumn("doc_id", F.col("doc_id") + 10_000_000),
+        3,
+    )
+    after = crawl_budget_report(
+        spark,
+        delta_dir,
+        frozen.limit(0),  # adversarial: NO priors at all -> Z = 0
+        tau=_BUDGET_TAU,
+        budget_multiplier=_BUDGET_MULT,
+    )
+    rows = after.collect()
+    assert len(rows) > 0
+    assert all(
+        r["priority"] == 0.0 and r["w_temp"] == 0.0 and r["target_docs"] == 0
+        for r in rows
+    )
+    frozen.unpersist()
