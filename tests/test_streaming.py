@@ -2238,3 +2238,103 @@ def test_crawl_budget_stream_matches_batch_allocation(spark, tmp_path):
         for r in rows
     )
     frozen.unpersist()
+
+
+@settings(
+    max_examples=5,  # each example runs several Spark write jobs
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    doc_ids=st.lists(
+        st.integers(0, 59), min_size=1, max_size=40, unique=True
+    ),
+    rng=st.randoms(use_true_random=False),
+    n_batches=st.integers(1, 4),
+)
+def test_crawl_budget_fold_is_order_free(spark, doc_ids, rng, n_batches):
+    """Property behind the crawl twin's headline claim: for ANY subset
+    of documents, ANY random partition of it into micro-batches, and
+    ANY batch order, the folded report equals the batch allocation
+    computed directly on that subset (counts commute — no ingestion-
+    order precondition at all). Replaying every batch once more in a
+    second random order must change nothing."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from rclabsapi_spark.llm.cleaning import (
+        canonicalize_url,
+        url_registrable_domain,
+    )
+    from rclabsapi_spark.llm.sampling import crawl_budget_allocation
+    from rclabsapi_spark.streaming.budget import (
+        crawl_budget_report,
+        domain_count_sink,
+    )
+    from rclabsapi_spark.suites.cleaning import (
+        _domain_quality_frame,
+        _pseudo_url_col,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+        F.col("doc_id").isin(doc_ids)
+    )
+    frozen = _domain_quality_frame(spark, sf).select("domain", "priority")
+    domain = url_registrable_domain(canonicalize_url(_pseudo_url_col()))
+
+    ids = list(doc_ids)
+    rng.shuffle(ids)
+    cuts = sorted(rng.sample(range(len(ids) + 1), min(n_batches - 1, len(ids))))
+    parts, lo = [], 0
+    for c in cuts + [len(ids)]:
+        parts.append(ids[lo:c])
+        lo = c
+
+    with tempfile.TemporaryDirectory() as tmp:
+        delta_dir = f"{tmp}/deltas"
+        sink = domain_count_sink(delta_dir, domain_col=domain)
+        order = list(range(len(parts)))
+        rng.shuffle(order)
+        for bid in order:
+            sink(docs.filter(F.col("doc_id").isin(parts[bid])), bid)
+
+        def snap():
+            return {
+                r["domain"]: r.asDict()
+                for r in crawl_budget_report(
+                    spark, delta_dir, frozen, tau=0.5,
+                    budget_multiplier=1.25,
+                ).collect()
+            }
+
+        got = snap()
+        stats = (
+            docs.select(domain.alias("domain"))
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .join(F.broadcast(frozen), "domain", "left")
+            .select(
+                "domain",
+                "n_docs",
+                F.coalesce("priority", F.lit(0.0)).alias("priority"),
+            )
+        )
+        want = {
+            r["domain"]: r.asDict()
+            for r in crawl_budget_allocation(
+                stats,
+                strat_col="domain",
+                size_col="n_docs",
+                priority_col="priority",
+                tau=0.5,
+                budget_multiplier=1.25,
+            ).collect()
+        }
+        assert got == want
+        # replay every batch in a fresh random order: exactly-once
+        rng.shuffle(order)
+        for bid in order:
+            sink(docs.filter(F.col("doc_id").isin(parts[bid])), bid)
+        assert snap() == want
