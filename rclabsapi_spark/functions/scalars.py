@@ -255,17 +255,26 @@ def grid_term(x: Column, grid: float = 1e9) -> Column:
     domain is |x·grid| < 2^63 — n^τ < 9.2e9 grid units ≙ multi-
     billion-count strata at τ=1, rescale τ or pre-normalize above
     that — and crossing it raises a loud per-row error instead of
-    silently diverging from the oracle."""
+    silently diverging from the oracle.
+
+    NULL propagates (ADVICE r14): a NULL term floors to NULL and SUM
+    skips it — same as the pre-guard behavior and as the oracle's
+    ``CAST(FLOOR(NULL) AS HUGEINT)``. The guard passes on NULL
+    explicitly (``assert_true`` raises when its condition is NULL, and
+    the concat'd message would itself be the literal string 'null'), so
+    a NULL priority/token count skips a row instead of hard-failing the
+    job with an unreadable error."""
     scaled = x * grid + F.lit(0.5)
     ceiling = float(2**63)
     guard = F.assert_true(
-        (scaled < F.lit(ceiling)) & (scaled > F.lit(-ceiling)),
+        scaled.isNull()
+        | ((scaled < F.lit(ceiling)) & (scaled > F.lit(-ceiling))),
         F.concat(
             F.lit(
                 "grid term exceeds the 2^63 grid ceiling"
                 " (|x*grid| too large; rescale tau/grid): "
             ),
-            scaled.cast("string"),
+            F.coalesce(scaled.cast("string"), F.lit("NULL")),
         ),
     )
     return F.when(guard.isNull(), F.floor(scaled)).cast("decimal(38,0)")

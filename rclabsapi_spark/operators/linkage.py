@@ -42,7 +42,7 @@ def blocked_fuzzy_pairs(
     block_col,
     max_dist: int = 1,
     max_block: int = 1000,
-    salts: tuple[str, ...] = ("sub", "sub2"),
+    salts: tuple[str, str] = ("sub", "sub2"),
 ) -> DataFrame:
     """Candidate duplicate pairs by edit distance within blocking keys:
     all (a, b) with ``a.key < b.key``, equal block, equal sub-block
@@ -93,7 +93,18 @@ def blocked_fuzzy_pairs(
     unpersist between invocations (``spark.catalog.clearCache()`` or
     hold/unpersist their own cached input); otherwise superseded
     entries linger until LRU eviction — storage pressure only, never
-    correctness."""
+    correctness.
+
+    The union construction is a fixed PAIR of salts (ADVICE r14): the
+    emission branches below hardcode a first-salt join plus one rescue
+    join, so a 1-tuple would IndexError mid-plan and extra salts would
+    be silently ignored while the docstring's recall formula implied
+    otherwise — rejected loudly at entry instead."""
+    if len(salts) != 2:
+        raise ValueError(
+            "blocked_fuzzy_pairs unions exactly two salted sub-blockings"
+            f" (recall 1-(1-1/n_sub)^2); got {len(salts)} salts"
+        )
     named = df.select(
         F.col(key_col).alias("key"),
         F.col(name_col).alias("name"),

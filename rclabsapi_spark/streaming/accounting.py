@@ -94,11 +94,16 @@ def token_savings_sink(
     Contract: ``key_col`` must be unique within a micro-batch — the
     statuses⋈batch join below is on that key, so a duplicated key would
     fan out and inflate n_docs/token totals. Enforced defensively on
-    entry (ADVICE r12) with a DETERMINISTIC survivor — min_by on
-    (md5(text), source), not ``dropDuplicates`` whose arbitrary pick
+    entry (ADVICE r12) with a DETERMINISTIC survivor — min_by on a
+    TOTAL ordering, not ``dropDuplicates`` whose arbitrary pick
     could make a replay of the same batch_id write different deltas
     than the original run when the same doc_id arrives with different
-    text/source in one batch (ADVICE r13). A source that replays the
+    text/source in one batch (ADVICE r13). The ordering key is
+    (md5(text), source) then every remaining column cast to string
+    (ADVICE r14): two rows identical in text+source but differing in,
+    say, a timestamp no longer tie into an arbitrary pick, and each
+    field is coalesced to '' so a NULL never routes through
+    unspecified null-within-struct ordering. A source that replays the
     same doc_id within one batch loses the extra copies, which is the
     correct dedup-accounting answer anyway."""
 
@@ -106,14 +111,24 @@ def token_savings_sink(
         spark = batch.sparkSession
         n = int(batch_id)
         others = [c for c in batch.columns if c != key_col]
+        tie = [
+            F.coalesce(F.col(c).cast("string"), F.lit("")).alias(f"t{i}")
+            for i, c in enumerate(
+                c for c in others if c not in (text_col, source_col)
+            )
+        ]
         batch = (
             batch.groupBy(key_col)
             .agg(
                 F.min_by(
                     F.struct(*[F.col(c) for c in others]),
                     F.struct(
-                        F.md5(F.col(text_col).cast("binary")).alias("h"),
-                        F.col(source_col).alias("s"),
+                        F.coalesce(
+                            F.md5(F.col(text_col).cast("binary")),
+                            F.lit(""),
+                        ).alias("h"),
+                        F.coalesce(F.col(source_col), F.lit("")).alias("s"),
+                        *tie,
                     ),
                 ).alias("_surv")
             )

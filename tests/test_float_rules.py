@@ -242,3 +242,41 @@ def test_grid_term_raises_loudly_past_2_63(spark):
     df = spark.createDataFrame([(1.0e10,)], "x double")  # 1e19 > 2^63
     with pytest.raises(Exception, match="grid ceiling"):
         df.select(grid_term(F.col("x")).alias("g")).collect()
+
+
+def test_grid_term_null_propagates_and_sum_skips(spark):
+    """ADVICE r14: a NULL term must floor to NULL (SUM skips it), the
+    pre-guard behavior and DuckDB's CAST(FLOOR(NULL) AS HUGEINT) — not
+    trip assert_true's raise-on-NULL-condition path with the literal
+    message 'null'. NULL priority reaching crawl_budget_allocation or a
+    NULL tokens_col in epoch_mixture_schedule skips the row instead of
+    hard-failing the job."""
+    from pyspark.sql import functions as F
+
+    from rclabsapi_spark.functions.scalars import grid_term
+
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (2.5,)], "x double"
+    )
+    rows = df.select(grid_term(F.col("x")).alias("g")).collect()
+    vals = sorted(
+        (int(r["g"]) if r["g"] is not None else None for r in rows),
+        key=lambda v: (v is None, v),
+    )
+    assert vals == [1_000_000_000, 2_500_000_000, None]
+    total = df.agg(F.sum(grid_term(F.col("x"))).alias("s")).collect()[0]
+    assert int(total["s"]) == 3_500_000_000
+
+
+def test_grid_term_error_message_survives_null_neighbors(spark):
+    """A real ceiling violation stays diagnosable even when other rows
+    are NULL: the message coalesces the offending value, never the
+    bare string 'null'."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rclabsapi_spark.functions.scalars import grid_term
+
+    df = spark.createDataFrame([(None,), (1.0e10,)], "x double")
+    with pytest.raises(Exception, match="grid ceiling"):
+        df.select(grid_term(F.col("x")).alias("g")).collect()

@@ -155,9 +155,15 @@ def test_fuzzy_subblock_recall_contract(spark, rows, max_block):
     import hashlib
     import math
 
+    import collections
+
     data = [(k, n, b) for k, (n, b) in rows.items()]
     df = spark.createDataFrame(data, "key long, name string, blk string")
-    got = {
+    # Counter, not set (ADVICE/VERDICT r14): multiset equality makes an
+    # accidental double-emission (e.g. a regression in the disjoint
+    # first-matching-salt branches) fail HERE, not only in the driver's
+    # multiplicity-sensitive UNION ALL value-hash.
+    got = collections.Counter(
         (r["key_a"], r["key_b"])
         for r in blocked_fuzzy_pairs(
             df,
@@ -167,7 +173,7 @@ def test_fuzzy_subblock_recall_contract(spark, rows, max_block):
             max_dist=1,
             max_block=max_block,
         ).collect()
-    }
+    )
 
     def lev(a, b):
         if len(a) < len(b):
@@ -207,7 +213,7 @@ def test_fuzzy_subblock_recall_contract(spark, rows, max_block):
                     for sa, sb in zip(subs(ka, ba), subs(kb, bb))
                 ):
                     want.add((ka, kb))
-    assert got == want
+    assert dict(got) == {p: 1 for p in want}
 
 
 def test_basket_pairs_symmetric_support(spark):
@@ -297,3 +303,26 @@ def test_last_touch_attribution_tiny_case(spark):
         for r in last_touch_attribution(df, conversion_type="purchase").collect()
     }
     assert got == {"click": (2, 12.0, 2 / 3), None: (1, 3.0, 1 / 3)}
+
+
+def test_fuzzy_salts_must_be_a_pair(spark):
+    """ADVICE r14: the union construction hardcodes exactly two salted
+    sub-blockings (first-salt join + one rescue join), so a 1-tuple
+    must fail loudly at entry instead of IndexError-ing mid-plan, and
+    3+ salts must not be silently ignored under a docstring that
+    implies they would widen recall."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "ann", "X"), (2, "ann", "X")],
+        "key long, name string, blk string",
+    )
+    for bad in (("one",), ("a", "b", "c")):
+        with pytest.raises(ValueError, match="exactly two"):
+            blocked_fuzzy_pairs(
+                df,
+                key_col="key",
+                name_col="name",
+                block_col=F.col("blk"),
+                salts=bad,
+            )
