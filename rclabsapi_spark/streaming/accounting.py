@@ -75,6 +75,47 @@ def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
         raise
 
 
+def deterministic_survivor(
+    batch: DataFrame,
+    *,
+    key_col: str,
+    text_col: str,
+    source_col: str,
+) -> DataFrame:
+    """One row per ``key_col``, chosen by a TOTAL ordering so a replay
+    of the same micro-batch picks the SAME survivor even when the key
+    arrived with conflicting rows (ADVICE r13/r14): min_by on
+    (md5(text), source, then every remaining column cast to string),
+    each field coalesced to '' so NULLs never route through unspecified
+    null-within-struct ordering. Shared by the accounting and
+    snapshot-card sinks — the unique-key defensive gate both contracts
+    require before their per-key joins."""
+    others = [c for c in batch.columns if c != key_col]
+    tie = [
+        F.coalesce(F.col(c).cast("string"), F.lit("")).alias(f"t{i}")
+        for i, c in enumerate(
+            c for c in others if c not in (text_col, source_col)
+        )
+    ]
+    return (
+        batch.groupBy(key_col)
+        .agg(
+            F.min_by(
+                F.struct(*[F.col(c) for c in others]),
+                F.struct(
+                    F.coalesce(
+                        F.md5(F.col(text_col).cast("binary")),
+                        F.lit(""),
+                    ).alias("h"),
+                    F.coalesce(F.col(source_col), F.lit("")).alias("s"),
+                    *tie,
+                ),
+            ).alias("_surv")
+        )
+        .select(key_col, "_surv.*")
+    )
+
+
 def token_savings_sink(
     fp_dir: str,
     delta_dir: str,
@@ -110,29 +151,8 @@ def token_savings_sink(
     def handle(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         n = int(batch_id)
-        others = [c for c in batch.columns if c != key_col]
-        tie = [
-            F.coalesce(F.col(c).cast("string"), F.lit("")).alias(f"t{i}")
-            for i, c in enumerate(
-                c for c in others if c not in (text_col, source_col)
-            )
-        ]
-        batch = (
-            batch.groupBy(key_col)
-            .agg(
-                F.min_by(
-                    F.struct(*[F.col(c) for c in others]),
-                    F.struct(
-                        F.coalesce(
-                            F.md5(F.col(text_col).cast("binary")),
-                            F.lit(""),
-                        ).alias("h"),
-                        F.coalesce(F.col(source_col), F.lit("")).alias("s"),
-                        *tie,
-                    ),
-                ).alias("_surv")
-            )
-            .select(key_col, "_surv.*")
+        batch = deterministic_survivor(
+            batch, key_col=key_col, text_col=text_col, source_col=source_col
         )
         store = _read_or_empty(
             spark, fp_dir, "text_hash string, batch_id long"

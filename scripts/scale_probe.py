@@ -16,11 +16,22 @@ C(100,2). sf0.1's measured max df is 25, so ×2 (df 50) is still below
 the guard and ×4 (df 100) is exactly at it — the probe shows the wall
 flattening as the guard engages, which no fixture SF can show.
 
-Usage: python scripts/scale_probe.py [mult ...] (default 1 2 4)
+Usage: python scripts/scale_probe.py [--diverse] [mult ...] (default 1 2 4)
 Writes replicas under /tmp/scale_probe/x{N}/ (repo and testdata are
 never touched). Output: one line per (query, mult) with wall seconds
 and result row count; timings are local[32] and carry the usual
 box-state jitter — read trends, not single cells.
+
+``--diverse`` (r15, VERDICT r14 "What's wrong" 2) builds the CONTROL
+corpus: same ×N document count, but grown by content diversity instead
+of wholesale duplication — every word in replica i is suffixed ``~i``,
+so no shingle/hash collides across replicas and the base corpus's
+natural dup structure (groups of 2-5) replicates per slice. True-pair
+mass grows LINEARLY in N (vs C(N,2) per base doc in replica mode), so
+an operator that does bounded work per true pair should show a
+near-linear wall here next to the replica corpus's data-inherent
+quadratic cell — converting the "a diversity-grown corpus would not
+show this" adjudication from argument into measurement.
 """
 
 from __future__ import annotations
@@ -66,15 +77,20 @@ def _replicas(df, mult: int, key: str, extra):
     return union.repartition(32)
 
 
-def build(spark, mult: int) -> str:
+def build(spark, mult: int, diverse: bool = False) -> str:
     """documents: marker token appended per replica (shingle df ×N,
     exact-dup structure trivial). customer: names kept IDENTICAL per
     replica, so every fuzzy-match block inflates ×N — the hot-block
     regime for Σ block² pair generation (sf0.1 is 150 blocks of
     exactly 100, so ×16 crosses max_block=1000 and ALL blocks salt
     into 2 sub-blocks: partial recall, ~size·cap work — the r13
-    graceful-degradation contract)."""
-    out = f"{BASE}/x{mult}"
+    graceful-degradation contract).
+
+    ``diverse=True`` swaps the documents transform for the per-word
+    ``~i`` suffix (no cross-replica shingle/hash overlap; within-slice
+    dup structure preserved) — the content-diversity control corpus.
+    customer/lineitem are built identically in both modes."""
+    out = f"{BASE}/{'d' if diverse else 'x'}{mult}"
     # Cache keyed on the SOURCE path: a replica built from a different
     # SPARK_GRAFT_SF_DIR must not be silently reused (ADVICE r12).
     marker = f"{out}/.src"
@@ -86,16 +102,23 @@ def build(spark, mult: int) -> str:
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
+
+    def doc_text(i: int):
+        if diverse:
+            # every word suffixed per replica: no shingle, minhash
+            # band, or exact hash collides across replicas; docs that
+            # were (near-)dups of each other within the base corpus
+            # stay (near-)dups within their slice
+            return F.regexp_replace(
+                F.col("text"), r"(\S+)", rf"$1~{i}"
+            ).alias("text")
+        return F.concat(F.col("text"), F.lit(f" r{i}")).alias("text")
+
     _replicas(
         docs,
         mult,
         "doc_id",
-        lambda i: [
-            F.concat(F.col("text"), F.lit(f" r{i}")).alias("text"),
-            "lang",
-            "source",
-            "n_chars",
-        ],
+        lambda i: [doc_text(i), "lang", "source", "n_chars"],
     ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
     cust = spark.read.parquet(f"{SRC}/customer.parquet")
     rest = [c for c in cust.columns if c != "c_custkey"]
@@ -119,18 +142,25 @@ def build(spark, mult: int) -> str:
 
 
 def main() -> None:
-    mults = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
+    argv = sys.argv[1:]
+    diverse = "--diverse" in argv
+    mults = [int(a) for a in argv if a != "--diverse"] or [1, 2, 4]
     spark = get_spark("scale_probe")
     reg = get_registry()
-    print(f"src={SRC}  queries={QUERIES}  mults={mults}", flush=True)
+    print(
+        f"src={SRC}  queries={QUERIES}  mults={mults}"
+        f"  mode={'diverse' if diverse else 'replica'}",
+        flush=True,
+    )
     for mult in mults:
-        sf_dir = build(spark, mult)
+        sf_dir = build(spark, mult, diverse=diverse)
         for name in QUERIES:
             fn = reg[name].fn
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             print(
-                f"x{mult:<2d} {name:<24s} {time.time() - t0:7.2f}s"
+                f"{'d' if diverse else 'x'}{mult:<2d}"
+                f" {name:<24s} {time.time() - t0:7.2f}s"
                 f"  rows={n}",
                 flush=True,
             )

@@ -2338,3 +2338,120 @@ def test_crawl_budget_fold_is_order_free(spark, doc_ids, rng, n_batches):
         for bid in order:
             sink(docs.filter(F.col("doc_id").isin(parts[bid])), bid)
         assert snap() == want
+
+
+def test_incremental_card_stream_matches_batch_card(spark, tmp_path):
+    """Replay parity for the live incremental dataset card — the
+    order-free class (the crawl-budget tier): the NEW snapshot ingested
+    under a deliberately NON-key-ordered split (doc_id % 3) against the
+    FROZEN old snapshot must fold to EXACTLY the registered
+    ``train_incremental_card`` rows (volume deltas, both mean
+    qualities, churn — no tolerance); a replayed micro-batch must not
+    change it; an absent store degrades to a zero-row report. Every
+    per-doc classification depends only on (doc, frozen snapshot) and
+    every delta is an integer sum, so no ingestion-order precondition
+    exists to violate."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rclabsapi_spark.llm.text import bpe_ish_count, quality_features
+    from rclabsapi_spark.registry import get_registry
+    from rclabsapi_spark.streaming.cards import (
+        incremental_card_report,
+        snapshot_ingest_sink,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    # the registered query's two synthesized snapshots, verbatim
+    old = docs.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.col("text"), F.lit(" rev0")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    new = docs.filter(F.col("doc_id") % 19 != 0).select(
+        "doc_id", "source", "text"
+    )
+
+    # the frozen relations pinned at the old snapshot's promotion: its
+    # fingerprints and its per-source card sums (the registered card's
+    # exact per-row terms)
+    frozen_fps = old.select(
+        "doc_id", "source", F.md5("text").alias("fp")
+    ).cache()
+    frozen_card = (
+        quality_features(
+            old,
+            carry=(
+                F.col("source"),
+                bpe_ish_count(F.col("text")).alias("n_tok"),
+            ),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(
+                F.round(F.col("quality_score") * 1000000, 0).cast("long")
+            ).alias("q_micro"),
+        )
+        .cache()
+    )
+
+    delta_dir = str(tmp_path / "deltas")
+    seen_dir = str(tmp_path / "seen")
+
+    def snap():
+        return {
+            r["source"]: r.asDict()
+            for r in incremental_card_report(
+                spark, delta_dir, seen_dir, frozen_card, frozen_fps
+            ).collect()
+        }
+
+    assert snap() == {}  # first-batch window: absent stores, no rows
+
+    in_dir = str(tmp_path / "snap_in")
+    os.makedirs(in_dir)
+    for i in range(3):
+        part = new.filter(new.doc_id % 3 == i).coalesce(1)
+        part.write.mode("append").parquet(in_dir)
+        for f in os.listdir(in_dir):
+            p = os.path.join(in_dir, f)
+            if f.endswith(".parquet") and os.path.getmtime(p) > 1e9 + i:
+                os.utime(p, (1e9 + i, 1e9 + i))
+
+    sink = snapshot_ingest_sink(frozen_fps, delta_dir, seen_dir)
+    q = (
+        spark.readStream.format("parquet")
+        .schema(new.schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(in_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_card"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    want = {
+        r["source"]: r.asDict()
+        for r in get_registry()["train_incremental_card"]
+        .fn(spark, sf)
+        .collect()
+    }
+    got = snap()
+    assert got == want
+
+    # replay the LAST micro-batch verbatim (at-least-once contract):
+    # dynamic partition overwrite of its own batch_id, card unchanged
+    sink(new.filter(new.doc_id % 3 == 2), 2)
+    assert snap() == want
+    frozen_fps.unpersist()
+    frozen_card.unpersist()
