@@ -15,10 +15,11 @@ Scale posture:
 - Fuzzy matching NEVER does the all-pairs cross join. Candidates come
   from equality on a blocking key (shuffle on the key); blocks over the
   ``max_block`` cap are salted into ⌈size/max_block⌉ md5 sub-blocks —
-  independently per salt, pairs unioned distinct across salts (r14) —
-  so pair work inside an oversized block is ~|salts|·size·max_block
+  independently per salt, pairs unioned disjointly across exactly TWO
+  salts (r14; the pair arity is part of the contract, checked at
+  entry) — so pair work inside an oversized block is ~2·size·max_block
   instead of size² and recall degrades gracefully to
-  1−(1−1/n_sub)^|salts| (a pair is found iff both rows share a
+  1−(1−1/n_sub)² (a pair is found iff both rows share a
   sub-block under at least one salt) rather than collapsing to zero
   when a head block ("J. Smith") crosses the cap. Edit distance runs
   JVM-side (``levenshtein``) on candidates only.

@@ -2455,3 +2455,149 @@ def test_incremental_card_stream_matches_batch_card(spark, tmp_path):
     assert snap() == want
     frozen_fps.unpersist()
     frozen_card.unpersist()
+
+
+@settings(
+    max_examples=5,  # each example runs several Spark write jobs
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    doc_ids=st.lists(
+        st.integers(0, 59), min_size=1, max_size=40, unique=True
+    ),
+    rng=st.randoms(use_true_random=False),
+    n_batches=st.integers(1, 4),
+)
+def test_incremental_card_fold_is_order_free(spark, doc_ids, rng, n_batches):
+    """Property behind the card twin's headline claim: for ANY subset
+    of the new snapshot, ANY random partition of it into micro-batches,
+    and ANY batch order, the folded report equals the incremental card
+    computed directly between the frozen old snapshot and that subset
+    (per-doc classification against a frozen base + integer deltas
+    commute — no ingestion-order precondition). Replaying every batch
+    once more in a second random order must change nothing. Docs of the
+    old snapshot outside the subset correctly count as removed churn."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from rclabsapi_spark.functions.scalars import round_half_up
+    from rclabsapi_spark.llm.text import bpe_ish_count, quality_features
+    from rclabsapi_spark.maintenance import snapshot_diff
+    from rclabsapi_spark.streaming.cards import (
+        incremental_card_report,
+        snapshot_ingest_sink,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    old = docs.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.col("text"), F.lit(" rev0")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    new = docs.filter(F.col("doc_id") % 19 != 0).select(
+        "doc_id", "source", "text"
+    )
+    subset = new.filter(F.col("doc_id").isin(doc_ids))
+
+    def card(d):
+        return (
+            quality_features(
+                d,
+                carry=(
+                    F.col("source"),
+                    bpe_ish_count(F.col("text")).alias("n_tok"),
+                ),
+            )
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tok").alias("n_tokens"),
+                F.sum(
+                    F.round(F.col("quality_score") * 1000000, 0).cast(
+                        "long"
+                    )
+                ).alias("q_micro"),
+            )
+        )
+
+    frozen_fps = old.select(
+        "doc_id", "source", F.md5("text").alias("fp")
+    )
+    frozen_card = card(old)
+
+    # expected: the registered card's construction applied directly to
+    # (old, subset) — reduced cards + fingerprint-diff churn
+    mq = lambda side: round_half_up(  # noqa: E731
+        F.col(f"{side}.q_micro").cast("double")
+        / (F.col(f"{side}.n_docs") * 1000000.0),
+        6,
+    )
+    diff = snapshot_diff(
+        frozen_fps,
+        subset.select("doc_id", "source", F.md5("text").alias("fp")),
+    ).select("source", "churn_rate")
+    want = {
+        r["source"]: r.asDict()
+        for r in frozen_card.alias("o")
+        .join(card(subset).alias("n"), "source")
+        .select(
+            "source",
+            F.col("o.n_docs").alias("n_docs_old"),
+            F.col("n.n_docs").alias("n_docs_new"),
+            (F.col("n.n_docs") - F.col("o.n_docs")).alias("delta_docs"),
+            (F.col("n.n_tokens") - F.col("o.n_tokens")).alias(
+                "delta_tokens"
+            ),
+            mq("o").alias("mean_quality_old"),
+            mq("n").alias("mean_quality_new"),
+        )
+        .select(
+            "*",
+            round_half_up(
+                F.col("mean_quality_new") - F.col("mean_quality_old"), 6
+            ).alias("delta_mean_quality"),
+        )
+        .join(diff, "source")
+        .collect()
+    }
+
+    ids = list(doc_ids)
+    rng.shuffle(ids)
+    cuts = sorted(
+        rng.sample(range(len(ids) + 1), min(n_batches - 1, len(ids)))
+    )
+    parts, lo = [], 0
+    for c in cuts + [len(ids)]:
+        parts.append(ids[lo:c])
+        lo = c
+
+    with tempfile.TemporaryDirectory() as tmp:
+        delta_dir, seen_dir = f"{tmp}/deltas", f"{tmp}/seen"
+        sink = snapshot_ingest_sink(frozen_fps, delta_dir, seen_dir)
+        order = list(range(len(parts)))
+        rng.shuffle(order)
+        for bid in order:
+            sink(new.filter(F.col("doc_id").isin(parts[bid])), bid)
+
+        def snap():
+            return {
+                r["source"]: r.asDict()
+                for r in incremental_card_report(
+                    spark, delta_dir, seen_dir, frozen_card, frozen_fps
+                ).collect()
+            }
+
+        assert snap() == want
+        # replay every batch in a fresh random order: exactly-once
+        rng.shuffle(order)
+        for bid in order:
+            sink(new.filter(F.col("doc_id").isin(parts[bid])), bid)
+        assert snap() == want
