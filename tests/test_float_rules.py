@@ -143,6 +143,12 @@ _BIGINT_GRID_ALLOWED = {
     # (documented headroom class, registry.py float rules)
     "llm/training.py",
     "suites/training.py",
+    # streaming twin of the incremental card: the SAME per-source
+    # quality micro sums as suites/training.py — row-for-row parity
+    # with the registered card requires the identical BIGINT class,
+    # and the bound is the same headroom argument (batch deltas are
+    # strictly smaller than the snapshot totals they fold into)
+    "streaming/cards.py",
     # per-domain quality micro sums — same headroom class
     "suites/cleaning.py",
     # |dim|-bounded centroid-component micro second levels (cm/gm)
