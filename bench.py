@@ -56,10 +56,30 @@ def _time_all(spark, bench_specs, sf_dir, runs=2):
     return {name: min(ts) for name, ts in samples.items()}, samples
 
 
+def _cpu_score() -> int:
+    """Fixed-work single-thread spin, higher = faster box. The bench
+    runs on whatever box the round hands it, and byte-identical queries
+    have measured ±15-25% wall swings across rounds (graph_triangles
+    4.2→5.7 s r13→r15 with no code change); this fingerprint makes box
+    drift MEASURABLE so cross-round comparisons can normalize instead
+    of adjudicating every swing from scratch. Pure-Python integer loop:
+    no allocation, no parallelism — deliberately insensitive to memory
+    and scheduler state, sensitive only to effective CPU speed."""
+    t0 = time.perf_counter()
+    n = 0
+    x = 0
+    while time.perf_counter() - t0 < 2.0:
+        for _ in range(10_000):
+            x = (x * 1103515245 + 12345) % 2147483648
+        n += 1
+    return n
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+    cpu_score = _cpu_score()
 
     spark = get_spark("rclabsapi-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -117,6 +137,7 @@ def main() -> None:
         "sf": sf,
         "rows_per_sec": int(rows_scanned / total) if total > 0 else None,
         "n_queries": len(timings),
+        "cpu_score": cpu_score,
     }
     if slope is not None:
         out["slope"] = slope
@@ -133,6 +154,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "rows_per_sec": out["rows_per_sec"],
+        "cpu_score": cpu_score,
     }))
 
 
