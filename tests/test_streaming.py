@@ -2601,3 +2601,110 @@ def test_incremental_card_fold_is_order_free(spark, doc_ids, rng, n_batches):
         for bid in order:
             sink(new.filter(F.col("doc_id").isin(parts[bid])), bid)
         assert snap() == want
+
+
+@settings(
+    max_examples=5,  # each example runs several Spark write jobs
+    deadline=None,
+    suppress_health_check=list(HealthCheck),
+)
+@given(
+    doc_ids=st.lists(
+        st.integers(0, 59), min_size=1, max_size=40, unique=True
+    ),
+    rng=st.randoms(use_true_random=False),
+    n_batches=st.integers(1, 4),
+)
+def test_token_savings_fold_holds_for_any_key_ordered_cuts(
+    spark, doc_ids, rng, n_batches
+):
+    """Property behind the keeper-class twin's documented precondition:
+    for ANY subset of documents and ANY partition of it into
+    KEY-ORDERED micro-batches (consecutive doc_id runs, ascending batch
+    ids — the regime where first-seen == min-key keeper), the folded
+    totals equal the batch token-savings computation on that subset.
+    The fixed-thirds parity test showed one such partition; this shows
+    the cut points don't matter. (Non-key-ordered ingestion is OUT of
+    contract for this twin — that's what the order-free crawl/card
+    twins are for.)"""
+    import tempfile
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from rclabsapi_spark.functions.scalars import round_half_up
+    from rclabsapi_spark.llm.text import token_count
+    from rclabsapi_spark.streaming.accounting import (
+        token_savings_sink,
+        token_savings_totals,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    subset = docs.filter(F.col("doc_id").isin(doc_ids))
+
+    # expected: the registered report's shape computed directly on the
+    # subset (global min-doc_id keeper per exact hash)
+    t = subset.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).alias("n_tok"),
+        F.md5(F.col("text")).alias("h"),
+    )
+    k = t.withColumn(
+        "keeper", F.min("doc_id").over(Window.partitionBy("h"))
+    )
+    dup = F.col("doc_id") != F.col("keeper")
+    want = {
+        r["source"]: r.asDict()
+        for r in k.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(dup.cast("int")).cast("long").alias("n_dup_docs"),
+            F.sum("n_tok").cast("long").alias("tokens_total"),
+            F.sum(F.when(dup, F.col("n_tok")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("tokens_dropped"),
+            F.sum(F.when(dup, F.lit(0)).otherwise(F.col("n_tok")))
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+        .select(
+            "*",
+            round_half_up(
+                F.col("tokens_dropped")
+                / F.col("tokens_total").cast("double"),
+                6,
+            ).alias("savings_rate"),
+        )
+        .collect()
+    }
+
+    # KEY-ORDERED random cuts: consecutive runs of the sorted ids,
+    # ingested with ascending batch ids
+    ids = sorted(doc_ids)
+    cuts = sorted(
+        rng.sample(range(len(ids) + 1), min(n_batches - 1, len(ids)))
+    )
+    parts, lo = [], 0
+    for c in cuts + [len(ids)]:
+        parts.append(ids[lo:c])
+        lo = c
+
+    with tempfile.TemporaryDirectory() as tmp:
+        fp_dir, delta_dir = f"{tmp}/fp", f"{tmp}/deltas"
+        sink = token_savings_sink(fp_dir, delta_dir)
+        for bid, part in enumerate(parts):
+            sink(docs.filter(F.col("doc_id").isin(part)), bid)
+
+        def snap():
+            return {
+                r["source"]: r.asDict()
+                for r in token_savings_totals(spark, delta_dir).collect()
+            }
+
+        assert snap() == want
+        # replay a random batch verbatim: exactly-once
+        bid = rng.randrange(len(parts))
+        sink(docs.filter(F.col("doc_id").isin(parts[bid])), bid)
+        assert snap() == want
