@@ -97,10 +97,18 @@ def snapshot_ingest_sink(
                 F.md5(F.col(text_col)).alias("_fp"),
             ),
         )
+        # moved mirrors the registered card's diffrow predicate exactly:
+        # o.fp IS NULL OR n.fp IS NULL OR o.fp <> n.fp. The isNull arms
+        # conflate absent-row with NULL-text on purpose (so does the
+        # oracle's full-outer fp), and the explicit _fp.isNull() arm
+        # keeps a NULL-text arrival counted as moved — a bare `!=`
+        # would yield NULL there and silently drop it from the SUM
+        # (the grid_term NULL class, caught in self-review r15).
         flagged = per_doc.join(old, key_col, "left").withColumn(
             "_moved",
             (
                 F.col("_fp_old").isNull()
+                | F.col("_fp").isNull()
                 | (F.col("_fp_old") != F.col("_fp"))
             ).cast("int"),
         )

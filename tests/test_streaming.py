@@ -2708,3 +2708,57 @@ def test_token_savings_fold_holds_for_any_key_ordered_cuts(
         bid = rng.randrange(len(parts))
         sink(docs.filter(F.col("doc_id").isin(parts[bid])), bid)
         assert snap() == want
+
+
+def test_incremental_card_null_text_arrival_counts_as_moved(spark, tmp_path):
+    """A live doc arriving with NULL text must count as MOVED (the
+    registered card's diffrow predicate: n.fp IS NULL ⇒ moved) — a bare
+    fp inequality would evaluate to NULL and silently drop it from the
+    moved SUM (the grid_term NULL class). Its token/quality terms
+    propagate NULL and drop out of the sums, same as the batch card."""
+    from pyspark.sql import functions as F
+
+    from rclabsapi_spark.llm.text import bpe_ish_count, quality_features
+    from rclabsapi_spark.streaming.cards import (
+        incremental_card_report,
+        snapshot_ingest_sink,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "s", "aa bb cc"), (2, "s", "dd ee ff")],
+        "doc_id long, source string, text string",
+    )
+    frozen_fps = old.select("doc_id", "source", F.md5("text").alias("fp"))
+    frozen_card = (
+        quality_features(
+            old,
+            carry=(
+                F.col("source"),
+                bpe_ish_count(F.col("text")).alias("n_tok"),
+            ),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(
+                F.round(F.col("quality_score") * 1000000, 0).cast("long")
+            ).alias("q_micro"),
+        )
+    )
+    # new snapshot: doc 1 arrives with NULL text (moved), doc 2
+    # unchanged, doc 3 added (moved); nothing removed
+    new = spark.createDataFrame(
+        [(1, "s", None), (2, "s", "dd ee ff"), (3, "s", "gg hh")],
+        "doc_id long, source string, text string",
+    )
+    delta_dir, seen_dir = str(tmp_path / "d"), str(tmp_path / "s")
+    snapshot_ingest_sink(frozen_fps, delta_dir, seen_dir)(new, 0)
+    rows = incremental_card_report(
+        spark, delta_dir, seen_dir, frozen_card, frozen_fps
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_docs_new"] == 3
+    # churn = (2 moved arrivals + 0 removed) / (3 arrived + 0 removed)
+    assert r["churn_rate"] == 0.666667
