@@ -55,9 +55,17 @@ def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
     batch). Any other read failure — corrupt footer, transient FS or
     permission error — must fail the batch: swallowing it would treat
     every previously-seen duplicate as 'kept', silently inflating
-    tokens_kept and seeding duplicate fingerprints (ADVICE r12)."""
+    tokens_kept and seeding duplicate fingerprints (ADVICE r12).
+    Compaction-aware (r15): when the store carries a compaction
+    manifest, the view is live-partitions-after-the-compaction-point ∪
+    the compacted file set (streaming/compaction.py) — every twin
+    reader resolves it through here without change."""
+    from rclabsapi_spark.streaming.compaction import read_store
+
     try:
-        return spark.read.schema(schema).parquet(path)
+        return read_store(
+            spark, spark.read.schema(schema).parquet(path), path, schema
+        )
     except AnalysisException as exc:
         # getCondition is the Spark 4 name; getErrorClass was removed on
         # some builds, so resolve the fallback lazily — an eager
@@ -149,8 +157,12 @@ def token_savings_sink(
     correct dedup-accounting answer anyway."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
+        from rclabsapi_spark.streaming.compaction import accept_batch
+
         spark = batch.sparkSession
         n = int(batch_id)
+        if not accept_batch(n, fp_dir, delta_dir):
+            return  # replay of a compacted batch: already folded
         batch = deterministic_survivor(
             batch, key_col=key_col, text_col=text_col, source_col=source_col
         )

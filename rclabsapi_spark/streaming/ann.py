@@ -46,6 +46,10 @@ def churn_delta_sink(
     |centroids|-sized aggregate; state on disk is ≤K rows per batch."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
+        from rclabsapi_spark.streaming.compaction import accept_batch
+
+        if not accept_batch(int(batch_id), delta_dir):
+            return  # replay of a compacted batch: already folded
         assigned = ivf_assign(
             batch, vec_col=vec_col, key_col=key_col, centroids=centroids
         )

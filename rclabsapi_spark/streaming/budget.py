@@ -51,6 +51,10 @@ def domain_count_sink(
     dcol = F.col(domain_col) if isinstance(domain_col, str) else domain_col
 
     def handle(batch: DataFrame, batch_id: int) -> None:
+        from rclabsapi_spark.streaming.compaction import accept_batch
+
+        if not accept_batch(int(batch_id), delta_dir):
+            return  # replay of a compacted batch: already folded
         deltas = (
             batch.select(dcol.alias("domain"))
             .groupBy("domain")

@@ -83,7 +83,11 @@ def snapshot_ingest_sink(
     )
 
     def handle(batch: DataFrame, batch_id: int) -> None:
+        from rclabsapi_spark.streaming.compaction import accept_batch
+
         n = int(batch_id)
+        if not accept_batch(n, delta_dir, seen_dir):
+            return  # replay of a compacted batch: already folded
         batch = deterministic_survivor(
             batch, key_col=key_col, text_col=text_col, source_col=source_col
         )

@@ -1,0 +1,169 @@
+"""Delta-store compaction: bound the file count of the batch-id-
+partitioned delta/fingerprint stores that back the streaming twins.
+
+Every twin sink writes one partition per micro-batch (exactly-once via
+dynamic partition overwrite). Correct — but a long-horizon stream
+accumulates one directory per batch forever: at a batch a minute, a
+quarter of operation is ~130k partition directories per store, and
+every report fold pays the file-listing cost. This module folds the
+historical partitions into ONE compacted file set and garbage-collects
+them, without giving up the replay contract.
+
+Design — a single atomic manifest pointer (the minimal version of what
+table formats do):
+
+- ``_compaction.json`` at the store root holds ``{"upto": U, "file":
+  <dir>}``; it is swapped with write-tmp + ``os.replace`` (atomic on
+  POSIX), so a reader sees either the old state or the new state,
+  never a half state.
+- Compacted data lives under ``<store>/_compacted/...`` — an
+  underscore-prefixed path, which Spark's file index HIDES from normal
+  directory reads, so the live-partition scan never double-reads it.
+- Readers (``accounting._read_or_empty`` — shared by all five twin
+  families) resolve the manifest and return
+  ``live partitions WHERE batch_id > U  ∪  read(manifest file)``.
+  Partition pruning makes the filter free.
+- Sinks REFUSE a replayed batch that has been compacted
+  (``accept_batch``): its data is inside the compacted file, its
+  partition directory is gone, and a dynamic-overwrite re-write would
+  double-count. At-least-once replays of live (uncompacted) batches
+  keep the existing overwrite semantics.
+
+Crash safety: the compacted file is fully written BEFORE the manifest
+swap, and garbage collection runs AFTER it — a crash at any point
+leaves the manifest pointing at a complete file set, with at worst
+orphaned directories that the next compaction removes. Re-running
+compaction is idempotent (it folds the reader-visible view, which is
+unchanged by a previous crash).
+
+Operational contract: run compaction from the maintenance path (the
+manifest/backfill planner family), not concurrently with a foreachBatch
+writer on the SAME store — the sink's accept check and the GC race
+otherwise (same contract as every filesystem-table compactor without a
+lock service).
+
+Reference: the reference rotates and archives its log stores on a
+cadence (log_file_manager.hpp:78-203); this is that lifecycle applied
+to the twins' delta stores.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST = "_compaction.json"
+_CDIR = "_compacted"
+
+
+def compaction_state(path: str) -> tuple[int, str | None]:
+    """(upto, compacted file dir) — (-1, None) when never compacted."""
+    try:
+        with open(os.path.join(path, _MANIFEST)) as fh:
+            m = json.load(fh)
+        return int(m["upto"]), m["file"]
+    except (FileNotFoundError, NotADirectoryError):
+        return -1, None
+
+
+def accept_batch(batch_id: int, *paths: str) -> bool:
+    """False when ``batch_id`` is already folded into ANY of the given
+    stores' compacted files — a replay of it must be a no-op, since its
+    partition was garbage-collected and re-writing it would
+    double-count. Sinks that write multiple stores pass all of them, so
+    a batch is either live in every store or refused for every store
+    (a half-accepted batch would skew the statuses⋈batch joins)."""
+    return int(batch_id) > max(
+        (compaction_state(p)[0] for p in paths), default=-1
+    )
+
+
+def compact_store(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    *,
+    group_cols: tuple[str, ...] = (),
+    sum_cols: tuple[str, ...] = (),
+    n_files: int = 8,
+) -> int:
+    """Fold the store's reader-visible rows into one compacted file set
+    and GC the folded partitions. Returns the new ``upto``.
+
+    ``group_cols``/``sum_cols`` set: delta stores — integer deltas are
+    re-aggregated (SUM commutes, so the fold is the same answer the
+    report would compute). Unset: row stores (fingerprints, seen ids) —
+    rows are rewritten verbatim. Both keep the store's exact schema;
+    compacted rows carry ``batch_id = upto`` so existing
+    ``batch_id < n`` store-lookup filters keep working unchanged."""
+    from rclabsapi_spark.streaming.accounting import _read_or_empty
+
+    visible = _read_or_empty(spark, path, schema)
+    data_cols = [c for c in visible.columns if c != "batch_id"]
+    agg_rows = visible.agg(F.max("batch_id").alias("m")).collect()
+    upto = agg_rows[0]["m"]
+    if upto is None:
+        return compaction_state(path)[0]  # empty store: nothing to do
+    upto = int(upto)
+
+    if group_cols:
+        # cast each re-aggregated sum back to ITS OWN column type — the
+        # delta stores mix BIGINT counts with DECIMAL(38,0) grid sums
+        # (centroid-drift), and widening or narrowing either would
+        # change the schema the readers pin
+        types = {f.name: f.dataType for f in visible.schema.fields}
+        folded = visible.groupBy(*group_cols).agg(
+            *[F.sum(c).cast(types[c]).alias(c) for c in sum_cols]
+        )
+    else:
+        folded = visible.select(*data_cols)
+    folded = folded.select(*data_cols).withColumn(
+        "batch_id", F.lit(upto).cast("long")
+    )
+
+    out = os.path.join(path, _CDIR, f"u{upto}-{uuid.uuid4().hex[:8]}")
+    folded.coalesce(n_files).write.mode("overwrite").parquet(out)
+
+    # atomic manifest swap: readers flip from old view to new view in
+    # one os.replace; GC below is invisible to both views
+    tmp = os.path.join(path, _MANIFEST + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"upto": upto, "file": out}, fh)
+    os.replace(tmp, os.path.join(path, _MANIFEST))
+
+    # GC: folded live partitions and superseded compacted file sets
+    for name in os.listdir(path):
+        p = os.path.join(path, name)
+        if name.startswith("batch_id="):
+            try:
+                if int(name.split("=", 1)[1]) <= upto:
+                    shutil.rmtree(p, ignore_errors=True)
+            except ValueError:
+                continue
+    cdir = os.path.join(path, _CDIR)
+    for name in os.listdir(cdir):
+        p = os.path.join(cdir, name)
+        if p != out:
+            shutil.rmtree(p, ignore_errors=True)
+    return upto
+
+
+def read_store(
+    spark: SparkSession, live: DataFrame, path: str, schema: str
+) -> DataFrame:
+    """Manifest-aware view: live partitions newer than the compaction
+    point unioned with the compacted file set. Called by
+    ``accounting._read_or_empty`` so every twin reader resolves
+    compaction without knowing about it; the ``batch_id > upto`` filter
+    is partition-pruned (one partition directory per batch)."""
+    upto, cfile = compaction_state(path)
+    if cfile is None:
+        return live
+    return live.filter(F.col("batch_id") > upto).unionByName(
+        spark.read.schema(schema).parquet(cfile)
+    )

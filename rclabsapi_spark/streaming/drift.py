@@ -142,6 +142,10 @@ def centroid_delta_sink(
     the input a retrain gate watches between index rebuilds."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
+        from rclabsapi_spark.streaming.compaction import accept_batch
+
+        if not accept_batch(int(batch_id), delta_dir):
+            return  # replay of a compacted batch: already folded
         comp = batch.select(
             F.col(label_col).alias("label"),
             F.posexplode(vec_col).alias("pos", "x"),

@@ -1,0 +1,206 @@
+"""Delta-store compaction (streaming/compaction.py): report parity
+through a compaction point, refused replays of compacted batches,
+idempotent re-compaction, file-count GC, and type preservation for the
+DECIMAL(38,0) grid stores."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from rclabsapi_spark.streaming.compaction import (
+    accept_batch,
+    compact_store,
+    compaction_state,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _batch_dirs(path: str) -> list[str]:
+    return sorted(
+        n for n in os.listdir(path) if n.startswith("batch_id=")
+    )
+
+
+def test_token_savings_parity_through_compaction(spark, tmp_path):
+    """Ingest three key-ordered batches, compact BOTH stores, ingest a
+    fourth: totals must equal the registered batch report on the full
+    fixture (the post-compaction batch's store anti-lookup reads the
+    compacted fingerprints), the folded partitions must be gone, a
+    replay of a compacted batch must be refused, and a replay of a
+    live batch stays idempotent."""
+    from rclabsapi_spark.registry import get_registry
+    from rclabsapi_spark.streaming.accounting import (
+        _DELTA_COLS,
+        token_savings_sink,
+        token_savings_totals,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    hi = docs.agg({"doc_id": "max"}).first()[0] + 1
+    cuts = [0, hi // 4, hi // 2, 3 * hi // 4, hi]
+    parts = [
+        docs.filter((docs.doc_id >= lo) & (docs.doc_id < up))
+        for lo, up in zip(cuts, cuts[1:])
+    ]
+    fp_dir = str(tmp_path / "fp")
+    delta_dir = str(tmp_path / "deltas")
+    sink = token_savings_sink(fp_dir, delta_dir)
+
+    for bid in range(3):
+        sink(parts[bid], bid)
+    before = {
+        r["source"]: r.asDict()
+        for r in token_savings_totals(spark, delta_dir).collect()
+    }
+
+    schema = (
+        "source string, "
+        + ", ".join(f"{c} long" for c in _DELTA_COLS)
+        + ", batch_id long"
+    )
+    assert compact_store(
+        spark, delta_dir, schema,
+        group_cols=("source",), sum_cols=_DELTA_COLS,
+    ) == 2
+    assert compact_store(
+        spark, fp_dir, "text_hash string, batch_id long"
+    ) == 2
+
+    # folded partitions GC'd; the fold is unchanged by compaction
+    assert _batch_dirs(delta_dir) == [] and _batch_dirs(fp_dir) == []
+    assert {
+        r["source"]: r.asDict()
+        for r in token_savings_totals(spark, delta_dir).collect()
+    } == before
+
+    # a compacted batch is refused (its partition is gone; a rewrite
+    # would double-count); a future batch is accepted
+    assert not accept_batch(2, fp_dir, delta_dir)
+    sink(parts[1], 1)
+    assert {
+        r["source"]: r.asDict()
+        for r in token_savings_totals(spark, delta_dir).collect()
+    } == before
+    assert accept_batch(3, fp_dir, delta_dir)
+
+    # post-compaction ingest: anti-lookup must see the COMPACTED
+    # fingerprints, so full-corpus totals equal the batch report
+    sink(parts[3], 3)
+    want = {
+        r["source"]: r.asDict()
+        for r in get_registry()["dedup_token_savings"].fn(spark, SF).collect()
+    }
+    got = {
+        r["source"]: r.asDict()
+        for r in token_savings_totals(spark, delta_dir).collect()
+    }
+    assert got == want
+
+    # live-batch replay keeps the existing overwrite idempotence
+    sink(parts[3], 3)
+    assert {
+        r["source"]: r.asDict()
+        for r in token_savings_totals(spark, delta_dir).collect()
+    } == want
+
+
+def test_recompaction_is_idempotent_and_gc_supersedes(spark, tmp_path):
+    """Compacting twice in a row changes nothing (the second fold sees
+    the reader-visible view the first produced), upto stays, and the
+    superseded compacted file set is garbage-collected."""
+    from rclabsapi_spark.streaming.budget import (
+        crawl_budget_report,
+        domain_count_sink,
+    )
+
+    delta_dir = str(tmp_path / "deltas")
+    sink = domain_count_sink(delta_dir, domain_col=F.lit("d.example"))
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
+    sink(docs, 0)
+    sink(docs.limit(10), 1)
+
+    schema = "domain string, n_new long, batch_id long"
+    priors = spark.createDataFrame(
+        [("d.example", 0.5)], "domain string, priority double"
+    )
+
+    def snap():
+        return {
+            r["domain"]: r.asDict()
+            for r in crawl_budget_report(
+                spark, delta_dir, priors
+            ).collect()
+        }
+
+    before = snap()
+    assert before["d.example"]["n_docs"] == 40
+    u1 = compact_store(
+        spark, delta_dir, schema, group_cols=("domain",), sum_cols=("n_new",)
+    )
+    first_file = compaction_state(delta_dir)[1]
+    u2 = compact_store(
+        spark, delta_dir, schema, group_cols=("domain",), sum_cols=("n_new",)
+    )
+    assert u1 == u2 == 1
+    assert snap() == before
+    # superseded compact dir GC'd, exactly one remains
+    cdir = os.path.join(delta_dir, "_compacted")
+    assert len(os.listdir(cdir)) == 1
+    assert compaction_state(delta_dir)[1] != first_file
+
+    # compaction of an EMPTY store is a no-op returning the sentinel
+    empty = str(tmp_path / "never_written")
+    assert compact_store(spark, empty, schema, group_cols=("domain",),
+                         sum_cols=("n_new",)) == -1
+
+
+def test_compaction_preserves_decimal_grid_store(spark, tmp_path):
+    """The centroid-drift store mixes DECIMAL(38,0) grid sums with
+    BIGINT counts; compaction must re-aggregate each at ITS OWN type
+    (a long cast would truncate the grid's 38-digit headroom) and the
+    report must stay bit-identical."""
+    from rclabsapi_spark.streaming.drift import (
+        centroid_delta_sink,
+        centroid_drift_report,
+    )
+
+    delta_dir = str(tmp_path / "deltas")
+    sink = centroid_delta_sink(delta_dir)
+    b1 = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("a", [0.0, 1.0]), ("b", [0.5, 0.5])],
+        "label string, embedding array<double>",
+    )
+    b2 = spark.createDataFrame(
+        [("a", [1.0, 1.0]), ("b", [0.25, 0.75])],
+        "label string, embedding array<double>",
+    )
+    sink(b1, 0)
+    sink(b2, 1)
+    baseline = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, 0.0), ("b", 0, 0.5), ("b", 1, 0.5)],
+        "label string, pos int, c double",
+    )
+    before = {
+        r["label"]: r.asDict()
+        for r in centroid_drift_report(spark, delta_dir, baseline).collect()
+    }
+    schema = (
+        "label string, pos int, sum_nano decimal(38,0),"
+        " n long, batch_id long"
+    )
+    compact_store(
+        spark, delta_dir, schema,
+        group_cols=("label", "pos"), sum_cols=("sum_nano", "n"),
+    )
+    # schema (incl. the decimal type) survives the fold
+    folded = spark.read.schema(schema).parquet(
+        compaction_state(delta_dir)[1]
+    )
+    assert dict(folded.dtypes)["sum_nano"] == "decimal(38,0)"
+    assert {
+        r["label"]: r.asDict()
+        for r in centroid_drift_report(spark, delta_dir, baseline).collect()
+    } == before
