@@ -216,9 +216,19 @@ def idempotent_parquet_sink(
     Streaming's at-least-once foreachBatch contract) overwrites its own
     partition instead of appending duplicates — the streaming analog of
     the ETL runner's staged-commit load. Readers see exactly-once data;
-    the batch_id partition column doubles as write provenance."""
+    the batch_id partition column doubles as write provenance.
+
+    Compaction-aware (r15): if the store's history has been folded by
+    ``streaming.compaction.compact_store`` (row-store mode — verbatim
+    rewrite), a replay of a folded batch is refused — its partition
+    was garbage-collected, and re-writing it would duplicate rows that
+    now live in the compacted file set."""
 
     def write(df: DataFrame, batch_id: int) -> None:
+        from rclabsapi_spark.streaming.compaction import accept_batch
+
+        if not accept_batch(int(batch_id), out_dir):
+            return  # replay of a compacted batch: already folded
         (
             df.withColumn("batch_id", F.lit(int(batch_id)))
             .write.mode("overwrite")
