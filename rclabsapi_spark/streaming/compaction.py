@@ -40,7 +40,15 @@ Operational contract: run compaction from the maintenance path (the
 manifest/backfill planner family), not concurrently with a foreachBatch
 writer on the SAME store — the sink's accept check and the GC race
 otherwise (same contract as every filesystem-table compactor without a
-lock service).
+lock service). The contract is DEFENSIVELY checked, not assumed: GC
+removes exactly the partitions the fold read (never "everything ≤
+upto"), so a batch that lands mid-fold is preserved on disk and
+detected by the post-GC scan, which raises loudly — stop the writer and
+re-run compaction; nothing was lost. Partitions at/below a PREVIOUS
+compaction point are invisible to readers and their content is already
+inside the compacted file (the manifest only swaps after a complete
+fold; guarded replays rewrite identical content), so they are cleaned
+as crash orphans at entry.
 
 Reference: the reference rotates and archives its log stores on a
 cadence (log_file_manager.hpp:78-203); this is that lifecycle applied
@@ -83,6 +91,42 @@ def accept_batch(batch_id: int, *paths: str) -> bool:
     )
 
 
+def _partition_ids(path: str) -> dict[int, str]:
+    """batch_id -> partition dir for every live partition directory."""
+    out: dict[int, str] = {}
+    for name in os.listdir(path):
+        if name.startswith("batch_id="):
+            try:
+                out[int(name.split("=", 1)[1])] = os.path.join(path, name)
+            except ValueError:
+                continue
+    return out
+
+
+def _gc_and_verify(path: str, upto: int, seen_ids: set[int]) -> None:
+    """Delete exactly the partitions the fold read; if anything at or
+    below ``upto`` remains, a writer violated the no-concurrent-
+    compaction contract mid-fold — its data is still on disk (we did
+    NOT delete it), so fail loudly instead of silently dropping it."""
+    parts = _partition_ids(path)
+    for k, p in parts.items():
+        if k in seen_ids:
+            shutil.rmtree(p, ignore_errors=True)
+    leftover = sorted(
+        k for k in _partition_ids(path) if k <= upto
+    )
+    if leftover:
+        raise RuntimeError(
+            f"compaction of {path}: partitions {leftover} landed during "
+            f"the fold — a writer raced compaction (out of contract). "
+            f"Nothing was deleted unread. A guarded-late REPLAY of an "
+            f"already-folded batch (the only case a monotonic stream "
+            f"can produce at/below upto={upto}) rewrites content the "
+            f"fold already holds, and re-running compact_store cleans "
+            f"it; anything else, inspect before re-running."
+        )
+
+
 def compact_store(
     spark: SparkSession,
     path: str,
@@ -103,6 +147,18 @@ def compact_store(
     ``batch_id < n`` store-lookup filters keep working unchanged."""
     from rclabsapi_spark.streaming.accounting import _read_or_empty
 
+    # entry orphan cleanup: partitions at/below the CURRENT compaction
+    # point are invisible to readers and their content is already in
+    # the compacted file (the manifest only swaps after a complete
+    # fold; guarded replays rewrite identical content) — crash
+    # leftovers from a GC interrupted mid-delete, removed here so they
+    # never accrete
+    prev_upto = compaction_state(path)[0]
+    if prev_upto >= 0 and os.path.isdir(path):
+        for k, p in _partition_ids(path).items():
+            if k <= prev_upto:
+                shutil.rmtree(p, ignore_errors=True)
+
     visible = _read_or_empty(spark, path, schema)
     data_cols = [c for c in visible.columns if c != "batch_id"]
     agg_rows = visible.agg(F.max("batch_id").alias("m")).collect()
@@ -110,6 +166,11 @@ def compact_store(
     if upto is None:
         return compaction_state(path)[0]  # empty store: nothing to do
     upto = int(upto)
+    seen_ids = {
+        int(r["batch_id"])
+        for r in visible.select("batch_id").distinct().collect()
+        if r["batch_id"] is not None and int(r["batch_id"]) >= 0
+    }
 
     if group_cols:
         # cast each re-aggregated sum back to ITS OWN column type — the
@@ -136,20 +197,15 @@ def compact_store(
         json.dump({"upto": upto, "file": out}, fh)
     os.replace(tmp, os.path.join(path, _MANIFEST))
 
-    # GC: folded live partitions and superseded compacted file sets
-    for name in os.listdir(path):
-        p = os.path.join(path, name)
-        if name.startswith("batch_id="):
-            try:
-                if int(name.split("=", 1)[1]) <= upto:
-                    shutil.rmtree(p, ignore_errors=True)
-            except ValueError:
-                continue
+    # GC: superseded compacted file sets, then exactly the partitions
+    # the fold READ (never a blanket "everything <= upto" — a partition
+    # that landed mid-fold must survive to be detected, not deleted)
     cdir = os.path.join(path, _CDIR)
     for name in os.listdir(cdir):
         p = os.path.join(cdir, name)
         if p != out:
             shutil.rmtree(p, ignore_errors=True)
+    _gc_and_verify(path, upto, seen_ids)
     return upto
 
 

@@ -204,3 +204,73 @@ def test_compaction_preserves_decimal_grid_store(spark, tmp_path):
         r["label"]: r.asDict()
         for r in centroid_drift_report(spark, delta_dir, baseline).collect()
     } == before
+
+
+def test_gc_verify_detects_mid_fold_landing(tmp_path):
+    """_gc_and_verify deletes exactly the partitions the fold read; a
+    partition at/below upto that the fold did NOT read (a writer raced
+    compaction) survives the delete and raises loudly instead of being
+    silently dropped."""
+    import pytest
+
+    from rclabsapi_spark.streaming.compaction import _gc_and_verify
+
+    store = tmp_path / "store"
+    for k in (0, 1, 2):
+        (store / f"batch_id={k}").mkdir(parents=True)
+    # fold saw 0 and 2; partition 1 landed mid-fold
+    with pytest.raises(RuntimeError, match=r"\[1\] landed during"):
+        _gc_and_verify(str(store), 2, {0, 2})
+    # the read partitions are gone, the racing one is preserved
+    assert sorted(os.listdir(store)) == ["batch_id=1"]
+
+
+def test_compaction_cleans_crash_orphans_at_entry(spark, tmp_path):
+    """A partition at/below the CURRENT compaction point (a crash
+    leftover from an interrupted GC, or a guarded-late replay whose
+    content the fold already holds) is cleaned at the next
+    compact_store entry without changing the report."""
+    from rclabsapi_spark.streaming.budget import (
+        crawl_budget_report,
+        domain_count_sink,
+    )
+
+    delta_dir = str(tmp_path / "deltas")
+    sink = domain_count_sink(delta_dir, domain_col=F.lit("d.example"))
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    sink(docs, 0)
+    sink(docs, 1)
+    schema = "domain string, n_new long, batch_id long"
+    priors = spark.createDataFrame(
+        [("d.example", 0.5)], "domain string, priority double"
+    )
+
+    def snap():
+        return {
+            r["domain"]: r.asDict()
+            for r in crawl_budget_report(
+                spark, delta_dir, priors
+            ).collect()
+        }
+
+    compact_store(
+        spark, delta_dir, schema, group_cols=("domain",), sum_cols=("n_new",)
+    )
+    before = snap()
+    assert before["d.example"]["n_docs"] == 40
+
+    # simulate the crash leftover: re-materialize batch 0's partition
+    # (identical content — the only thing a guarded replay can write)
+    spark.createDataFrame(
+        [("d.example", 20)], "domain string, n_new long"
+    ).write.mode("overwrite").parquet(
+        os.path.join(delta_dir, "batch_id=0")
+    )
+    # invisible to readers (batch_id=0 <= upto=1)
+    assert snap() == before
+    # next compaction cleans it at entry and re-folds identically
+    compact_store(
+        spark, delta_dir, schema, group_cols=("domain",), sum_cols=("n_new",)
+    )
+    assert _batch_dirs(delta_dir) == []
+    assert snap() == before
