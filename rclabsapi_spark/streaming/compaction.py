@@ -161,16 +161,16 @@ def compact_store(
 
     visible = _read_or_empty(spark, path, schema)
     data_cols = [c for c in visible.columns if c != "batch_id"]
-    agg_rows = visible.agg(F.max("batch_id").alias("m")).collect()
-    upto = agg_rows[0]["m"]
-    if upto is None:
-        return compaction_state(path)[0]  # empty store: nothing to do
-    upto = int(upto)
+    # one bounded driver fold: the distinct batch ids the fold reads
+    # (#batches rows — this is the relation compaction exists to bound)
     seen_ids = {
         int(r["batch_id"])
         for r in visible.select("batch_id").distinct().collect()
-        if r["batch_id"] is not None and int(r["batch_id"]) >= 0
+        if r["batch_id"] is not None
     }
+    if not seen_ids:
+        return compaction_state(path)[0]  # empty store: nothing to do
+    upto = max(seen_ids)
 
     if group_cols:
         # cast each re-aggregated sum back to ITS OWN column type — the
