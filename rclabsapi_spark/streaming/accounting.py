@@ -93,14 +93,27 @@ def deterministic_survivor(
     """One row per ``key_col``, chosen by a TOTAL ordering so a replay
     of the same micro-batch picks the SAME survivor even when the key
     arrived with conflicting rows (ADVICE r13/r14): min_by on
-    (md5(text), source, then every remaining column cast to string),
-    each field coalesced to '' so NULLs never route through unspecified
-    null-within-struct ordering. Shared by the accounting and
-    snapshot-card sinks — the unique-key defensive gate both contracts
-    require before their per-key joins."""
+    (md5(text), source, then every remaining column cast to string).
+    Each ordering field is a (is_null, string value) pair — a bare
+    ``coalesce(col, '')`` would give a NULL and an empty-string value
+    the SAME ordering key, letting min_by pick arbitrarily between rows
+    whose values genuinely differ (and NULL/'' land in different
+    groupBy('source') buckets downstream, so a replay could write
+    different per-source deltas — ADVICE r15). With the discriminator,
+    non-NULL sorts before NULL and the string compare only ever ties
+    for identical values. Shared by the accounting and snapshot-card
+    sinks — the unique-key defensive gate both contracts require
+    before their per-key joins."""
+
+    def ordkey(col, name: str):
+        return F.struct(
+            col.isNull().cast("int").alias(f"{name}_n"),
+            F.coalesce(col.cast("string"), F.lit("")).alias(f"{name}_v"),
+        ).alias(name)
+
     others = [c for c in batch.columns if c != key_col]
     tie = [
-        F.coalesce(F.col(c).cast("string"), F.lit("")).alias(f"t{i}")
+        ordkey(F.col(c), f"t{i}")
         for i, c in enumerate(
             c for c in others if c not in (text_col, source_col)
         )
@@ -111,11 +124,8 @@ def deterministic_survivor(
             F.min_by(
                 F.struct(*[F.col(c) for c in others]),
                 F.struct(
-                    F.coalesce(
-                        F.md5(F.col(text_col).cast("binary")),
-                        F.lit(""),
-                    ).alias("h"),
-                    F.coalesce(F.col(source_col), F.lit("")).alias("s"),
+                    ordkey(F.md5(F.col(text_col).cast("binary")), "h"),
+                    ordkey(F.col(source_col), "s"),
                     *tie,
                 ),
             ).alias("_surv")
@@ -151,8 +161,8 @@ def token_savings_sink(
     (md5(text), source) then every remaining column cast to string
     (ADVICE r14): two rows identical in text+source but differing in,
     say, a timestamp no longer tie into an arbitrary pick, and each
-    field is coalesced to '' so a NULL never routes through
-    unspecified null-within-struct ordering. A source that replays the
+    field carries an is-null discriminator so NULL and '' order
+    differently (ADVICE r15). A source that replays the
     same doc_id within one batch loses the extra copies, which is the
     correct dedup-accounting answer anyway."""
 

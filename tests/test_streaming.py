@@ -2049,6 +2049,46 @@ def test_token_savings_conflicting_batch_keys_pick_deterministic_survivor(
     assert fwd[surv_src]["tokens_total"] >= n_tok
 
 
+def test_survivor_ordering_distinguishes_null_from_empty_string(spark):
+    """The survivor ordering must be total across NULL vs '' too: two
+    same-key rows identical except source NULL vs source '' previously
+    shared one ordering key (both coalesced to ''), so min_by picked
+    arbitrarily — and since NULL and '' land in different
+    groupBy('source') buckets, a replay could write different per-source
+    deltas (ADVICE r15). With the is-null discriminator the non-NULL row
+    wins deterministically, in any arrival order."""
+    from rclabsapi_spark.streaming.accounting import deterministic_survivor
+
+    rows = [(1, "same text", None), (1, "same text", "")]
+    schema = "doc_id long, text string, source string"
+    for order, tag in ((rows, "fwd"), (list(reversed(rows)), "rev")):
+        got = deterministic_survivor(
+            spark.createDataFrame(order, schema),
+            key_col="doc_id",
+            text_col="text",
+            source_col="source",
+        ).collect()
+        assert len(got) == 1, tag
+        # (0, '') sorts before (1, ''): the empty-string row survives
+        assert got[0]["source"] == "", tag
+
+    # same discriminator on a TIE-BREAK field (text+source identical,
+    # an extra column NULL vs ''): still one deterministic survivor
+    rows2 = [(1, "t", "s", None), (1, "t", "s", "")]
+    schema2 = "doc_id long, text string, source string, extra string"
+    picks = set()
+    for order in (rows2, list(reversed(rows2))):
+        got = deterministic_survivor(
+            spark.createDataFrame(order, schema2),
+            key_col="doc_id",
+            text_col="text",
+            source_col="source",
+        ).collect()
+        assert len(got) == 1
+        picks.add(got[0]["extra"])
+    assert picks == {""}
+
+
 def test_policy_savings_stream_matches_batch_card(spark, tmp_path):
     """Replay parity for the live policy-savings card: documents
     ingested as doc_id-ordered micro-batches through the accounting
