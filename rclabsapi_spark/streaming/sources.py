@@ -222,7 +222,16 @@ def idempotent_parquet_sink(
     ``streaming.compaction.compact_store`` (row-store mode — verbatim
     rewrite), a replay of a folded batch is refused — its partition
     was garbage-collected, and re-writing it would duplicate rows that
-    now live in the compacted file set."""
+    now live in the compacted file set.
+
+    READ CONTRACT (ADVICE r15): a plain ``spark.read.parquet(out_dir)``
+    is only correct while the store has never been compacted. After
+    ``compact_store``, the folded history lives under the
+    underscore-prefixed ``_compacted/`` directory, which Spark hides
+    from normal directory reads — consumers MUST read through
+    ``streaming.compaction.read_compacted_parquet`` (the public
+    manifest-aware reader; safe on never-compacted stores too, it
+    degrades to the plain read)."""
 
     def write(df: DataFrame, batch_id: int) -> None:
         from rclabsapi_spark.streaming.compaction import accept_batch

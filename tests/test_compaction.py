@@ -274,3 +274,213 @@ def test_compaction_cleans_crash_orphans_at_entry(spark, tmp_path):
     )
     assert _batch_dirs(delta_dir) == []
     assert snap() == before
+
+
+# ---------------------------------------------------------------------------
+# r16: filesystem shim (storefs) — Hadoop control plane, corrupt-manifest
+# failure mode, delete-failure vs writer-race distinction, public reader
+# ---------------------------------------------------------------------------
+
+
+def test_resolve_fs_picks_shim_by_scheme(spark):
+    """Plain paths get the local fast path; scheme-qualified paths get
+    the Hadoop control plane (the r15 gap: local APIs on a remote
+    store silently reported 'never compacted')."""
+    from rclabsapi_spark.streaming.storefs import (
+        HadoopStoreFS,
+        LocalStoreFS,
+        resolve_fs,
+    )
+
+    assert isinstance(resolve_fs("/tmp/store"), LocalStoreFS)
+    assert isinstance(resolve_fs("relative/store"), LocalStoreFS)
+    for p in ("file:///tmp/store", "hdfs://nn:8020/store", "s3a://b/store"):
+        assert isinstance(resolve_fs(p, spark), HadoopStoreFS)
+
+
+def test_storefs_contract_parity_local_vs_hadoop(spark, tmp_path):
+    """Both shims honor the same contract: list_dir/read_text raise
+    FileNotFoundError on a missing path, write_text_atomic replaces,
+    remove_tree deletes recursively (and is a no-op on absent paths
+    only for Hadoop's exists-guard — local raises, callers guard)."""
+    from rclabsapi_spark.streaming.storefs import HadoopStoreFS, LocalStoreFS
+
+    import pytest
+
+    for fs, base in (
+        (LocalStoreFS(), str(tmp_path / "loc")),
+        (HadoopStoreFS(spark), f"file://{tmp_path}/had"),
+    ):
+        # write + read + atomic replace
+        fs.write_text_atomic(os.path.join(base, "m.json"), "one")
+        assert fs.read_text(os.path.join(base, "m.json")) == "one"
+        fs.write_text_atomic(os.path.join(base, "m.json"), "two")
+        assert fs.read_text(os.path.join(base, "m.json")) == "two"
+        # no leftover .tmp, listing sees the file
+        names = fs.list_dir(base)
+        assert "m.json" in names and "m.json.tmp" not in names
+        # missing paths raise FileNotFoundError
+        with pytest.raises(FileNotFoundError):
+            fs.read_text(os.path.join(base, "absent.json"))
+        with pytest.raises(FileNotFoundError):
+            fs.list_dir(os.path.join(base, "absent_dir"))
+        # recursive remove
+        sub = os.path.join(base, "batch_id=0")
+        fs.write_text_atomic(os.path.join(sub, "part.txt"), "x")
+        assert fs.is_dir(sub)
+        fs.remove_tree(sub)
+        assert not fs.is_dir(sub)
+
+
+def test_compaction_end_to_end_on_hadoop_fs_path(spark, tmp_path):
+    """The full compaction lifecycle on a scheme-qualified (file://)
+    store path: the data plane (Spark parquet) and control plane
+    (Hadoop FileSystem manifest/GC) address the same store, the fold
+    is report-invariant, replays of compacted batches are refused,
+    and the on-disk layout matches the local-path run."""
+    from rclabsapi_spark.streaming.budget import (
+        crawl_budget_report,
+        domain_count_sink,
+    )
+
+    local_root = tmp_path / "deltas"
+    delta_dir = f"file://{local_root}"
+    sink = domain_count_sink(delta_dir, domain_col=F.lit("d.example"))
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
+    sink(docs, 0)
+    sink(docs.limit(10), 1)
+
+    schema = "domain string, n_new long, batch_id long"
+    priors = spark.createDataFrame(
+        [("d.example", 0.5)], "domain string, priority double"
+    )
+
+    def snap():
+        return {
+            r["domain"]: r.asDict()
+            for r in crawl_budget_report(spark, delta_dir, priors).collect()
+        }
+
+    before = snap()
+    assert before["d.example"]["n_docs"] == 40
+    assert compact_store(
+        spark, delta_dir, schema, group_cols=("domain",), sum_cols=("n_new",)
+    ) == 1
+    # control plane really ran against the store: manifest + GC visible
+    # on the underlying local dir the file:// URI addresses
+    assert (local_root / "_compaction.json").exists()
+    assert sorted(
+        n for n in os.listdir(local_root) if n.startswith("batch_id=")
+    ) == []
+    assert snap() == before
+    # replay of a folded batch refused; future batch accepted
+    assert not accept_batch(1, delta_dir)
+    assert accept_batch(2, delta_dir)
+    sink(docs.limit(5), 2)
+    after = snap()
+    assert after["d.example"]["n_docs"] == 45
+
+
+def test_corrupt_manifest_raises_not_truncates(spark, tmp_path):
+    """A torn/hand-mangled manifest must RAISE, in compaction_state and
+    through the reader path — silently returning (-1, None) would
+    present only live partitions while the folded history sits
+    invisible under _compacted/ (data-loss-shaped; VERDICT r15)."""
+    import json as _json
+
+    import pytest
+
+    from rclabsapi_spark.streaming.accounting import _read_or_empty
+    from rclabsapi_spark.streaming.budget import domain_count_sink
+
+    delta_dir = str(tmp_path / "deltas")
+    sink = domain_count_sink(delta_dir, domain_col=F.lit("d.example"))
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(10)
+    sink(docs, 0)
+    schema = "domain string, n_new long, batch_id long"
+    compact_store(
+        spark, delta_dir, schema, group_cols=("domain",), sum_cols=("n_new",)
+    )
+
+    manifest = os.path.join(delta_dir, "_compaction.json")
+    with open(manifest, "w") as fh:
+        fh.write("{ torn json")
+    with pytest.raises(_json.JSONDecodeError):
+        compaction_state(delta_dir)
+    with pytest.raises(_json.JSONDecodeError):
+        _read_or_empty(spark, delta_dir, schema)
+
+    # valid JSON missing the contract keys is just as corrupt
+    with open(manifest, "w") as fh:
+        fh.write('{"wrong": 1}')
+    with pytest.raises(KeyError):
+        compaction_state(delta_dir)
+
+
+def test_gc_distinguishes_delete_failure_from_writer_race(tmp_path):
+    """A partition that FAILS to delete (I/O error) must be reported as
+    a delete failure — not misdiagnosed as 'a writer raced compaction'
+    (ADVICE r15): the two errors steer the operator at different
+    causes (fix the filesystem vs stop the writer)."""
+    import pytest
+
+    from rclabsapi_spark.streaming.compaction import _gc_and_verify
+    from rclabsapi_spark.streaming.storefs import LocalStoreFS
+
+    store = tmp_path / "store"
+    for k in (0, 1):
+        (store / f"batch_id={k}").mkdir(parents=True)
+
+    class FailingFS(LocalStoreFS):
+        def remove_tree(self, path):
+            if path.endswith("batch_id=1"):
+                raise OSError(f"EPERM: {path}")
+            super().remove_tree(path)
+
+    with pytest.raises(RuntimeError, match="failed to DELETE"):
+        _gc_and_verify(str(store), 1, {0, 1}, fs=FailingFS())
+    # the deletable partition went; the failed one survives intact
+    assert sorted(os.listdir(store)) == ["batch_id=1"]
+
+
+def test_idempotent_sink_public_reader_resolves_compaction(spark, tmp_path):
+    """ADVICE r15 (medium): idempotent_parquet_sink outputs must stay
+    fully readable after compact_store. A plain spark.read.parquet
+    loses the folded history (Spark hides _compacted/); the public
+    read_compacted_parquet returns it — with a pinned schema and with
+    schema inference, including when EVERY batch has been folded."""
+    from rclabsapi_spark.streaming.compaction import read_compacted_parquet
+    from rclabsapi_spark.streaming.sources import idempotent_parquet_sink
+
+    out = str(tmp_path / "rows")
+    sink = idempotent_parquet_sink(out)
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    b1 = spark.createDataFrame([(3, "c")], "id long, v string")
+    sink(b0, 0)
+    sink(b1, 1)
+    schema = "id long, v string, batch_id long"
+
+    def rows(df):
+        return sorted((r["id"], r["v"], r["batch_id"]) for r in df.collect())
+
+    full = [(1, "a", 0), (2, "b", 0), (3, "c", 1)]
+    assert rows(read_compacted_parquet(spark, out, schema)) == full
+    assert rows(read_compacted_parquet(spark, out)) == full
+
+    compact_store(spark, out, schema)
+    # the hazard the contract documents: plain reads lose everything
+    # (zero visible live files → inference fails; nothing to read)
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        spark.read.parquet(out).collect()
+    # the public reader still returns the full history (batch_id is
+    # remapped to the fold point by the row-store compaction contract)
+    folded = [(1, "a", 1), (2, "b", 1), (3, "c", 1)]
+    assert rows(read_compacted_parquet(spark, out, schema)) == folded
+    assert rows(read_compacted_parquet(spark, out)) == folded
+
+    # post-compaction batches land live and are unioned with the fold
+    sink(spark.createDataFrame([(4, "d")], "id long, v string"), 2)
+    assert rows(read_compacted_parquet(spark, out)) == folded + [(4, "d", 2)]
