@@ -412,3 +412,224 @@ def wav_frames(
         process,
         schema=f"{key_col} long, frame_idx int, rms double, zero_crossings int",
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual frame near-dup: average-hash over the REAL PPM decode path
+# ---------------------------------------------------------------------------
+#
+# mm_frame_dedup catches only byte-identical frames (exact 32-byte
+# digests). Re-encoded or slightly-retouched frames need a PERCEPTUAL
+# hash: decode pixels, reduce to a small grayscale grid, threshold each
+# cell against the grid mean — 64 bits whose Hamming distance tracks
+# visual similarity (the classic average-hash; DCT-free, so it runs on
+# numpy alone). Near-dup pairs then come from the same pigeonhole
+# band-blocking as dedup_simhash_near_dup: split the 64 bits into
+# max_hamming+1 bands — any pair within the distance shares an exact
+# band — compare only within band buckets, verify exact Hamming.
+#
+# All integer math end-to-end (byte sums, an integer cross-multiply for
+# the mean threshold), so the DuckDB oracle mirrors the hash exactly.
+
+
+def attach_token_heatmap_frames(
+    docs: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    grid: int = 8,
+    n_frames: int = 2,
+) -> DataFrame:
+    """Fixture adapter rendering each doc as ``n_frames`` REAL P6
+    images (the video-frame shape: one key fans out to its frames):
+    a token-histogram heatmap. Tokens (split on single spaces — the
+    ``string_split(text, ' ')`` spec the oracle mirrors, empties
+    included) are dealt round-robin to frames by position; each
+    frame's tokens hash into a ``grid×grid`` cell (first two md5 hex
+    digits mod n_cells), and the cell's count — clipped at the pixel
+    ceiling 255 — becomes its gray intensity (r=g=b).
+
+    Why a histogram and not digest noise: the corpus has NO exact
+    duplicate texts, so an adapter seeding pixels from md5(text) gives
+    every near-dup pair a maximal hash distance and the perceptual
+    query degenerates to 0 rows. Rendering token statistics makes
+    image similarity TRACK text similarity — near-dup docs share most
+    tokens → most cells equal → small average-hash distance — i.e. the
+    graded-similarity regime a perceptual hash exists for, while every
+    payload stays a valid decodable image through the same P6 path."""
+    n_cells = grid * grid
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            keys, idxs, payloads = [], [], []
+            for key, t in zip(pdf[key_col], pdf[text_col]):
+                counts = [[0] * n_cells for _ in range(n_frames)]
+                for pos, tok in enumerate(t.split(" ")):
+                    cell = (
+                        int(hashlib.md5(tok.encode()).hexdigest()[:2], 16)
+                        % n_cells
+                    )
+                    counts[pos % n_frames][cell] += 1
+                for f in range(n_frames):
+                    rgb = bytes(
+                        min(c, 255)
+                        for c in counts[f]
+                        for _ in range(3)
+                    )
+                    keys.append(key)
+                    idxs.append(f)
+                    payloads.append(encode_ppm(grid, grid, rgb))
+            yield pd.DataFrame(
+                {key_col: keys, "frame_idx": idxs, "payload": payloads}
+            )
+
+    return docs.select(key_col, text_col).mapInPandas(
+        gen, schema=f"{key_col} long, frame_idx int, payload binary"
+    )
+
+
+def average_hash_bands(
+    df: DataFrame,
+    *,
+    grid: int = 8,
+    n_bands: int = 4,
+    key_cols: tuple[str, ...] = ("doc_id", "frame_idx"),
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Average-hash of each P6 payload, emitted as ``n_bands`` integer
+    band columns (``b0..b{n-1}``) instead of one packed 64-bit word —
+    the bands ARE the blocking keys downstream, and an unsigned 64-bit
+    hash would not fit a signed long anyway.
+
+    REAL pixel work per payload: parse the P6 header, nearest-neighbor
+    sample to ``grid×grid`` (floor-scaled indices — the resize_ppm
+    convention, so an NN re-encode of the same image hashes
+    IDENTICALLY), per-cell gray = r+g+b (integer, no luma weights to
+    round), bit = (n_cells·gray > total) — the integer cross-multiply
+    form of gray > mean. Bits pack row-major, band b holding bits
+    [b·w, (b+1)·w)."""
+    import numpy as np
+
+    n_cells = grid * grid
+    assert n_cells % n_bands == 0, "bands must divide the bit count"
+    w_band = n_cells // n_bands
+    assert w_band <= 31, "band must fit a signed int"
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_keys: list[list] = [[] for _ in key_cols]
+            bands: list[list[int]] = [[] for _ in range(n_bands)]
+            for row in pdf.itertuples(index=False):
+                payload = bytes(getattr(row, payload_col))
+                if not payload.startswith(b"P6"):
+                    continue
+                parts = payload.split(b"\n", 3)
+                w, h = (int(x) for x in parts[1].split())
+                px = np.frombuffer(
+                    parts[3], dtype=np.uint8, count=w * h * 3
+                ).reshape(h, w, 3)
+                ys = (np.arange(grid) * h) // grid
+                xs = (np.arange(grid) * w) // grid
+                g = px[ys][:, xs].astype(np.int64).sum(axis=2).ravel()
+                total = int(g.sum())
+                bits = (n_cells * g) > total
+                for b in range(n_bands):
+                    seg = bits[b * w_band : (b + 1) * w_band]
+                    bands[b].append(int((seg << np.arange(w_band)).sum()))
+                for i, k in enumerate(key_cols):
+                    out_keys[i].append(getattr(row, k))
+            cols = {k: out_keys[i] for i, k in enumerate(key_cols)}
+            cols.update({f"b{b}": bands[b] for b in range(n_bands)})
+            yield pd.DataFrame(cols)
+
+    key_schema = ", ".join(
+        f"{k} {t}"
+        for k, t in zip(
+            key_cols,
+            [dict(df.dtypes)[k] for k in key_cols],
+        )
+    )
+    band_schema = ", ".join(f"b{b} int" for b in range(n_bands))
+    return df.select(*key_cols, payload_col).mapInPandas(
+        process, schema=f"{key_schema}, {band_schema}"
+    )
+
+
+def phash_near_dup_pairs(
+    hashed: DataFrame,
+    *,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    key_cols: tuple[str, ...] = ("doc_id", "frame_idx"),
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Perceptual near-dup pairs: units whose average-hashes are within
+    ``max_hamming`` bits. Pigeonhole blocking on the band columns
+    (``n_bands`` must exceed ``max_hamming`` for 100% recall: a pair
+    within k bit flips cannot differ in all k+1 bands), in-bucket pair
+    generation from a sorted members array (the simhash_near_dup_pairs
+    shape — one shuffle on the band key, no self-join), exact Hamming
+    over all bands verifying candidates. ``max_bucket_size`` caps
+    pathological buckets at scale (a cap is a recall trade the caller
+    opts into; the registered query leaves it off so the oracle's
+    O(n²) spec matches exactly)."""
+    assert n_bands > max_hamming, "pigeonhole needs max_hamming < n_bands"
+    band_names = [f"b{b}" for b in range(n_bands)]
+    member = F.struct(*[F.col(c) for c in (*key_cols, *band_names)])
+    banded = hashed.select(
+        *key_cols,
+        *band_names,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.col(f"b{b}").alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(member.alias("m"), "band.band_id", "band.band_key")
+
+    buckets = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.array_sort(F.collect_list("m")).alias("members"))
+        .filter(F.size("members") >= 2)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("members") <= max_bucket_size)
+    m = F.col("members")
+    pair_structs = F.flatten(
+        F.transform(
+            m,
+            lambda x, i: F.transform(
+                F.slice(m, i + F.lit(2), F.size(m) - i - F.lit(1)),
+                lambda y: F.struct(x.alias("ua"), y.alias("ub")),
+            ),
+        )
+    )
+    a_cols = [
+        F.col("p.ua")[k].alias(f"{k}_a" if k in key_cols else f"{k}a")
+        for k in (*key_cols, *band_names)
+    ]
+    b_cols = [
+        F.col("p.ub")[k].alias(f"{k}_b" if k in key_cols else f"{k}b")
+        for k in (*key_cols, *band_names)
+    ]
+    pairs = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(*a_cols, *b_cols)
+        .dropDuplicates([f"{k}_a" for k in key_cols] + [f"{k}_b" for k in key_cols])
+    )
+    hamming = None
+    for b in band_names:
+        term = F.bit_count(F.col(f"{b}a").bitwiseXOR(F.col(f"{b}b")))
+        hamming = term if hamming is None else hamming + term
+    return pairs.select(
+        *[F.col(f"{k}_a") for k in key_cols],
+        *[F.col(f"{k}_b") for k in key_cols],
+        hamming.cast("int").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

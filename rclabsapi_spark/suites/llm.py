@@ -3538,3 +3538,114 @@ def q_drift_retrain_gate(spark, sf_dir):
         "recall_delta",
         (F.col("recall_delta") <= -0.05).alias("retrain"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual frame near-dup (r16): average-hash over the real PPM decode
+# ---------------------------------------------------------------------------
+
+_PHASH_CELLS = 64  # 8×8 grid
+_PHASH_FRAMES = 2
+_PHASH_MAX_HAMMING = 3  # 4 bands × 16 bits
+
+
+def _phash_oracle() -> str:
+    """O(n²) spec of the banded perceptual near-dup: re-derive each
+    (doc, frame) heatmap CELL COUNT with the same integer md5-bucket
+    arithmetic the fixture adapter renders into pixels, threshold each
+    cell against the frame mean (integer cross-multiply), pack 16-bit
+    bands, and self-join on exact Hamming. The engine's pigeonhole
+    band-blocking must find the identical pair set."""
+    hv = (
+        "((strpos('0123456789abcdef', substring(md5(toks[i+1]), 1, 1)) - 1)"
+        " * 16 +"
+        " (strpos('0123456789abcdef', substring(md5(toks[i+1]), 2, 1)) - 1))"
+        f" % {_PHASH_CELLS}"
+    )
+    counts = ",\n           ".join(
+        f"LEAST(SUM(CASE WHEN cell = {i} THEN 1 ELSE 0 END), 255) AS c{i}"
+        for i in range(_PHASH_CELLS)
+    )
+    coalesced = ", ".join(f"COALESCE(c{i}, 0) AS c{i}" for i in range(_PHASH_CELLS))
+    total = " + ".join(f"c{i}" for i in range(_PHASH_CELLS))
+    bands = ",\n           ".join(
+        "CAST("
+        + " + ".join(
+            f"CASE WHEN {_PHASH_CELLS} * c{16 * b + j} > total"
+            f" THEN {1 << j} ELSE 0 END"
+            for j in range(16)
+        )
+        + f" AS INT) AS b{b}"
+        for b in range(4)
+    )
+    ham = " + ".join(f"bit_count(xor(a.b{b}, b.b{b}))" for b in range(4))
+    return f"""
+WITH ts AS (
+    SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+tok AS (
+    SELECT doc_id, CAST(i % {_PHASH_FRAMES} AS INT) AS frame_idx,
+           {hv} AS cell
+    FROM ts, UNNEST(range(0, len(toks))) AS u(i)
+),
+units AS (
+    SELECT doc_id, CAST(u.f AS INT) AS frame_idx
+    FROM documents, UNNEST(range(0, {_PHASH_FRAMES})) AS u(f)
+),
+cnt AS (
+    SELECT doc_id, frame_idx,
+           {counts}
+    FROM tok GROUP BY doc_id, frame_idx
+),
+g AS (
+    SELECT u.doc_id, u.frame_idx, {coalesced}
+    FROM units u LEFT JOIN cnt USING (doc_id, frame_idx)
+),
+t AS (SELECT *, ({total}) AS total FROM g),
+fp AS (
+    SELECT doc_id, frame_idx,
+           {bands}
+    FROM t
+)
+SELECT a.doc_id AS doc_id_a, a.frame_idx AS frame_idx_a,
+       b.doc_id AS doc_id_b, b.frame_idx AS frame_idx_b,
+       CAST({ham} AS INT) AS hamming
+FROM fp a JOIN fp b
+  ON (a.doc_id, a.frame_idx) < (b.doc_id, b.frame_idx)
+WHERE {ham} <= {_PHASH_MAX_HAMMING}
+"""
+
+
+_PHASH_NEARDUP_ORACLE = _phash_oracle()
+
+
+@query("mm_frame_phash_neardup", _PHASH_NEARDUP_ORACLE, bench=True)
+def q_mm_phash_neardup(spark, sf_dir):
+    """Perceptual frame near-dup — the gap mm_frame_dedup leaves: that
+    query catches only byte-identical frames (exact 32-byte digests);
+    re-encoded or lightly-retouched frames need a PERCEPTUAL hash.
+    Average-hash (DCT-free) over REAL decoded P6 pixels: per frame,
+    NN-sample to an 8×8 gray grid, threshold each cell against the
+    grid mean in exact integer math, pack 64 bits as 4×16-bit bands.
+    Near-dup pairs by pigeonhole band-blocking (any pair within
+    hamming ≤ 3 shares an exact band — 100% recall, bucket-local
+    compares, one shuffle on the band key; the
+    dedup_simhash_near_dup shape) with exact Hamming verification.
+    The fixture heatmap frames make image similarity track text
+    similarity, so the pair set is genuinely graded (hamming 0..3),
+    not just exact dups. At 100 TB: payloads never leave the decode
+    scan — only (keys, 4 ints) shuffle; the optional per-bucket cap
+    bounds pathological buckets. llm/multimodal.py::
+    attach_token_heatmap_frames/average_hash_bands/
+    phash_near_dup_pairs; reference frame lifecycle parity as
+    mm_frame_dedup (log_file_manager.hpp digest gate)."""
+    from rclabsapi_spark.llm.multimodal import (
+        attach_token_heatmap_frames,
+        average_hash_bands,
+        phash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = attach_token_heatmap_frames(docs, n_frames=_PHASH_FRAMES)
+    hashed = average_hash_bands(frames)
+    return phash_near_dup_pairs(hashed, max_hamming=_PHASH_MAX_HAMMING)

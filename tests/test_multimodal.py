@@ -138,3 +138,162 @@ def test_wav_framing_matches_numpy(spark):
             g = got[(row["doc_id"], i)]
             assert g[0] == pytest.approx(rms)
             assert g[1] == zc
+
+
+# ---------------------------------------------------------------------------
+# r16: perceptual average-hash + banded near-dup
+# ---------------------------------------------------------------------------
+
+
+def _ahash_py(payload: bytes, grid: int = 8) -> list[int]:
+    """Independent reference average-hash (pure python, no numpy):
+    parse P6, NN-sample, gray=r+g+b, bit = n_cells*gray > total."""
+    parts = payload.split(b"\n", 3)
+    w, h = (int(x) for x in parts[1].split())
+    px = parts[3]
+    n_cells = grid * grid
+    g = []
+    for gy in range(grid):
+        for gx in range(grid):
+            y, x = (gy * h) // grid, (gx * w) // grid
+            o = (y * w + x) * 3
+            g.append(px[o] + px[o + 1] + px[o + 2])
+    total = sum(g)
+    bits = [1 if n_cells * v > total else 0 for v in g]
+    return [
+        sum(bits[b * 16 + j] << j for j in range(16)) for b in range(4)
+    ]
+
+
+def _hash_one(spark, payload: bytes) -> tuple[int, ...]:
+    from rclabsapi_spark.llm.multimodal import average_hash_bands
+
+    df = spark.createDataFrame(
+        [(0, 0, bytearray(payload))],
+        "doc_id long, frame_idx int, payload binary",
+    )
+    r = average_hash_bands(df).collect()[0]
+    return tuple(r[f"b{b}"] for b in range(4))
+
+
+def test_average_hash_matches_reference_and_survives_reencode(spark):
+    """The Spark hash equals an independent pure-python reference, and
+    an NN RE-ENCODE of the same image (resize_ppm 8×8 → 16×16 — new
+    bytes, same picture) hashes IDENTICALLY: floor-scaled NN sampling
+    lands on the original pixels, which is the invariance exact
+     32-byte frame digests (mm_frame_dedup) cannot provide."""
+    rgb = bytes((i * 37 + 11) % 256 for i in range(8 * 8 * 3))
+    img = encode_ppm(8, 8, rgb)
+    got = _hash_one(spark, img)
+    assert list(got) == _ahash_py(img)
+
+    reencoded = resize_ppm(img, target_w=16, target_h=16)
+    assert reencoded != img  # genuinely different bytes
+    assert _hash_one(spark, reencoded) == got
+    # and the digest tier indeed misses it:
+    assert hashlib.md5(reencoded).digest() != hashlib.md5(img).digest()
+
+
+def test_phash_banding_finds_planted_neardups_with_full_recall(spark):
+    """Planted perturbations: a retouched frame within the hamming
+    budget is paired, a distant frame is not, and the pigeonhole
+    banding returns EXACTLY the O(n²) brute-force pair set (100%
+    recall — any pair within k flips shares one of k+1 bands)."""
+    from rclabsapi_spark.llm.multimodal import (
+        average_hash_bands,
+        phash_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=8 * 8 * 3, dtype=np.uint8)
+
+    # retouch: SWAP one above-mean cell with one below-mean cell — the
+    # total is unchanged (no other cell's threshold moves), so exactly
+    # those two bits flip: hamming 2 by construction
+    grays = base.reshape(64, 3).astype(int).sum(axis=1)
+    total = int(grays.sum())
+    above = int(np.argmax(64 * grays > total))
+    below = int(np.argmax(64 * grays <= total))
+    retouched = base.copy().reshape(64, 3)
+    retouched[[above, below]] = retouched[[below, above]]
+
+    imgs = {
+        (0, 0): base,
+        (1, 0): retouched.ravel(),
+        # unrelated noise image -> far
+        (2, 0): rng.integers(0, 256, size=8 * 8 * 3, dtype=np.uint8),
+        # exact re-encode -> hamming 0
+        (3, 0): np.frombuffer(
+            resize_ppm(encode_ppm(8, 8, base.tobytes()), target_w=24,
+                       target_h=24).split(b"\n", 3)[3], dtype=np.uint8,
+        ),
+    }
+    rows = []
+    for (d, f), arr in imgs.items():
+        w = 24 if d == 3 else 8
+        rows.append((d, f, bytearray(encode_ppm(w, w, bytes(arr)))))
+    df = spark.createDataFrame(
+        rows, "doc_id long, frame_idx int, payload binary"
+    )
+    hashed = average_hash_bands(df).cache()
+    got = {
+        ((r["doc_id_a"], r["frame_idx_a"]), (r["doc_id_b"], r["frame_idx_b"])):
+            r["hamming"]
+        for r in phash_near_dup_pairs(hashed, max_hamming=3).collect()
+    }
+
+    # brute-force reference over the same hashes
+    hs = {(r["doc_id"], r["frame_idx"]): [r[f"b{b}"] for b in range(4)]
+          for r in hashed.collect()}
+    ks = sorted(hs)
+    want = {}
+    for i in range(len(ks)):
+        for j in range(i + 1, len(ks)):
+            h = sum(
+                bin(a ^ b).count("1")
+                for a, b in zip(hs[ks[i]], hs[ks[j]])
+            )
+            if h <= 3:
+                want[(ks[i], ks[j])] = h
+    assert got == want
+    assert got[((0, 0), (3, 0))] == 0  # re-encode: exact perceptual match
+    assert got[((0, 0), (1, 0))] == 2  # planted retouch found at its distance
+    assert all((2, 0) not in pair for pair in got)  # noise image excluded
+
+
+def test_heatmap_frames_are_valid_images_tracking_text_similarity(spark):
+    """The fixture adapter emits VALID decodable P6 frames, and a
+    SHIFTED near-dup text (one token prepended — every position moves)
+    still lands within the hamming budget: the shift swaps token
+    parities, so the match appears across frame indexes — the
+    cross-frame pairing a video pipeline needs."""
+    from rclabsapi_spark.llm.multimodal import (
+        attach_token_heatmap_frames,
+        average_hash_bands,
+        phash_near_dup_pairs,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, "extra " + base),  # shifted: one token prepended
+            (2, " ".join(f"other{i}" for i in range(40))),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    frames = attach_token_heatmap_frames(docs, n_frames=2)
+    # every payload is a real image
+    for r in frames.collect():
+        d = decode_ppm(bytes(r["payload"]))
+        assert (d["width"], d["height"]) == (8, 8)
+    hashed = average_hash_bands(frames)
+    pairs = {
+        ((r["doc_id_a"], r["frame_idx_a"]), (r["doc_id_b"], r["frame_idx_b"]))
+        for r in phash_near_dup_pairs(hashed, max_hamming=3).collect()
+    }
+    # shifted doc matches across SWAPPED frame parity
+    assert ((0, 0), (1, 1)) in pairs
+    assert ((0, 1), (1, 0)) in pairs
+    # the unrelated doc matches nothing
+    assert all(2 not in (a[0], b[0]) for a, b in pairs)
