@@ -619,17 +619,26 @@ def phash_near_dup_pairs(
         F.col("p.ub")[k].alias(f"{k}_b" if k in key_cols else f"{k}b")
         for k in (*key_cols, *band_names)
     ]
-    pairs = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select(*a_cols, *b_cols)
-        .dropDuplicates([f"{k}_a" for k in key_cols] + [f"{k}_b" for k in key_cols])
-    )
     hamming = None
     for b in band_names:
         term = F.bit_count(F.col(f"{b}a").bitwiseXOR(F.col(f"{b}b")))
         hamming = term if hamming is None else hamming + term
+    # verify Hamming BEFORE the cross-band dedup: candidates from skewed
+    # band buckets can outnumber true pairs 100×, and filtering first
+    # keeps the dropDuplicates exchange output-sized (a qualifying pair
+    # is generated at most n_bands times, all copies identical). The
+    # in-bucket explode+filter itself stays codegen, shuffle-free.
+    pairs = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(*a_cols, *b_cols)
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(
+            [f"{k}_a" for k in key_cols] + [f"{k}_b" for k in key_cols]
+        )
+    )
     return pairs.select(
         *[F.col(f"{k}_a") for k in key_cols],
         *[F.col(f"{k}_b") for k in key_cols],
-        hamming.cast("int").alias("hamming"),
-    ).filter(F.col("hamming") <= max_hamming)
+        "hamming",
+    )
