@@ -398,3 +398,52 @@ def snapshot_diff(
             6,
         ).alias("churn_rate"),
     )
+
+
+@dataclass(frozen=True)
+class TwinStoreSpec:
+    """One streaming-twin store to compact on the maintenance cadence:
+    ``group_cols``/``sum_cols`` set → delta store (integer deltas
+    re-aggregate); unset → row store (fingerprints/rows rewritten
+    verbatim). Mirrors streaming.compaction.compact_store's contract."""
+
+    path: str
+    schema: str
+    group_cols: tuple[str, ...] = ()
+    sum_cols: tuple[str, ...] = ()
+
+
+def compact_twin_stores(
+    spark: SparkSession, stores: "list[TwinStoreSpec]"
+) -> dict[str, int]:
+    """Operational entry point for delta-store compaction — the
+    maintenance-path home the compaction contract names (run on the
+    rotation cadence, NEVER concurrently with a foreachBatch writer on
+    the same store; the GC detects a raced writer and raises rather
+    than dropping data). Compacts each store in order and returns
+    ``{path: new upto}`` (-1 for a store that was empty). A failure on
+    one store stops the run loudly — the remaining stores are simply
+    compacted on the next cadence; every store is individually
+    crash-safe (manifest swaps only after a complete fold).
+
+    Sinks that write MULTIPLE stores (e.g. token_savings_sink's
+    fingerprint + delta pair) should compact both in one maintenance
+    run: ``accept_batch`` refuses a replayed batch when it is folded
+    into ANY of the sink's stores, so a half-compacted pair is safe —
+    but keeping the compaction points aligned keeps the refusal
+    boundary easy to reason about.
+
+    Reference: the rotate+compress+archive maintenance loop
+    (log_file_manager.hpp:78-203) applied to the twins' stores."""
+    from rclabsapi_spark.streaming.compaction import compact_store
+
+    out: dict[str, int] = {}
+    for s in stores:
+        out[s.path] = compact_store(
+            spark,
+            s.path,
+            s.schema,
+            group_cols=s.group_cols,
+            sum_cols=s.sum_cols,
+        )
+    return out

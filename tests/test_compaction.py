@@ -484,3 +484,53 @@ def test_idempotent_sink_public_reader_resolves_compaction(spark, tmp_path):
     # post-compaction batches land live and are unioned with the fold
     sink(spark.createDataFrame([(4, "d")], "id long, v string"), 2)
     assert rows(read_compacted_parquet(spark, out)) == folded + [(4, "d", 2)]
+
+
+def test_maintenance_compacts_paired_twin_stores(spark, tmp_path):
+    """The maintenance-path entry point (compact_twin_stores) folds a
+    sink's paired stores in one run — fingerprints verbatim, deltas
+    re-aggregated — leaving the report unchanged and replays of folded
+    batches refused across the pair."""
+    from rclabsapi_spark.maintenance import TwinStoreSpec, compact_twin_stores
+    from rclabsapi_spark.streaming.accounting import (
+        _DELTA_COLS,
+        token_savings_sink,
+        token_savings_totals,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    fp_dir = str(tmp_path / "fp")
+    delta_dir = str(tmp_path / "deltas")
+    sink = token_savings_sink(fp_dir, delta_dir)
+    sink(docs.filter(docs.doc_id % 2 == 0), 0)
+    sink(docs.filter(docs.doc_id % 2 == 1), 1)
+    before = {
+        r["source"]: r.asDict()
+        for r in token_savings_totals(spark, delta_dir).collect()
+    }
+
+    delta_schema = (
+        "source string, "
+        + ", ".join(f"{c} long" for c in _DELTA_COLS)
+        + ", batch_id long"
+    )
+    got = compact_twin_stores(
+        spark,
+        [
+            TwinStoreSpec(fp_dir, "text_hash string, batch_id long"),
+            TwinStoreSpec(
+                delta_dir, delta_schema,
+                group_cols=("source",), sum_cols=_DELTA_COLS,
+            ),
+            TwinStoreSpec(str(tmp_path / "never_written"), delta_schema),
+        ],
+    )
+    assert got[fp_dir] == 1 and got[delta_dir] == 1
+    assert got[str(tmp_path / "never_written")] == -1  # empty: no-op
+    assert _batch_dirs(fp_dir) == [] and _batch_dirs(delta_dir) == []
+    assert {
+        r["source"]: r.asDict()
+        for r in token_savings_totals(spark, delta_dir).collect()
+    } == before
+    assert not accept_batch(1, fp_dir, delta_dir)
+    assert accept_batch(2, fp_dir, delta_dir)
