@@ -642,3 +642,143 @@ def phash_near_dup_pairs(
         *[F.col(f"{k}_b") for k in key_cols],
         "hamming",
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual AUDIO fingerprint: energy-envelope hash over the REAL WAV
+# decode path
+# ---------------------------------------------------------------------------
+#
+# The audio analog of average_hash_bands, closing the same gap on the
+# audio column that phash closes on frames: exact digests miss the SAME
+# RECORDING re-encoded at a different gain, while an energy-envelope
+# hash is exactly gain-invariant — segment s's bit is the integer
+# cross-multiply (n_seg * abs_sum_s > total_abs_sum), and scaling every
+# sample by a constant scales both sides equally. All integer math
+# end-to-end (int64 |sample| sums), so a future DuckDB oracle can
+# mirror the hash exactly, and the band columns feed the SAME
+# phash_near_dup_pairs pigeonhole machinery (key_cols=("doc_id",)).
+
+
+def wav_energy_hash_bands(
+    df: DataFrame,
+    *,
+    n_seg: int = 64,
+    n_bands: int = 4,
+    key_cols: tuple[str, ...] = ("doc_id",),
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Energy-envelope hash of each PCM16 RIFF/WAVE payload as
+    ``n_bands`` integer band columns (``b0..b{n-1}``) — the same output
+    contract as ``average_hash_bands``, so the banded near-dup pair
+    machinery applies unchanged.
+
+    REAL signal work per payload: parse the RIFF header, view the data
+    block as int16, split the samples into ``n_seg`` contiguous
+    segments on floor-scaled boundaries (the NN-sample convention —
+    a re-encode that preserves the sample block hashes IDENTICALLY),
+    per-segment int64 ``|sample|`` sum, bit = (n_seg * seg_sum >
+    total_sum). Non-RIFF payloads are skipped, as the P6 hash skips
+    non-P6 — route compressed codecs through their gated decoder
+    first."""
+    import numpy as np
+
+    assert n_seg % n_bands == 0, "bands must divide the bit count"
+    w_band = n_seg // n_bands
+    assert w_band <= 31, "band must fit a signed int"
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_keys: list[list] = [[] for _ in key_cols]
+            bands: list[list[int]] = [[] for _ in range(n_bands)]
+            for row in pdf.itertuples(index=False):
+                b = bytes(getattr(row, payload_col))
+                if not (b.startswith(b"RIFF") and b[8:12] == b"WAVE"):
+                    continue
+                n = int.from_bytes(b[40:44], "little")
+                x = np.abs(
+                    np.frombuffer(
+                        b, dtype="<i2", count=n // 2, offset=44
+                    ).astype(np.int64)
+                )
+                edges = (np.arange(n_seg + 1) * len(x)) // n_seg
+                seg = np.add.reduceat(x, edges[:-1]) if len(x) else (
+                    np.zeros(n_seg, dtype=np.int64)
+                )
+                # reduceat quirk: an empty slice [i, i) returns x[i]
+                # instead of 0 — zero those segments explicitly
+                seg = np.where(edges[1:] > edges[:-1], seg, 0)
+                total = int(x.sum())
+                bits = (n_seg * seg) > total
+                for k in range(n_bands):
+                    s = bits[k * w_band : (k + 1) * w_band]
+                    bands[k].append(int((s << np.arange(w_band)).sum()))
+                for i, kc in enumerate(key_cols):
+                    out_keys[i].append(getattr(row, kc))
+            cols = {kc: out_keys[i] for i, kc in enumerate(key_cols)}
+            cols.update({f"b{k}": bands[k] for k in range(n_bands)})
+            yield pd.DataFrame(cols)
+
+    key_schema = ", ".join(
+        f"{k} {t}"
+        for k, t in zip(key_cols, [dict(df.dtypes)[k] for k in key_cols])
+    )
+    band_schema = ", ".join(f"b{k} int" for k in range(n_bands))
+    return df.select(*key_cols, payload_col).mapInPandas(
+        process, schema=f"{key_schema}, {band_schema}"
+    )
+
+
+def attach_token_envelope_wav(
+    docs: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_cells: int = 64,
+    samples_per_cell: int = 4,
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Fixture adapter rendering each doc as a VALID PCM16 waveform
+    whose energy envelope IS its token histogram: tokens hash into
+    ``n_cells`` envelope cells (the attach_token_heatmap_frames
+    dealing — first two md5 hex digits mod n_cells), and cell count
+    ``c`` (clipped at 255) becomes a constant-amplitude run of
+    ``samples_per_cell`` samples at ``min(c,255) * 128``.
+
+    Why an envelope and not md5 noise: ``attach_wav_payload`` seeds
+    samples from md5(text), so near-dup texts get maximally DISTANT
+    waveforms and a perceptual query over it degenerates — the same
+    trap the heatmap-frame note documents for images. Rendering token
+    statistics makes acoustic similarity TRACK text similarity while
+    every payload stays a real decodable WAV through the same RIFF
+    path, and the segment abs-sums reduce to exact integer token
+    arithmetic a SQL oracle can mirror:
+    ``bit_s = (n_cells * min(c_s,255) > sum_t min(c_t,255))``."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import struct
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf[text_col]:
+                counts = [0] * n_cells
+                for tok in t.split(" "):
+                    cell = (
+                        int(hashlib.md5(tok.encode()).hexdigest()[:2], 16)
+                        % n_cells
+                    )
+                    counts[cell] += 1
+                samples = b"".join(
+                    struct.pack("<h", min(c, 255) * 128)
+                    * samples_per_cell
+                    for c in counts
+                )
+                payloads.append(encode_wav_pcm16(sample_rate, samples))
+            yield pd.DataFrame(
+                {key_col: pdf[key_col].values, "payload": payloads}
+            )
+
+    return docs.select(key_col, text_col).mapInPandas(
+        gen, schema=f"{key_col} long, payload binary"
+    ).withColumn("media_type", F.lit("audio/wav"))

@@ -297,3 +297,112 @@ def test_heatmap_frames_are_valid_images_tracking_text_similarity(spark):
     assert ((0, 1), (1, 0)) in pairs
     # the unrelated doc matches nothing
     assert all(2 not in (a[0], b[0]) for a, b in pairs)
+
+
+def test_wav_energy_hash_matches_integer_reference(spark):
+    """Known case: constant-amplitude runs make every segment abs-sum
+    computable by hand; the Spark-side hash must equal the pure-integer
+    reference bit for bit (this arithmetic is what a SQL oracle would
+    mirror)."""
+    from rclabsapi_spark.llm.multimodal import (
+        encode_wav_pcm16,
+        wav_energy_hash_bands,
+    )
+
+    n_seg, spc = 64, 4
+    amps = [(i * 7) % 23 for i in range(n_seg)]  # deterministic, varied
+    samples = b"".join(
+        __import__("struct").pack("<h", a * 100) * spc for a in amps
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav_pcm16(8000, samples)))],
+        "doc_id long, payload binary",
+    )
+    got = wav_energy_hash_bands(df).first()
+
+    seg_sums = [a * 100 * spc for a in amps]
+    total = sum(seg_sums)
+    bits = [(n_seg * s) > total for s in seg_sums]
+    for b in range(4):
+        want = sum(1 << j for j in range(16) if bits[b * 16 + j])
+        assert got[f"b{b}"] == want
+
+
+def test_wav_energy_hash_is_gain_invariant_where_digest_is_not(spark):
+    """The same recording re-encoded at double gain: exact md5 digests
+    differ (the mm_frame_dedup-class miss), the energy-envelope hash is
+    IDENTICAL — the integer cross-multiply scales both sides equally."""
+    import hashlib
+    import struct
+
+    from rclabsapi_spark.llm.multimodal import (
+        encode_wav_pcm16,
+        wav_energy_hash_bands,
+    )
+
+    rng = [(i * 31) % 97 - 48 for i in range(256)]
+    quiet = b"".join(struct.pack("<h", v * 50) for v in rng)
+    loud = b"".join(struct.pack("<h", v * 100) for v in rng)
+    pq, pl = encode_wav_pcm16(8000, quiet), encode_wav_pcm16(8000, loud)
+    assert hashlib.md5(pq).digest() != hashlib.md5(pl).digest()
+
+    df = spark.createDataFrame(
+        [(0, bytearray(pq)), (1, bytearray(pl))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in wav_energy_hash_bands(df).collect()}
+    assert all(
+        rows[0][f"b{b}"] == rows[1][f"b{b}"] for b in range(4)
+    )
+
+
+def test_audio_envelope_neardups_track_text_and_band_recall(spark):
+    """The token-envelope fixture makes acoustic similarity track text
+    similarity: a one-token edit moves at most two envelope cells
+    (hamming <= 2), an unrelated text lands far away; the pigeonhole
+    banding over the audio hash (the SAME phash_near_dup_pairs
+    machinery, key_cols=("doc_id",)) finds exactly the brute-force
+    pair set."""
+    from rclabsapi_spark.llm.multimodal import (
+        attach_token_envelope_wav,
+        decode_wav,
+        phash_near_dup_pairs,
+        wav_energy_hash_bands,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    edited = base.replace("tok7", "changed", 1)
+    other = " ".join(f"other{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(0, base), (1, edited), (2, other)], "doc_id long, text string"
+    )
+    wavs = attach_token_envelope_wav(docs)
+    # every payload is a real decodable waveform
+    for r in wavs.collect():
+        d = decode_wav(bytes(r["payload"]))
+        assert d["n_samples"] == 64 * 4 and d["sample_rate"] == 8000
+
+    hashed = wav_energy_hash_bands(wavs, key_cols=("doc_id",)).cache()
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(
+            hashed, key_cols=("doc_id",), max_hamming=3
+        ).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 2
+    assert all(2 not in k for k in pairs)
+
+    # banding == brute force at this distance (pigeonhole recall)
+    h = {r["doc_id"]: [r[f"b{b}"] for b in range(4)] for r in hashed.collect()}
+    brute = {
+        (a, b)
+        for a in h
+        for b in h
+        if a < b
+        and sum(
+            bin(h[a][i] ^ h[b][i]).count("1") for i in range(4)
+        )
+        <= 3
+    }
+    assert set(pairs) == brute
+    hashed.unpersist()
