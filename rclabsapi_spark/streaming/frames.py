@@ -57,24 +57,37 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _KEYS = ("doc_id", "frame_idx")
+_KEY_TYPES = {"doc_id": "long", "frame_idx": "int"}
 
 
-def hash_store_schema(n_bands: int = 4) -> str:
+def hash_store_schema(
+    n_bands: int = 4, *, key_cols: tuple[str, ...] = _KEYS
+) -> str:
+    keys = ", ".join(f"{k} {_KEY_TYPES[k]}" for k in key_cols)
     bands = ", ".join(f"b{b} int" for b in range(n_bands))
-    return f"doc_id long, frame_idx int, {bands}, batch_id long"
+    return f"{keys}, {bands}, batch_id long"
 
 
-PAIR_SCHEMA = (
-    "doc_id_a long, frame_idx_a int, doc_id_b long, frame_idx_b int, "
-    "hamming int, batch_id long"
-)
+def pair_store_schema(key_cols: tuple[str, ...] = _KEYS) -> str:
+    sides = ", ".join(
+        f"{k}_{s} {_KEY_TYPES[k]}" for s in ("a", "b") for k in key_cols
+    )
+    return f"{sides}, hamming int, batch_id long"
 
 
-def _band_exploded(hashed: DataFrame, n_bands: int, alias: str) -> DataFrame:
+PAIR_SCHEMA = pair_store_schema()
+
+
+def _band_exploded(
+    hashed: DataFrame,
+    n_bands: int,
+    alias: str,
+    key_cols: tuple[str, ...] = _KEYS,
+) -> DataFrame:
     """(member struct, band_id, band_key) — the blocking relation. The
     member struct carries keys + all band ints so Hamming verification
     needs no join-back."""
-    member = F.struct(*[F.col(c) for c in _KEYS],
+    member = F.struct(*[F.col(c) for c in key_cols],
                       *[F.col(f"b{b}") for b in range(n_bands)])
     return hashed.select(
         member.alias(alias),
@@ -96,15 +109,16 @@ def _cross_pairs(
     *,
     n_bands: int,
     max_hamming: int,
+    key_cols: tuple[str, ...] = _KEYS,
 ) -> DataFrame:
     """NEW × STORE near-dup pairs: band-key equi-join (never
     store × store), exact Hamming verified BEFORE the cross-band
     dedup so the final exchange is output-sized (the
-    phash_near_dup_pairs lesson), output canonically ordered by
-    (doc_id, frame_idx) — the order the batch query's sorted-members
-    pair generation produces, so twin ∪ batch rows compare exactly."""
-    na = _band_exploded(new_hashed, n_bands, "mn")
-    sa = _band_exploded(store_hashed, n_bands, "ms")
+    phash_near_dup_pairs lesson), output canonically ordered by the
+    key tuple — the order the batch query's sorted-members pair
+    generation produces, so twin ∪ batch rows compare exactly."""
+    na = _band_exploded(new_hashed, n_bands, "mn", key_cols)
+    sa = _band_exploded(store_hashed, n_bands, "ms", key_cols)
     cand = na.join(sa, ["band_id", "band_key"]).select("mn", "ms")
     hamming = None
     for b in range(n_bands):
@@ -112,24 +126,22 @@ def _cross_pairs(
             F.col(f"mn.b{b}").bitwiseXOR(F.col(f"ms.b{b}"))
         )
         hamming = term if hamming is None else hamming + term
-    swap = (F.col("mn.doc_id") > F.col("ms.doc_id")) | (
-        (F.col("mn.doc_id") == F.col("ms.doc_id"))
-        & (F.col("mn.frame_idx") > F.col("ms.frame_idx"))
-    )
+    # unit keys are unique across the stream, so lexicographic struct
+    # comparison on the key prefix is a total order
+    swap = F.struct(
+        *[F.col(f"mn.{k}") for k in key_cols]
+    ) > F.struct(*[F.col(f"ms.{k}") for k in key_cols])
     ua = F.when(swap, F.col("ms")).otherwise(F.col("mn"))
     ub = F.when(swap, F.col("mn")).otherwise(F.col("ms"))
+    side_cols = [
+        ua[k].alias(f"{k}_a") for k in key_cols
+    ] + [ub[k].alias(f"{k}_b") for k in key_cols]
     return (
         cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select(
-            ua["doc_id"].alias("doc_id_a"),
-            ua["frame_idx"].alias("frame_idx_a"),
-            ub["doc_id"].alias("doc_id_b"),
-            ub["frame_idx"].alias("frame_idx_b"),
-            "hamming",
-        )
+        .select(*side_cols, "hamming")
         .dropDuplicates(
-            ["doc_id_a", "frame_idx_a", "doc_id_b", "frame_idx_b"]
+            [f"{k}_{s}" for s in ("a", "b") for k in key_cols]
         )
     )
 
@@ -141,14 +153,23 @@ def frame_phash_sink(
     grid: int = 8,
     n_bands: int = 4,
     max_hamming: int = 3,
+    key_cols: tuple[str, ...] = _KEYS,
+    hash_fn: Callable[..., DataFrame] | None = None,
 ) -> Callable[[DataFrame, int], None]:
-    """``foreachBatch`` handler for a (doc_id, frame_idx, payload)
-    frame stream: hash the batch once, append its signatures to the
-    hash store, and write the pairs IT discovers (in-batch + batch ×
-    earlier-store) as a batch-id-partitioned pair delta. Exactly-once
-    under at-least-once replays via dynamic overwrite + the
-    deterministic ``batch_id <`` prior-set filter; compaction-guarded
-    on BOTH stores."""
+    """``foreachBatch`` handler for a (keys..., payload) media stream:
+    hash the batch once, append its signatures to the hash store, and
+    write the pairs IT discovers (in-batch + batch × earlier-store) as
+    a batch-id-partitioned pair delta. Exactly-once under
+    at-least-once replays via dynamic overwrite + the deterministic
+    ``batch_id <`` prior-set filter; compaction-guarded on BOTH
+    stores.
+
+    ``hash_fn`` is any perceptual hasher with the b0..b{n-1} band
+    contract — image frames by default (``average_hash_bands``); pass
+    ``wav_energy_hash_bands`` with ``key_cols=("doc_id",)`` for the
+    audio column (the gain-invariant energy-envelope hash): the
+    blocking, exactly-once, and compaction semantics are hash-
+    agnostic."""
     assert n_bands > max_hamming, "pigeonhole needs max_hamming < n_bands"
 
     def handle(batch: DataFrame, batch_id: int) -> None:
@@ -162,11 +183,19 @@ def frame_phash_sink(
         if not accept_batch(int(batch_id), hash_dir, pair_dir):
             return  # replay of a compacted batch: already folded
         spark = batch.sparkSession
-        hashed = average_hash_bands(
-            batch, grid=grid, n_bands=n_bands, key_cols=_KEYS
-        ).cache()  # one decode+hash pass, three consumers below
+        hasher = hash_fn or (
+            lambda df: average_hash_bands(
+                df, grid=grid, n_bands=n_bands, key_cols=key_cols
+            )
+        )
+        # one decode+hash pass, three consumers below
+        hashed = hasher(batch).cache()
         store = (
-            _read_or_empty(spark, hash_dir, hash_store_schema(n_bands))
+            _read_or_empty(
+                spark,
+                hash_dir,
+                hash_store_schema(n_bands, key_cols=key_cols),
+            )
             .filter(F.col("batch_id") < int(batch_id))
             .drop("batch_id")
         )
@@ -174,10 +203,14 @@ def frame_phash_sink(
             hashed,
             max_hamming=max_hamming,
             n_bands=n_bands,
-            key_cols=_KEYS,
+            key_cols=key_cols,
         )
         cross = _cross_pairs(
-            hashed, store, n_bands=n_bands, max_hamming=max_hamming
+            hashed,
+            store,
+            n_bands=n_bands,
+            max_hamming=max_hamming,
+            key_cols=key_cols,
         )
         # disjoint by construction: in-batch pairs have both sides in
         # this batch, cross pairs exactly one
@@ -201,13 +234,19 @@ def frame_phash_sink(
     return handle
 
 
-def phash_pairs_report(spark: SparkSession, pair_dir: str) -> DataFrame:
+def phash_pairs_report(
+    spark: SparkSession,
+    pair_dir: str,
+    *,
+    key_cols: tuple[str, ...] = _KEYS,
+) -> DataFrame:
     """The accumulated near-dup pair set — row-for-row EXACTLY the
-    registered ``mm_frame_phash_neardup`` result over the frames
-    ingested so far (no tolerance: integer hashes, integer Hamming,
-    each pair discovered exactly once when its later side arrived).
-    A pair-store read, zero recompute; compaction-aware via
-    ``_read_or_empty``."""
+    batch pair query over the media ingested so far (no tolerance:
+    integer hashes, integer Hamming, each pair discovered exactly once
+    when its later side arrived). A pair-store read, zero recompute;
+    compaction-aware via ``_read_or_empty``."""
     from rclabsapi_spark.streaming.accounting import _read_or_empty
 
-    return _read_or_empty(spark, pair_dir, PAIR_SCHEMA).drop("batch_id")
+    return _read_or_empty(
+        spark, pair_dir, pair_store_schema(key_cols)
+    ).drop("batch_id")

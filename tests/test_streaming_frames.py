@@ -189,3 +189,51 @@ def test_phash_twin_compaction_and_post_compaction_cross(spark, tmp_path):
     )
     assert after == want
     frames.unpersist()
+
+
+def test_audio_twin_rides_the_same_sink(spark, tmp_path):
+    """The sink's blocking/exactly-once/compaction semantics are
+    hash-agnostic: the gain-invariant audio energy-envelope hash rides
+    the SAME sink with ``key_cols=("doc_id",)`` — three direct batches
+    fold to exactly the batch pair set over the full audio corpus, and
+    a replay changes nothing."""
+    from rclabsapi_spark.llm.multimodal import (
+        attach_token_envelope_wav,
+        phash_near_dup_pairs,
+        wav_energy_hash_bands,
+    )
+    from rclabsapi_spark.streaming.frames import (
+        frame_phash_sink,
+        phash_pairs_report,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    wavs = attach_token_envelope_wav(docs).cache()
+    hash_dir = str(tmp_path / "ahashes")
+    pair_dir = str(tmp_path / "apairs")
+    sink = frame_phash_sink(
+        hash_dir,
+        pair_dir,
+        key_cols=("doc_id",),
+        hash_fn=lambda df: wav_energy_hash_bands(
+            df, key_cols=("doc_id",)
+        ),
+    )
+    for bid in range(3):
+        sink(wavs.filter(F.col("doc_id") % 3 == bid), bid)
+
+    want = _rows(
+        phash_near_dup_pairs(
+            wav_energy_hash_bands(wavs, key_cols=("doc_id",)),
+            key_cols=("doc_id",),
+        )
+    )
+    got = _rows(phash_pairs_report(spark, pair_dir, key_cols=("doc_id",)))
+    assert got == want and len(got) > 0
+
+    sink(wavs.filter(F.col("doc_id") % 3 == 1), 1)  # replay
+    assert (
+        _rows(phash_pairs_report(spark, pair_dir, key_cols=("doc_id",)))
+        == want
+    )
+    wavs.unpersist()
