@@ -1,13 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The container has no image/audio libraries, so COMPRESSED-format
-decode is a clearly-marked stub (``decode_image_stub``) — but the
-uncompressed netpbm path is REAL: ``decode_ppm``/``resize_ppm`` do
-actual pixel work with numpy alone, ``attach_ppm_payload`` makes valid
-P6 images, and ``decode_image`` dispatches between the two
-(tests/test_multimodal.py verifies decode and resize at the pixel
-level through the same harness). The Spark-side plumbing (schema,
+The container has no imaging libraries, but two image codecs are REAL
+anyway: the uncompressed netpbm path (``decode_ppm``/``resize_ppm`` —
+numpy pixel work; ``attach_ppm_payload`` makes valid P6 images) and,
+since r16, PNG (``encode_png``/``png_pixels``/``decode_png`` — stdlib
+zlib is the actual codec; chunk framing, CRCs, and all five scanline
+filters implemented against RFC 2083). ``decode_image`` dispatches
+across both; only formats whose entropy/DCT decoders are a genuine
+library dependency (JPEG et al.) remain behind the clearly-marked
+``decode_image_stub`` (tests/test_multimodal.py verifies decode,
+resize, and the PNG filter paths at the pixel level). The Spark-side plumbing (schema,
 partitioning, UDF signature, batch shape) is real and tested:
 
 - ``attach_binary``      — materialize a binary payload column + metadata
@@ -275,11 +278,16 @@ def attach_ppm_payload(
 
 
 def decode_image(payload: bytes) -> dict:
-    """Dispatching decoder: P6 PPM decodes for real (numpy); compressed
-    formats fall through to the PIL-gated stub."""
-    if bytes(payload).startswith(b"P6"):
-        return decode_ppm(bytes(payload))
-    return decode_image_stub(bytes(payload))
+    """Dispatching decoder: P6 PPM and PNG decode FOR REAL (numpy;
+    stdlib zlib is PNG's actual codec — see ``png_pixels``); remaining
+    compressed formats (JPEG et al., whose entropy/DCT decoders are a
+    genuine library dependency) fall through to the PIL-gated stub."""
+    b = bytes(payload)
+    if b.startswith(b"P6"):
+        return decode_ppm(b)
+    if b.startswith(_PNG_SIG):
+        return decode_png(b)
+    return decode_image_stub(b)
 
 
 # ---------------------------------------------------------------------------
@@ -515,13 +523,15 @@ def average_hash_bands(
     the bands ARE the blocking keys downstream, and an unsigned 64-bit
     hash would not fit a signed long anyway.
 
-    REAL pixel work per payload: parse the P6 header, nearest-neighbor
-    sample to ``grid×grid`` (floor-scaled indices — the resize_ppm
-    convention, so an NN re-encode of the same image hashes
-    IDENTICALLY), per-cell gray = r+g+b (integer, no luma weights to
-    round), bit = (n_cells·gray > total) — the integer cross-multiply
-    form of gray > mean. Bits pack row-major, band b holding bits
-    [b·w, (b+1)·w)."""
+    REAL pixel work per payload: decode to pixels (P6 header parse, or
+    the real zlib PNG path — the hash is FORMAT-agnostic, so the same
+    picture stored as PPM and as PNG hashes identically),
+    nearest-neighbor sample to ``grid×grid`` (floor-scaled indices —
+    the resize_ppm convention, so an NN re-encode of the same image
+    hashes IDENTICALLY), per-cell gray = r+g+b (integer, no luma
+    weights to round), bit = (n_cells·gray > total) — the integer
+    cross-multiply form of gray > mean. Bits pack row-major, band b
+    holding bits [b·w, (b+1)·w)."""
     import numpy as np
 
     n_cells = grid * grid
@@ -535,13 +545,24 @@ def average_hash_bands(
             bands: list[list[int]] = [[] for _ in range(n_bands)]
             for row in pdf.itertuples(index=False):
                 payload = bytes(getattr(row, payload_col))
-                if not payload.startswith(b"P6"):
+                if payload.startswith(b"P6"):
+                    parts = payload.split(b"\n", 3)
+                    w, h = (int(x) for x in parts[1].split())
+                    px = np.frombuffer(
+                        parts[3], dtype=np.uint8, count=w * h * 3
+                    ).reshape(h, w, 3)
+                elif payload.startswith(_PNG_SIG):
+                    w, h, ch, raw = png_pixels(payload)
+                    px = np.frombuffer(raw, dtype=np.uint8).reshape(
+                        h, w, ch
+                    )
+                    px = (
+                        px[..., :3]
+                        if ch >= 3
+                        else np.repeat(px, 3, axis=2)
+                    )
+                else:
                     continue
-                parts = payload.split(b"\n", 3)
-                w, h = (int(x) for x in parts[1].split())
-                px = np.frombuffer(
-                    parts[3], dtype=np.uint8, count=w * h * 3
-                ).reshape(h, w, 3)
                 ys = (np.arange(grid) * h) // grid
                 xs = (np.arange(grid) * w) // grid
                 g = px[ys][:, xs].astype(np.int64).sum(axis=2).ravel()
@@ -802,3 +823,193 @@ def attach_token_envelope_wav(
     return docs.select(key_col, text_col).mapInPandas(
         gen, schema=f"{key_col} long, payload binary"
     ).withColumn("media_type", F.lit("audio/wav"))
+
+
+# ---------------------------------------------------------------------------
+# Real compressed codec: PNG via stdlib zlib — no imaging libraries
+# ---------------------------------------------------------------------------
+#
+# The codec stub note says "a real deployment replaces this with PIL".
+# For PNG specifically that dependency is unnecessary: the container's
+# stdlib zlib IS the codec (inflate/deflate); what remains is chunk
+# framing, CRCs, and the five scanline filters — implemented here
+# against the PNG specification (RFC 2083), so the most common
+# compressed image format decodes FOR REAL. JPEG and friends stay
+# behind the PIL-gated stub (a DCT entropy decoder is a genuine
+# library dependency).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CTYPE = {1: 0, 3: 2, 4: 6}  # channels -> PNG color type
+
+
+def _png_paeth(a, b, c):
+    """Paeth predictor over int64 numpy arrays (RFC 2083 §6.6)."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(
+    width: int,
+    height: int,
+    pixels: "bytes",
+    *,
+    channels: int = 3,
+    filter_type: int = 0,
+) -> bytes:
+    """Minimal REAL PNG writer: 8-bit gray/RGB/RGBA scanlines under any
+    of the five PNG filters (the non-zero filters exist so tests can
+    exercise every decoder unfilter path with payloads this module
+    produced itself), deflate-compressed, CRC-framed."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    stride = width * channels
+    px = (
+        np.frombuffer(bytes(pixels), dtype=np.uint8, count=height * stride)
+        .reshape(height, stride)
+        .astype(np.int64)
+    )
+    zeros = np.zeros(channels, dtype=np.int64)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        line = px[y]
+        left = np.concatenate([zeros, line[:-channels]])
+        upleft = np.concatenate([zeros, prev[:-channels]])
+        if filter_type == 0:
+            f = line
+        elif filter_type == 1:
+            f = line - left
+        elif filter_type == 2:
+            f = line - prev
+        elif filter_type == 3:
+            f = line - (left + prev) // 2
+        elif filter_type == 4:
+            f = line - _png_paeth(left, prev, upleft)
+        else:
+            raise ValueError(f"bad PNG filter {filter_type}")
+        raw.append(filter_type)
+        raw.extend((f % 256).astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, _PNG_CTYPE[channels], 0, 0, 0
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_pixels(payload: bytes) -> tuple[int, int, int, "bytes"]:
+    """REAL PNG decode to (width, height, channels, pixel bytes):
+    critical-chunk parse, zlib inflate, all five scanline unfilters.
+    8-bit gray/truecolor/truecolor-alpha, non-interlaced — palette,
+    16-bit, and interlaced variants raise loudly (route to the gated
+    stub, as JPEG does). Filters 0/2 unfilter vectorized; 1/3/4 carry
+    a true left-neighbor dependency, so they run per byte within the
+    scanline (row-bounded, and only on rows an encoder chose those
+    filters for)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    b = bytes(payload)
+    if not b.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, idat, w, h, ch = 8, bytearray(), None, None, None
+    while pos + 8 <= len(b):
+        ln, tag = struct.unpack(">I4s", b[pos : pos + 8])
+        data = b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype not in (0, 2, 6) or interlace:
+                raise ValueError(
+                    "unsupported PNG variant (palette/16-bit/interlace)"
+                )
+            ch = {0: 1, 2: 3, 6: 4}[ctype]
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("truncated PNG: missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("truncated PNG: scanline payload size mismatch")
+    px = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=pos + 1
+        ).astype(np.int64)
+        pos += 1 + stride
+        if ft == 0:
+            out = line
+        elif ft == 2:
+            out = (line + prev) % 256
+        elif ft in (1, 3, 4):
+            out = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = int(out[i - ch]) if i >= ch else 0
+                up = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + up) // 2
+                else:
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        up if pb <= pc else c
+                    )
+                out[i] = (int(line[i]) + pred) % 256
+        else:
+            raise ValueError(f"bad PNG scanline filter {ft}")
+        px[y] = out.astype(np.uint8)
+        prev = out
+    return int(w), int(h), int(ch), px.tobytes()
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL PNG decode returning the ``decode_ppm`` feature shape
+    (geometry + per-channel means) plus the channel count — gray
+    broadcasts its single channel, alpha is excluded from the color
+    means."""
+    import numpy as np
+
+    w, h, ch, raw = png_pixels(payload)
+    px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, ch)
+    rgb = px[..., :3] if ch >= 3 else np.repeat(px, 3, axis=2)
+    means = rgb.astype("float64").mean(axis=(0, 1))
+    return {
+        "width": w,
+        "height": h,
+        "channels": ch,
+        "mean_r": float(means[0]),
+        "mean_g": float(means[1]),
+        "mean_b": float(means[2]),
+    }

@@ -406,3 +406,80 @@ def test_audio_envelope_neardups_track_text_and_band_recall(spark):
     }
     assert set(pairs) == brute
     hashed.unpersist()
+
+
+def test_png_roundtrip_all_five_filters():
+    """The PNG codec is real: every scanline filter the spec defines
+    (None/Sub/Up/Average/Paeth) encodes and decodes back to the exact
+    pixels, and the feature dict matches the PPM decoder's on the same
+    image."""
+    from rclabsapi_spark.llm.multimodal import (
+        decode_png,
+        decode_ppm,
+        encode_png,
+        encode_ppm,
+        png_pixels,
+    )
+
+    w, h = 9, 7  # odd sizes: exercise non-aligned strides
+    rgb = bytes(((x * 37 + y * 101 + c * 13) % 256)
+                for y in range(h) for x in range(w) for c in range(3))
+    for ft in range(5):
+        payload = encode_png(w, h, rgb, filter_type=ft)
+        gw, gh, gch, graw = png_pixels(payload)
+        assert (gw, gh, gch) == (w, h, 3) and graw == rgb, f"filter {ft}"
+
+    want = decode_ppm(encode_ppm(w, h, rgb))
+    got = decode_png(encode_png(w, h, rgb, filter_type=4))
+    for k in ("width", "height", "mean_r", "mean_g", "mean_b"):
+        assert got[k] == want[k]
+
+
+def test_png_gray_and_alpha_variants():
+    """8-bit grayscale broadcasts to the RGB means; truecolor+alpha
+    excludes alpha from the color means."""
+    from rclabsapi_spark.llm.multimodal import decode_png, encode_png
+
+    gray = bytes((i * 11) % 256 for i in range(6 * 4))
+    g = decode_png(encode_png(6, 4, gray, channels=1, filter_type=2))
+    assert g["channels"] == 1 and g["mean_r"] == g["mean_g"] == g["mean_b"]
+
+    rgba = bytes((i * 7) % 256 for i in range(5 * 3 * 4))
+    a = decode_png(encode_png(5, 3, rgba, channels=4, filter_type=1))
+    assert a["channels"] == 4 and a["width"] == 5
+
+
+def test_decode_image_dispatch_png_real_jpeg_still_gated():
+    """decode_image now decodes PNG for real; JPEG stays behind the
+    documented PIL-gated stub."""
+    from rclabsapi_spark.llm.multimodal import decode_image, encode_png
+
+    rgb = bytes(range(48)) * 1
+    d = decode_image(encode_png(4, 4, rgb))
+    assert (d["width"], d["height"]) == (4, 4)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+
+
+def test_average_hash_is_format_agnostic(spark):
+    """The SAME picture stored as P6 and as PNG (any filter) produces
+    IDENTICAL perceptual hash bands — the cross-FORMAT re-encode case
+    the exact-digest tier can never catch."""
+    from rclabsapi_spark.llm.multimodal import (
+        average_hash_bands,
+        encode_png,
+        encode_ppm,
+    )
+
+    w = h = 16
+    rgb = bytes(((x * x + y * 3) % 256)
+                for y in range(h) for x in range(w) for _ in range(3))
+    df = spark.createDataFrame(
+        [
+            (0, 0, bytearray(encode_ppm(w, h, rgb))),
+            (1, 0, bytearray(encode_png(w, h, rgb, filter_type=3))),
+        ],
+        "doc_id long, frame_idx int, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in average_hash_bands(df).collect()}
+    assert all(rows[0][f"b{b}"] == rows[1][f"b{b}"] for b in range(4))
