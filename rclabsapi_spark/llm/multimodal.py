@@ -55,12 +55,15 @@ def extract_binary_meta(df: DataFrame, *, key_col: str = "doc_id") -> DataFrame:
 
 
 def decode_image_stub(payload: bytes) -> dict:
-    """STUB — image decode requires PIL/libjpeg, absent in this container
-    (re-checked each round; still absent as of round 6 — PIL, cv2,
-    soundfile all fail to import). A real deployment
-    replaces this with PIL.Image.open(BytesIO(payload)); the harness
-    around it (batching, schema, partitioning) is unchanged and is what
-    the mm_* queries and tests exercise via ``fake_decode``."""
+    """STUB — the residue of formats whose decoders are a genuine
+    library dependency (JPEG/WebP entropy+DCT, plus the PNG variants
+    png_pixels rejects: palette/16-bit/interlace). PIL/cv2/soundfile
+    are absent in this container (re-checked each round); P6 PPM and
+    common-case PNG decode FOR REAL upstream of this stub. A real
+    deployment replaces this with PIL.Image.open(BytesIO(payload));
+    the harness around it (batching, schema, partitioning) is
+    unchanged and is what the mm_* queries and tests exercise via
+    ``fake_decode``."""
     raise NotImplementedError(
         "image decode stubbed: no imaging libraries in this environment"
     )
@@ -1013,3 +1016,27 @@ def decode_png(payload: bytes) -> dict:
         "mean_g": float(means[1]),
         "mean_b": float(means[2]),
     }
+
+
+def resize_image(payload: bytes, *, target_w: int, target_h: int) -> bytes:
+    """Format-preserving REAL nearest-neighbor resize: a P6 payload
+    resizes through the PPM path, a PNG payload decodes through the
+    real zlib path, NN-samples at the same floor-scaled indices, and
+    re-encodes as PNG (filter 0) — so the resize convention (and hence
+    the perceptual-hash invariance it guarantees) is identical across
+    formats. Other formats raise into the gated stub's scope."""
+    import numpy as np
+
+    b = bytes(payload)
+    if b.startswith(b"P6"):
+        return resize_ppm(b, target_w=target_w, target_h=target_h)
+    if b.startswith(_PNG_SIG):
+        w, h, ch, raw = png_pixels(b)
+        px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, ch)
+        ys = (np.arange(target_h) * h) // target_h
+        xs = (np.arange(target_w) * w) // target_w
+        out = px[ys][:, xs]
+        return encode_png(
+            target_w, target_h, out.tobytes(), channels=ch
+        )
+    return decode_image_stub(b)
