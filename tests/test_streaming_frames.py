@@ -237,3 +237,43 @@ def test_audio_twin_rides_the_same_sink(spark, tmp_path):
         == want
     )
     wavs.unpersist()
+
+
+def test_phash_twin_through_hadoop_scheme_paths(spark, tmp_path):
+    """The twin's stores addressed as ``file://`` URIs: the data plane
+    (Spark parquet) and the control plane (accept_batch/compaction via
+    storefs.HadoopStoreFS) resolve the SAME filesystem — ingest,
+    compact, refused replay, and parity all hold through the scheme
+    path, mirroring test_compaction's lifecycle on the new twin."""
+    from rclabsapi_spark.maintenance import (
+        TwinStoreSpec,
+        compact_twin_stores,
+    )
+    from rclabsapi_spark.registry import get_registry
+    from rclabsapi_spark.streaming.frames import (
+        PAIR_SCHEMA,
+        frame_phash_sink,
+        hash_store_schema,
+        phash_pairs_report,
+    )
+
+    frames = _frames(spark).cache()
+    hash_dir = f"file://{tmp_path}/hashes"
+    pair_dir = f"file://{tmp_path}/pairs"
+    sink = frame_phash_sink(hash_dir, pair_dir)
+    for bid in range(2):
+        sink(frames.filter(F.col("doc_id") % 2 == bid), bid)
+
+    want = _rows(get_registry()["mm_frame_phash_neardup"].fn(spark, SF))
+    assert _rows(phash_pairs_report(spark, pair_dir)) == want
+
+    compact_twin_stores(
+        spark,
+        [
+            TwinStoreSpec(hash_dir, hash_store_schema()),
+            TwinStoreSpec(pair_dir, PAIR_SCHEMA),
+        ],
+    )
+    sink(frames.filter(F.col("doc_id") % 2 == 0), 0)  # folded: refused
+    assert _rows(phash_pairs_report(spark, pair_dir)) == want
+    frames.unpersist()
