@@ -540,3 +540,27 @@ def test_png_roundtrip_property(w, h, channels, filter_type, seed):
                          filter_type=filter_type)
     gw, gh, gch, raw = png_pixels(payload)
     assert (gw, gh, gch) == (w, h, channels) and raw == px
+
+
+def test_wav_energy_hash_degenerate_payloads(spark):
+    """Edge cases stay deterministic: a zero-sample WAV hashes to all-
+    zero bands (no division, no crash); a silent (all-zero-amplitude)
+    clip likewise — total 0 means no segment can exceed the integer
+    cross-multiply threshold; non-RIFF payloads are skipped."""
+    from rclabsapi_spark.llm.multimodal import (
+        encode_wav_pcm16,
+        wav_energy_hash_bands,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(encode_wav_pcm16(8000, b""))),
+            (1, bytearray(encode_wav_pcm16(8000, b"\x00" * 512))),
+            (2, bytearray(b"not a wav payload")),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in wav_energy_hash_bands(df).collect()}
+    assert set(rows) == {0, 1}  # non-RIFF skipped
+    for d in (0, 1):
+        assert all(rows[d][f"b{b}"] == 0 for b in range(4))
