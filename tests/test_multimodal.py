@@ -564,3 +564,75 @@ def test_wav_energy_hash_degenerate_payloads(spark):
     assert set(rows) == {0, 1}  # non-RIFF skipped
     for d in (0, 1):
         assert all(rows[d][f"b{b}"] == 0 for b in range(4))
+
+
+def test_phash_clusters_match_union_find_and_chain_transitivity(spark):
+    """Perceptual clusters over the real sf0.001 pair set equal a
+    brute-force union-find, and a planted retouch CHAIN (original ≈
+    re-render ≈ retouch, ends not directly paired) collapses into ONE
+    family under the original as keeper."""
+    from rclabsapi_spark.llm.multimodal import (
+        attach_token_heatmap_frames,
+        average_hash_bands,
+        phash_clusters,
+        phash_near_dup_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    frames = attach_token_heatmap_frames(docs, n_frames=2)
+    pairs = phash_near_dup_pairs(average_hash_bands(frames)).cache()
+    got = {
+        (r["doc_id"], r["frame_idx"]): (
+            r["keeper_doc_id"],
+            r["keeper_frame_idx"],
+        )
+        for r in phash_clusters(pairs).collect()
+    }
+
+    # brute-force union-find over the same pairs
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    prows = pairs.collect()
+    for r in prows:
+        a = (r["doc_id_a"], r["frame_idx_a"])
+        b = (r["doc_id_b"], r["frame_idx_b"])
+        parent.setdefault(a, a), parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {u: find(u) for u in parent}
+    assert got == want and len(got) > 0
+    pairs.unpersist()
+
+    # planted chain: ONE token edit per link (<=2 hash bits each), so
+    # A-B and B-C pair while A-C may not — the chain still closes into
+    # one family through transitivity (index-based edits: substring
+    # replace would also mangle tok30..tok39 when editing tok3)
+    toks = [f"tok{i}" for i in range(60)]
+    base = " ".join(toks)
+    mid_toks = list(toks)
+    mid_toks[3] = "edit3a"
+    mid = " ".join(mid_toks)
+    far_toks = list(mid_toks)
+    far_toks[47] = "edit47b"
+    far = " ".join(far_toks)
+    chain = spark.createDataFrame(
+        [(0, base), (1, mid), (2, far)], "doc_id long, text string"
+    )
+    cframes = attach_token_heatmap_frames(chain, n_frames=1)
+    cpairs = phash_near_dup_pairs(
+        average_hash_bands(cframes), key_cols=("doc_id", "frame_idx")
+    )
+    links = {(r["doc_id_a"], r["doc_id_b"]) for r in cpairs.collect()}
+    assert (0, 1) in links and (1, 2) in links
+    cl = {
+        r["doc_id"]: r["keeper_doc_id"]
+        for r in phash_clusters(cpairs).collect()
+    }
+    assert cl == {0: 0, 1: 0, 2: 0}
