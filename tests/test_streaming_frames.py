@@ -277,3 +277,43 @@ def test_phash_twin_through_hadoop_scheme_paths(spark, tmp_path):
     sink(frames.filter(F.col("doc_id") % 2 == 0), 0)  # folded: refused
     assert _rows(phash_pairs_report(spark, pair_dir)) == want
     frames.unpersist()
+
+
+def test_phash_twin_half_compacted_pair_still_refuses_replay(spark, tmp_path):
+    """A maintenance run that compacted only ONE of the sink's two
+    stores (crashed between them, or misconfigured) must not break
+    exactly-once: ``accept_batch`` refuses a batch folded into ANY of
+    the stores, so the replay is a no-op for BOTH and the report is
+    unchanged — the half-compacted pair converges on the next full
+    maintenance run instead of double-counting now."""
+    from rclabsapi_spark.streaming.compaction import compact_store
+    from rclabsapi_spark.streaming.frames import (
+        frame_phash_sink,
+        hash_store_schema,
+        phash_pairs_report,
+    )
+
+    frames = _frames(spark).cache()
+    hash_dir = str(tmp_path / "hashes")
+    pair_dir = str(tmp_path / "pairs")
+    sink = frame_phash_sink(hash_dir, pair_dir)
+    for bid in range(2):
+        sink(frames.filter(F.col("doc_id") % 2 == bid), bid)
+    before = _rows(phash_pairs_report(spark, pair_dir))
+
+    # compact ONLY the hash store; the pair store keeps live partitions
+    compact_store(spark, hash_dir, hash_store_schema())
+
+    sink(frames.filter(F.col("doc_id") % 2 == 1), 1)  # replay: refused
+    assert _rows(phash_pairs_report(spark, pair_dir)) == before
+    # the pair store's live partitions are untouched (no double-count,
+    # no deletion)
+    import os as _os
+
+    parts = [
+        d
+        for d in _os.listdir(pair_dir)
+        if d.startswith("batch_id=")
+    ]
+    assert sorted(parts) == ["batch_id=0", "batch_id=1"]
+    frames.unpersist()
