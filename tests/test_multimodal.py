@@ -505,7 +505,6 @@ def test_resize_image_png_matches_ppm_convention():
         encode_png(w, h, rgb, filter_type=2), target_w=4, target_h=3
     )
     assert via_ppm.startswith(b"P6") and via_png.startswith(b"\x89PNG")
-    ppm_px = encode_ppm  # silence linters; pixels compared below
     parts = via_ppm.split(b"\n", 3)
     gw, gh, _, graw = png_pixels(via_png)
     assert (gw, gh) == (4, 3) and graw == parts[3][: 4 * 3 * 3]
