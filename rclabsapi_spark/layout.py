@@ -30,6 +30,30 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def spread_by(df: DataFrame, *cols: str | Column) -> DataFrame:
+    """Hash-repartition by ``cols`` with the session's configured
+    shuffle parallelism as an EXPLICIT partition count — the spread
+    primitive for CPU-heavy per-row stages (tokenize/md5/decode work
+    whose cost per BYTE is enormous).
+
+    Why not plain ``repartition(col)``: a count-less repartition is an
+    AQE coalescing target, and AQE sizes partitions by BYTES. A small
+    text relation that fans out into expensive per-row work (the
+    shingle/simhash/perceptual-hash inputs) looks tiny to AQE, so the
+    exchange collapses — measured at sf0.1: ONE post-shuffle partition,
+    i.e. the stage the repartition exists to parallelize runs serially
+    in a single task. The explicit count pins the spread; it comes from
+    ``spark.sql.shuffle.partitions`` (config-scaled, never a local
+    core-count constant), so at cluster scale the same code spreads to
+    the configured width. Rows with equal keys stay co-located, so
+    every downstream groupBy on a superset of ``cols`` still reuses
+    this exchange."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(
+        n, *[F.col(c) if isinstance(c, str) else c for c in cols]
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from rclabsapi_spark.layout import spread_by
+
 from rclabsapi_spark.functions.scalars import round_half_up
 
 
@@ -53,7 +55,7 @@ def shingle_posting(
     measured ~40s single-task on 5k docs vs ~1s for this shape. The window
     partitions by doc (docs are small), so no skew; at 100 TB the
     repartition spreads shingling across every executor."""
-    posting = docs.repartition(F.col(key_col)).select(
+    posting = spread_by(docs, key_col).select(
         F.col(key_col),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
     )

@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from rclabsapi_spark.layout import spread_by
+
 
 def attach_binary(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     """Fixture adapter: deterministic fake payload (UTF-8 bytes of the
@@ -467,7 +469,14 @@ def attach_token_heatmap_frames(
     image similarity TRACK text similarity — near-dup docs share most
     tokens → most cells equal → small average-hash distance — i.e. the
     graded-similarity regime a perceptual hash exists for, while every
-    payload stays a valid decodable image through the same P6 path."""
+    payload stays a valid decodable image through the same P6 path.
+
+    Physical shape: repartition by key first — the simhash16 pattern: a
+    fixture parquet is one file with one row group, i.e. ONE scan task,
+    and the tokenize/render work would otherwise run serially in a
+    single Python worker (guide §2.5 input skew; measured 0.82 → 0.31 s
+    at sf0.1). The exchange carries (key, text) once; downstream Python
+    stages inherit the spread."""
     n_cells = grid * grid
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -508,8 +517,12 @@ def attach_token_heatmap_frames(
                 {key_col: keys, "frame_idx": idxs, "payload": payloads}
             )
 
-    return docs.select(key_col, text_col).mapInPandas(
-        gen, schema=f"{key_col} long, frame_idx int, payload binary"
+    return (
+        docs.select(key_col, text_col)
+        .transform(lambda d: spread_by(d, key_col))
+        .mapInPandas(
+            gen, schema=f"{key_col} long, frame_idx int, payload binary"
+        )
     )
 
 
@@ -613,7 +626,22 @@ def phash_near_dup_pairs(
     O(n²) spec matches exactly)."""
     assert n_bands > max_hamming, "pigeonhole needs max_hamming < n_bands"
     band_names = [f"b{b}" for b in range(n_bands)]
-    member = F.struct(*[F.col(c) for c in (*key_cols, *band_names)])
+    # Pack the band columns into ONE 64-bit word (band b at bits
+    # [16b, 16b+16)): bands are bit-disjoint, so the pair Hamming
+    # distance collapses from n_bands xor+bit_count terms to a single
+    # bit_count(xor) — the probe below runs O(bucket²) times, so its
+    # size directly multiplies the in-bucket compare cost. (The top
+    # band may set bit 63 and wrap the long negative; xor/bit_count
+    # operate on the bit pattern, so the distance is unaffected, and
+    # member ordering never reaches the packed word — the key columns
+    # are unique per unit and sort first.)
+    packed = None
+    for b in range(n_bands):
+        t = F.shiftleft(F.col(f"b{b}").cast("long"), 16 * b)
+        packed = t if packed is None else packed.bitwiseOR(t)
+    member = F.struct(
+        *[F.col(c) for c in key_cols], packed.alias("fp")
+    )
     banded = hashed.select(
         *key_cols,
         *band_names,
@@ -638,37 +666,42 @@ def phash_near_dup_pairs(
     if max_bucket_size is not None:
         buckets = buckets.filter(F.size("members") <= max_bucket_size)
     m = F.col("members")
+
+    # Verify Hamming INSIDE the in-bucket comprehension, before any pair
+    # struct is materialized: perceptual hashes of one corpus concentrate
+    # on few band keys (measured at sf0.1: top bucket 1,420 members ⇒
+    # ~1M candidate structs in ONE array value; 6.5M candidates corpus-
+    # wide for 112k true pairs), so building the candidate array and
+    # filtering after explode materializes a ~60× larger intermediate
+    # than the answer — a per-bucket memory spike that scales with the
+    # square of the hottest bucket. The filter keeps the generated array
+    # output-sized; the O(B²) probes still run, but each is one
+    # xor+bit_count with no struct allocation behind it. The cross-band
+    # dropDuplicates then sees ≤ n_bands copies per TRUE pair.
     pair_structs = F.flatten(
         F.transform(
             m,
             lambda x, i: F.transform(
-                F.slice(m, i + F.lit(2), F.size(m) - i - F.lit(1)),
+                F.filter(
+                    F.slice(m, i + F.lit(2), F.size(m) - i - F.lit(1)),
+                    lambda y: F.bit_count(x["fp"].bitwiseXOR(y["fp"]))
+                    <= F.lit(max_hamming),
+                ),
                 lambda y: F.struct(x.alias("ua"), y.alias("ub")),
             ),
         )
     )
     a_cols = [
-        F.col("p.ua")[k].alias(f"{k}_a" if k in key_cols else f"{k}a")
-        for k in (*key_cols, *band_names)
-    ]
+        F.col("p.ua")[k].alias(f"{k}_a") for k in key_cols
+    ] + [F.col("p.ua")["fp"].alias("fpa")]
     b_cols = [
-        F.col("p.ub")[k].alias(f"{k}_b" if k in key_cols else f"{k}b")
-        for k in (*key_cols, *band_names)
-    ]
-    hamming = None
-    for b in band_names:
-        term = F.bit_count(F.col(f"{b}a").bitwiseXOR(F.col(f"{b}b")))
-        hamming = term if hamming is None else hamming + term
-    # verify Hamming BEFORE the cross-band dedup: candidates from skewed
-    # band buckets can outnumber true pairs 100×, and filtering first
-    # keeps the dropDuplicates exchange output-sized (a qualifying pair
-    # is generated at most n_bands times, all copies identical). The
-    # in-bucket explode+filter itself stays codegen, shuffle-free.
+        F.col("p.ub")[k].alias(f"{k}_b") for k in key_cols
+    ] + [F.col("p.ub")["fp"].alias("fpb")]
+    hamming = F.bit_count(F.col("fpa").bitwiseXOR(F.col("fpb")))
     pairs = (
         buckets.select(F.explode(pair_structs).alias("p"))
         .select(*a_cols, *b_cols)
         .withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(
             [f"{k}_a" for k in key_cols] + [f"{k}_b" for k in key_cols]
         )

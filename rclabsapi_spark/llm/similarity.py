@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from rclabsapi_spark.layout import spread_by
+
 
 def _as_double(vec: Column) -> Column:
     return vec.cast("array<double>")
@@ -143,7 +145,7 @@ def embedding_near_dup_pairs(
     size; ``max_bucket_size`` guards the B² blowup of degenerate buckets
     at corpus scale."""
     v = _as_double(F.col(vec_col))
-    bucketed = embeddings.repartition(F.col(key_col)).select(
+    bucketed = spread_by(embeddings, key_col).select(
         F.col(key_col), v.alias("v"), sign_bucket(v, num_bits).alias("bucket")
     )
     buckets = (

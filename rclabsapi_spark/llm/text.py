@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from rclabsapi_spark.layout import spread_by
+
 from rclabsapi_spark.functions.scalars import round_half_up
 
 # Function-word-profile language ID: marker-token hit counts per language,
@@ -226,7 +228,7 @@ def pmi_collocations(
     arithmetic on exact integer counts — the multiplication order is
     pinned left-associative so both engines produce bit-identical
     doubles — and the top-k breaks ties lexicographically."""
-    toks = docs.repartition(F.col(key_col)).select(
+    toks = spread_by(docs, key_col).select(
         F.col(key_col).alias("doc"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "w"),
     )

@@ -18,6 +18,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from rclabsapi_spark.layout import spread_by
+
 from rclabsapi_spark.llm.text import token_count
 
 
@@ -347,7 +349,7 @@ def span_corruption(
     to ONE sentinel in the input (run-length via lag); targets carry
     (span_id, span_text). One doc-key shuffle; collect_list reassembles
     under the same partitioning."""
-    toks = docs.repartition(F.col(key_col)).select(
+    toks = spread_by(docs, key_col).select(
         F.col(key_col).alias("doc"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
     ).filter(F.col("tok") != "")

@@ -21,6 +21,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from rclabsapi_spark.layout import spread_by
+
 from rclabsapi_spark.functions.scalars import grid_sum, round_half_up
 from rclabsapi_spark.operators.rank import global_ntile, global_row_number
 
@@ -243,7 +245,7 @@ def heavy_hitters(
     reuse the same clustering (hashpartitioning(group) satisfies the
     aggregate's (group, item) distribution)."""
     counts = (
-        df.repartition(F.col(group_col))
+        spread_by(df, group_col)
         .groupBy(group_col, item_col)
         .agg(F.count(F.lit(1)).alias("n"))
     )

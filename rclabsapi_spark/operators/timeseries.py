@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from rclabsapi_spark.layout import spread_by
+
 from rclabsapi_spark.functions.scalars import round_half_up
 
 _GRAIN_SECONDS = {"minute": 60, "hour": 3600, "day": 86400}
@@ -75,7 +77,7 @@ def gap_fill(
         df.select(
             F.col(key_col).alias("key"), bucket.alias("bucket"), F.col(value_col)
         )
-        .repartition(F.col("key"))
+        .transform(lambda d: spread_by(d, "key"))
         .groupBy("key", "bucket")
         .agg(
             round_half_up(
@@ -213,7 +215,7 @@ def scd2_intervals(
             F.col(attr_col).alias("attr0"),
             F.col(tiebreak_col).alias("tb"),
         )
-        .repartition(F.col("key"))
+        .transform(lambda d: spread_by(d, "key"))
         .groupBy("key", "ts")
         .agg(F.max_by("attr0", "tb").alias("attr"))
     )
@@ -277,7 +279,7 @@ def concurrency_peaks(
         )
     )
     net = (
-        pts.repartition(F.col("g"))
+        spread_by(pts, "g")
         .groupBy("g", "t")
         .agg(F.sum("delta").alias("net"))
     )

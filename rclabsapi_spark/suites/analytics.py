@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from rclabsapi_spark.layout import spread_by
+
 from rclabsapi_spark.catalog import load_table
 from rclabsapi_spark.operators.analytics import (
     chi_square_independence,
@@ -586,7 +588,7 @@ def q_ks_drift(spark, sf_dir):
     ).otherwise(0)
     per_value = (
         ev.select("event_type", "value", is_ref.alias("is_ref"))
-        .repartition(F.col("event_type"))
+        .transform(lambda d: spread_by(d, "event_type"))
         .groupBy("event_type", "value")
         .agg(
             F.sum("is_ref").alias("n1"),

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from rclabsapi_spark.layout import spread_by
+
 from rclabsapi_spark.catalog import load_table
 from rclabsapi_spark.functions.scalars import sql_grid_sum
 from rclabsapi_spark.registry import query
@@ -285,7 +287,7 @@ def q_cohort_retention(spark, sf_dir):
         ev.select(
             "user_id", F.date_trunc("week", F.col("ts")).alias("week")
         )
-        .repartition(F.col("user_id"))
+        .transform(lambda d: spread_by(d, "user_id"))
         .distinct()
     )
     w_u = Window.partitionBy("user_id")
