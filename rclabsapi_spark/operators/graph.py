@@ -37,6 +37,7 @@ def triangle_count(
     src_col: str = "src",
     dst_col: str = "dst",
     materialize: bool = True,
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """Exact triangle count of the undirected simple graph induced by
     ``edges`` (self-loops dropped, directions/duplicates collapsed).
@@ -47,19 +48,32 @@ def triangle_count(
     and the closing edge is membership-checked against the oriented set
     — each triangle counted exactly once.
 
+    ``edges_canonical=True`` asserts the CALLER's contract that edges
+    already arrive canonical — src < dst, distinct, no self-loops (true
+    of any ``groupBy(src, dst)`` output over ordered pairs, e.g. the
+    in-basket pair aggregates) — and skips the normalization's
+    least/greatest projection and its distinct EXCHANGE. The caller
+    owns the claim; a violated contract double-counts edges, so only
+    pass it for aggregate-produced pair relations.
+
     ``materialize=False`` skips the eager localCheckpoint (and the
     intermediate-cache release that depends on it) so plan pins and
     scripts/plan_audit.py can inspect the real join/aggregate plan — a
     checkpointed DataFrame's plan is just ``Scan ExistingRDD``. The
     query path keeps the default: materialize, then free the caches."""
-    u = F.least(F.col(src_col), F.col(dst_col)).alias("u")
-    v = F.greatest(F.col(src_col), F.col(dst_col)).alias("v")
-    e = (
-        edges.select(u, v)
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .cache()  # consumed by degrees, orientation, and the count
-    )
+    if edges_canonical:
+        e = edges.select(
+            F.col(src_col).alias("u"), F.col(dst_col).alias("v")
+        ).cache()  # consumed by degrees, orientation, and the count
+    else:
+        u = F.least(F.col(src_col), F.col(dst_col)).alias("u")
+        v = F.greatest(F.col(src_col), F.col(dst_col)).alias("v")
+        e = (
+            edges.select(u, v)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .cache()  # consumed by degrees, orientation, and the count
+        )
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))

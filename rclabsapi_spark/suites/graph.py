@@ -75,21 +75,47 @@ def q_triangles(spark, sf_dir, *, materialize=True):
     co-ordered in ≥2 baskets) — the clustering-structure audit for a
     co-occurrence graph. Degree-oriented wedge generation keeps
     per-vertex fan-out O(√m); two equi-joins, no cartesian anything.
+
+    Edge derivation (r16): ONE collect_set per basket + in-bucket array
+    pair-gen (the basket_pair_support shape) — the fact's dedup, and
+    the pair generation, ride a single exchange on the basket id; the
+    previous distinct + basket-keyed self-join spent three exchanges on
+    the same 1.2M pairs. Baskets are ≤ tens of items (the co-order
+    relation), so the per-row array is bounded; the pair aggregate then
+    shuffles on (src, dst) as before. The edge set is byte-identical
+    (sorted distinct items, i < j pairs, count ≥ 2), and it arrives
+    already canonical — src < dst, distinct — so triangle_count skips
+    its normalization dedup (``edges_canonical``).
     ``materialize=False`` exposes the pre-checkpoint plan for pins and
     the plan audit. operators/graph.py::triangle_count."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select(
-        F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
-    ).distinct()
-    a, b = items.alias("a"), items.alias("b")
+    baskets = (
+        li.select(
+            F.col("l_orderkey").alias("basket"),
+            F.col("l_partkey").alias("item"),
+        )
+        .groupBy("basket")
+        .agg(F.array_sort(F.collect_set("item")).alias("its"))
+    )
+    it = F.col("its")
+    pair_structs = F.flatten(
+        F.transform(
+            it,
+            lambda x, i: F.transform(
+                F.slice(it, i + F.lit(2), F.size(it) - i - F.lit(1)),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
     edges = (
-        a.join(b, "basket")
-        .filter(F.col("a.item") < F.col("b.item"))
-        .groupBy(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
     )
-    return triangle_count(edges, materialize=materialize)
+    return triangle_count(
+        edges, materialize=materialize, edges_canonical=True
+    )
 
 
 # ---------------------------------------------------------------------------
