@@ -612,15 +612,17 @@ def simhash16(docs: DataFrame, *, text_col: str = "text", key_col: str = "doc_id
     Expressed as explode → one groupBy with 16 conditional sums → bit
     recombination. All integer math → exact cross-engine parity.
 
-    Physical shape: repartition by key first (a fixture parquet is one
+    Physical shape: spread by key first (a fixture parquet is one
     file = one task; the explode/md5/vote work must spread across the
-    cluster). Repeated tokens are pre-counted per (key, token) — both
+    cluster — spread_by, not a count-less repartition, which AQE
+    coalesces back to one partition by bytes). Repeated tokens are
+    pre-counted per (key, token) — both
     groupBys reuse the key partitioning (clustering on a subset of the
     group keys ⟹ no exchange), and the md5 + per-bit vote work then runs
     once per DISTINCT token per doc (measured ~2.3× repetition on the
     fixture corpus), with each vote weighted by the count."""
     tok = (
-        docs.repartition(F.col(key_col))
+        spread_by(docs, key_col)
         .select(
             F.col(key_col), F.explode(tokens(F.col(text_col))).alias("tok")
         )
@@ -670,10 +672,13 @@ def simhash_bits(
     Repeated tokens are pre-counted per (key, token) — the pre-count
     groupBy reuses the key partitioning (no exchange) and the md5/decode
     /shift work runs once per DISTINCT token per doc (~2.3× repetition
-    on the fixture corpus), each bit weighted by the count."""
+    on the fixture corpus), each bit weighted by the count. The spread
+    uses spread_by (explicit partition count): a count-less repartition
+    is an AQE coalescing target and collapses to ONE partition at bench
+    scale, serializing the whole vote stage."""
     assert bits <= 60, "fingerprint must fit a signed 64-bit int"
     tok = (
-        docs.repartition(F.col(key_col))
+        spread_by(docs, key_col)
         .select(
             F.col(key_col), F.explode(tokens(F.col(text_col))).alias("tok")
         )
