@@ -460,12 +460,15 @@ def dedup_clusters(
     # round cap the ANALYZER, not execution, dominates — checkpointing
     # keeps every round planning against a leaf relation. (edges is
     # referenced every round too but its lineage stays flat; cache is
-    # right there.)
+    # right there.) LAZY checkpoint: the convergence aggregate right
+    # below is the materializing action, so each round costs ONE Spark
+    # job (an eager checkpoint + a separate aggregate was two — at
+    # O(diameter) rounds the per-round job overhead is the loop's wall).
     labels = (
         edges.select(F.col("src").alias("doc"))
         .distinct()
         .withColumn("label", F.col("doc"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Convergence check: labels only ever decrease (min-propagation), so
     # the label sum strictly decreases iff any node changed — one scalar
@@ -480,7 +483,7 @@ def dedup_clusters(
             labels.unionByName(prop)
             .groupBy("doc")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
@@ -559,10 +562,12 @@ def dedup_clusters_star(
     # LOGICAL plan grows ~12× per round — cache truncates execution but
     # not plan analysis, and by round ~8 the analyzer itself is the
     # bottleneck (minutes on a 256-node chain). Checkpointing cuts the
-    # lineage so every round plans against a leaf relation.
+    # lineage so every round plans against a leaf relation. LAZY
+    # checkpoint: the convergence count below materializes it, so each
+    # round is ONE job (eager + count was two per round).
     stars = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().localCheckpoint(eager=False)
 
     # Convergence: the round transform T = small∘large is deterministic,
     # so set-equality of consecutive outputs is an EXACT fixpoint test
@@ -573,7 +578,7 @@ def dedup_clusters_star(
     rounds = 0
     for rounds in range(1, max_iters + 1):
         new_stars = small_star(large_star(stars)).localCheckpoint(
-            eager=True
+            eager=False
         )
         cur_cnt = new_stars.count()
         converged = (
@@ -886,7 +891,9 @@ def incremental_lsh_pairs(
     ``materialize=False`` keeps the plan inspectable for pins and the
     plan audit. Reference parity: extends the incremental-ingest batch
     loop contract (etl_job_manager.cpp:371-407) from exact fingerprints
-    to near-dup signatures."""
+    to near-dup signatures. Keys must be unique ACROSS the two inputs
+    (true of any ingest split of one corpus): the verification shingles
+    both sides through one combined pass keyed on ``key_col``."""
     rows = num_hashes // bands
 
     def banded(docs: DataFrame) -> DataFrame:
@@ -929,26 +936,31 @@ def incremental_lsh_pairs(
         .dropDuplicates(["new_doc", "corpus_doc"])
         .cache()
     )
-    new_sets = doc_shingle_sets(
-        new_docs.join(
-            pairs.select(F.col("new_doc").alias(key_col)).distinct(),
-            key_col,
-            "leftsemi",
-        ),
+    # ONE shingle pass for both sides: new/corpus partition the doc
+    # space, so the union of surviving pair endpoints prunes a single
+    # combined relation — one semi-join + one spread/shingle stage
+    # instead of two of each (same rows shingled either way; the two
+    # verification joins then read the same set relation).
+    cand_keys = pairs.select(
+        F.explode(
+            F.array(F.col("new_doc"), F.col("corpus_doc"))
+        ).alias(key_col)
+    ).distinct()
+    both = new_docs.select(
+        key_col, text_col
+    ).unionByName(corpus_docs.select(key_col, text_col))
+    # cached: the set relation feeds BOTH verification joins below — an
+    # uncached plan would run the shingle pass once per join
+    sets = doc_shingle_sets(
+        both.join(cand_keys, key_col, "leftsemi"),
         text_col=text_col,
         key_col=key_col,
         n=n,
-    ).select(F.col(key_col).alias("new_doc"), F.col("shingle_set").alias("sa"))
-    corpus_sets = doc_shingle_sets(
-        corpus_docs.join(
-            pairs.select(F.col("corpus_doc").alias(key_col)).distinct(),
-            key_col,
-            "leftsemi",
-        ),
-        text_col=text_col,
-        key_col=key_col,
-        n=n,
-    ).select(
+    ).cache()
+    new_sets = sets.select(
+        F.col(key_col).alias("new_doc"), F.col("shingle_set").alias("sa")
+    )
+    corpus_sets = sets.select(
         F.col(key_col).alias("corpus_doc"), F.col("shingle_set").alias("sb")
     )
     joined = pairs.join(new_sets, "new_doc").join(corpus_sets, "corpus_doc")
@@ -960,10 +972,12 @@ def incremental_lsh_pairs(
         round_half_up(inter / union, 6).alias("jaccard"),
     )
     # pair-sized result: materialize eagerly, then release the candidate
-    # cache so repeated daily-batch calls don't accumulate storage.
+    # and set caches so repeated daily-batch calls don't accumulate
+    # storage.
     if materialize:
         out = out.localCheckpoint(eager=True)
         pairs.unpersist()
+        sets.unpersist()
     return out
 
 

@@ -608,6 +608,7 @@ def pq_train(
     n_subspaces: int = 8,
     codebook_size: int = 16,
     iters: int = 3,
+    dim: int | None = None,
 ) -> list[list[list[float]]]:
     """Train PQ codebooks: split the vector into ``n_subspaces``
     contiguous blocks and k-means each block independently (the
@@ -630,8 +631,10 @@ def pq_train(
     jobs (~6 s of the old sim_pq_adc wall was 32 tiny jobs' scheduling,
     not compute); at 100 TB one wide pass per iteration is also the
     right shape."""
-    spark = embeddings.sparkSession
-    dim = len(embeddings.select(vec_col).first()[0])
+    # ``dim`` saves the probing job when the caller already knows the
+    # vector width (e.g. it fetched the query vector first)
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     sub = dim // n_subspaces
     assert sub * n_subspaces == dim, "dim must divide n_subspaces"
     v = _as_double(F.col(vec_col))
@@ -649,27 +652,17 @@ def pq_train(
         .select("k", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
         .cache()
     )
-    init = base.filter(F.col("k") < codebook_size).select(
+    # Centroid state stays a DATAFRAME across iterations — collecting it
+    # to the driver per round and re-shipping it via createDataFrame was
+    # one extra driver round trip per iteration (the values are doubles
+    # either way: a collect + re-create round-trips IEEE doubles
+    # exactly, so keeping them JVM-side is bit-identical). ONE collect
+    # at the end pulls the finished codebooks.
+    cents = base.filter(F.col("k") < codebook_size).select(
         "m", F.col("k").cast("int").alias("cid"), F.col("sv").alias("cvec")
     )
-    cent_rows = {
-        (r["m"], r["cid"]): [float(x) for x in r["cvec"]]
-        for r in init.collect()
-    }
-    seeded = {c for (_, c) in cent_rows}
-    missing = sorted(set(range(codebook_size)) - seeded)
-    # explicit seeding contract (the oracle mirror seeds the same way);
-    # a silent shorter codebook would shift every code id after the gap
-    assert not missing, (
-        f"pq_train seeds centroids from {key_col} in [0, {codebook_size});"
-        f" no input rows for ids {missing}"
-    )
     for _ in range(iters):
-        cents_df = spark.createDataFrame(
-            [(m, c, vec) for (m, c), vec in sorted(cent_rows.items())],
-            "m int, cid int, cvec array<double>",
-        )
-        scored = base.join(F.broadcast(cents_df), "m")
+        scored = base.join(F.broadcast(cents), "m")
         assigned = (
             scored.withColumn(
                 "__sim", F.round(cosine(F.col("sv"), F.col("cvec")), 9)
@@ -700,12 +693,40 @@ def pq_train(
                 ).alias("pm")
             )
             .select(
-                "m", "cid", F.transform("pm", lambda s: s["mv"]).alias("cvec")
+                "m",
+                "cid",
+                F.transform("pm", lambda s: s["mv"]).alias("__new"),
             )
         )
-        for r in means.collect():
-            cent_rows[(r["m"], r["cid"])] = [float(x) for x in r["cvec"]]
+        # empty-cluster carry: clusters with no assigned rows keep their
+        # previous centroid (the collected-dict version updated only the
+        # ids present in means — the left join + coalesce is the same
+        # rule). Lazy checkpoint truncates the per-iteration lineage;
+        # the next iteration's broadcast (or the final collect)
+        # materializes it.
+        cents = (
+            cents.withColumnRenamed("cvec", "__prev")
+            .join(means, ["m", "cid"], "left")
+            .select(
+                "m",
+                "cid",
+                F.coalesce("__new", "__prev").alias("cvec"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    cent_rows = {
+        (r["m"], r["cid"]): [float(x) for x in r["cvec"]]
+        for r in cents.collect()
+    }
     base.unpersist()
+    seeded = {c for (_, c) in cent_rows}
+    missing = sorted(set(range(codebook_size)) - seeded)
+    # explicit seeding contract (the oracle mirror seeds the same way);
+    # a silent shorter codebook would shift every code id after the gap
+    assert not missing, (
+        f"pq_train seeds centroids from {key_col} in [0, {codebook_size});"
+        f" no input rows for ids {missing}"
+    )
     return [
         [cent_rows[(m, c)] for c in range(codebook_size)]
         for m in range(n_subspaces)

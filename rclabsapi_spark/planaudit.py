@@ -60,4 +60,6 @@ def audit(df: DataFrame) -> tuple[Counter, Counter]:
             counts["bhj"] += 1
         elif name == "SortMergeJoin":
             counts["smj"] += 1
+        elif name == "ShuffledHashJoin":
+            counts["shj"] += 1
     return scans, counts

@@ -27,6 +27,16 @@ _DEFAULT_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let the planner pick shuffled-hash over sort-merge when one side's
+    # per-partition build fits (it skips both sorts), and let AQE rewrite
+    # a planned sort-merge to shuffled-hash at runtime when every
+    # post-shuffle partition is small — the same 64 MB bound as the
+    # broadcast threshold. Fact⋈fact joins whose partitions exceed the
+    # bound still sort-merge (the spill-safe path at 100 TB).
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": str(
+        64 * 1024 * 1024
+    ),
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
     # Read parquet TIMESTAMPs as session-tz TIMESTAMP (LTZ), not NTZ:

@@ -2006,9 +2006,17 @@ def q_cluster_audit(spark, sf_dir):
     from rclabsapi_spark.llm.dedup import cluster_quality_audit, dedup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(
-        docs, num_hashes=8, bands=4, max_bucket_size=50
-    ).filter(F.col("jaccard") >= 0.5)
+    # The verified pair relation feeds TWO consumers (the CC edge build
+    # and the audit spine); without a checkpoint each re-runs the exact-
+    # Jaccard verification join-back — the expensive half of the LSH
+    # chain. Pair-sized, so an eager localCheckpoint is cheap and both
+    # consumers read the materialized relation (the pagerank hygiene
+    # pattern).
+    pairs = (
+        lsh_candidate_pairs(docs, num_hashes=8, bands=4, max_bucket_size=50)
+        .filter(F.col("jaccard") >= 0.5)
+        .localCheckpoint(eager=True)
+    )
     clusters = dedup_clusters(pairs)
     return cluster_quality_audit(pairs, clusters, sim_col="jaccard")
 
@@ -2197,12 +2205,16 @@ def q_pq_adc(spark, sf_dir):
     from rclabsapi_spark.llm.similarity import pq_adc_topk, pq_encode, pq_train
 
     emb = load_table(spark, sf_dir, "embeddings")
-    books = pq_train(emb, n_subspaces=4, codebook_size=4, iters=1)
-    codes = pq_encode(emb, books)
+    # query vector first: its length is the vector dim, so pq_train
+    # skips its probing first() job (one fewer driver round trip)
     qvec = [
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
     ]
+    books = pq_train(
+        emb, n_subspaces=4, codebook_size=4, iters=1, dim=len(qvec)
+    )
+    codes = pq_encode(emb, books)
     out = pq_adc_topk(codes, books, qvec, k=10_000_000)
     return out.select(
         "vec_id", round_half_up(F.col("adc_score"), 6).alias("adc_score")
