@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from rclabsapi_spark.catalog import load_table
+from rclabsapi_spark.layout import spread_by
 from rclabsapi_spark.llm.cleaning import (
     PII_PATTERNS,
     corpus_filter,
@@ -565,7 +566,18 @@ def q_url_canonicalize(spark, sf_dir):
         url_registrable_domain,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # The url/canon/domain chain derives entirely from
+    # (doc_id, source, lang) — never the text — so the spread exchange
+    # carries ~tens of bytes per row while parallelizing the
+    # regex-heavy canonicalization (guide §2.5: a single unsplittable
+    # fixture file is one scan task; at scale the scan splits and the
+    # narrow exchange stays negligible vs the string CPU it spreads).
+    docs = spread_by(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang"
+        ),
+        "doc_id",
+    )
     canon = canonicalize_url(_pseudo_url_col())
     return docs.select(
         "doc_id",
