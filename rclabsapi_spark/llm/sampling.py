@@ -374,10 +374,19 @@ def dsir_logweights(
     before resampling; emitting both sides makes the score itself
     auditable)."""
     from rclabsapi_spark.functions.scalars import round_half_up
+    from rclabsapi_spark.layout import spread_by
 
-    toks = docs.select(
+    # spread by key before exploding: the fixture parquet is one file =
+    # one task, so the explode/md5 work would run serially (simhash
+    # pattern); the histogram and the fold are two passes over the
+    # posting, and ReuseExchange computes the spread once for both.
+    # The per-doc fold's groupBy(key) also reuses the key partitioning.
+    toks = spread_by(
+        docs.select(F.col(key_col), is_target.alias("t"), F.col(text_col)),
+        key_col,
+    ).select(
         F.col(key_col),
-        is_target.alias("t"),
+        F.col("t"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
     ).filter(F.col("w") != "")
     bucket = (
