@@ -39,21 +39,48 @@ def _time_all(spark, bench_specs, sf_dir, runs=2):
     of ``runs`` timed executions: a transient load spike on a shared
     machine (GC, another tenant) inflates one sample, not both — the min
     is the steady-state cost of the plan, which is what we measure. The
-    noop sink forces full plan execution with no driver collect."""
+    noop sink forces full plan execution with no driver collect.
+
+    Each query runs as its own warm+timed block, and the session cache
+    is cleared before EVERY execution (measurement-bug fix, r16, two
+    distinct bugs):
+
+    1. Foreign-entry planning rent: several operators cache a
+       multi-consumer intermediate whose entry outlives the query, and
+       Catalyst compares every new plan fragment against every cached
+       plan — with a few LSH-chain-sized entries resident, PLANNING of
+       an unrelated query measured 10× its fresh cost
+       (mm_frame_phash_neardup 1.7 s fresh vs 18 s with 5 foreign
+       entries at sf0.01; recovered by clearCache alone, GC/JIT ruled
+       out by jstat/jcmd).
+    2. Cross-run and cross-query result reuse: Catalyst substitutes a
+       cached fragment into ANY later plan that contains it, so a
+       timed run could silently skip subtrees another query (or its
+       own warm run) had materialized — clean_url_canonicalize's
+       regex chain timed 1.7 s under the old global passes vs ~2.3 s
+       isolated-fresh precisely because a donor entry was resident.
+       The contract requires every timed invocation to compute from
+       the parquet inputs, so each run now starts with an empty cache;
+       a query's caches still serve their multiple consumers WITHIN
+       the run (that is what they are for), they just cannot carry
+       results into the next timed run."""
 
     def run(spec):
+        spark.catalog.clearCache()
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    for spec in bench_specs.values():
+    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+    for name, spec in bench_specs.items():
         run(spec)
-
-    samples: dict[str, list[float]] = {n: [] for n in bench_specs}
-    for _ in range(runs):
-        for name, spec in bench_specs.items():
+        ts = []
+        for _ in range(runs):
             t0 = time.perf_counter()
             run(spec)
-            samples[name].append(round(time.perf_counter() - t0, 3))
-    return {name: min(ts) for name, ts in samples.items()}, samples
+            ts.append(round(time.perf_counter() - t0, 3))
+        samples[name] = ts
+        timings[name] = min(ts)
+    return timings, samples
 
 
 def _cpu_score() -> int:

@@ -997,7 +997,12 @@ def span_posting(
     Shared by ``duplicate_spans`` (detection) and
     ``duplicate_span_exposure`` (the per-doc apply/report step)."""
     pattern = "(?s)(?:^|(?<= ))(?=(.{%d}))" % span_len
-    return docs.select(
+    # spread before the regex pass: the fixture parquet is one
+    # unsplittable file (1 scan task), so without the explicit
+    # repartition the whole span extraction runs serially — the
+    # shingle_posting pattern (equal keys stay co-located, downstream
+    # doc-keyed aggregates reuse the exchange)
+    return spread_by(docs.select(key_col, text_col), key_col).select(
         F.col(key_col),
         F.explode(
             F.regexp_extract_all(F.col(text_col), F.lit(pattern), 1)
@@ -1099,17 +1104,17 @@ def duplicate_span_exposure(
     aggregate. Docs too short for any span report 0/0/0.0
     via the left join with the doc base. flagged_frac is an integer
     ratio — bit-identical across engines before the display round."""
+    # ONE posting feeds both consumers (detection aggregate + exposure
+    # stamp): the lazy checkpoint materializes the regex-extract pass
+    # once — recomputing it per consumer paid the whole span-extraction
+    # scan twice (guide §1.2: don't compute things twice)
     posting = span_posting(
         docs, text_col=text_col, key_col=key_col, span_len=span_len
-    )
+    ).localCheckpoint(eager=False)
     flagged = (
-        duplicate_spans(
-            docs,
-            text_col=text_col,
-            key_col=key_col,
-            span_len=span_len,
-            min_docs=min_docs,
-        )
+        posting.groupBy("span")
+        .agg(F.countDistinct(F.col(key_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
         .select("span")
     )
     # one broadcast left join stamps the flag; ONE per-doc aggregate

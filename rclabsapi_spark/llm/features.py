@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from rclabsapi_spark.layout import spread_by
 from rclabsapi_spark.operators.rank import (
     global_percent_rank,
     global_row_number,
@@ -288,7 +289,11 @@ def sample_negatives(
         [h, F.col("k_")],
         out_col="pos",
         bucket_key=F.conv(F.substring(h, 1, 13), 16, 10).cast("long"),
-    )
+    # TWO consumers read the ranked ring (the anchor side and the
+    # negative side of the ring join); without lineage truncation each
+    # re-runs the whole two-phase rank — the checkpoint materializes the
+    # |corpus|-narrow relation once and both sides read it
+    ).localCheckpoint(eager=False)
     n_rows = ranked.agg(F.max("pos").alias("n"))
     anchors = ranked.select(
         F.col("k_").alias("anchor"),
@@ -307,25 +312,30 @@ def sample_negatives(
         ((F.col("pos") - 1 + F.col("offset")) % F.col("n") + 1).alias("cpos"),
         "offset",
     )
+    joined = cand.join(
+        ranked.select(
+            F.col("pos").alias("cpos"),
+            F.col("k_").alias("negative"),
+            F.col("l_").alias("neg_label"),
+        ),
+        "cpos",
+    ).filter(F.col("neg_label") != F.col("anchor_label"))
+    # ONE anchor-keyed exchange serves the whole tail: the explicit
+    # spread clusters by anchor; the (anchor, negative) ring-wrap dedup
+    # is a partial-aggregating groupBy (hashpartitioning(anchor)
+    # satisfies the superset clustering — labels are constant per key,
+    # so min_by offset ≡ the old first-occurrence window row), and both
+    # anchor windows (rank, count) reuse the same partitioning — the
+    # previous window-dedup shape paid a second full exchange on
+    # (anchor, negative) before the anchor windows could run.
     picked = (
-        cand.join(
-            ranked.select(
-                F.col("pos").alias("cpos"),
-                F.col("k_").alias("negative"),
-                F.col("l_").alias("neg_label"),
-            ),
-            "cpos",
+        spread_by(joined, "anchor")
+        .groupBy("anchor", "negative")
+        .agg(
+            F.min("offset").alias("offset"),
+            F.first("anchor_label").alias("anchor_label"),
+            F.first("neg_label").alias("neg_label"),
         )
-        .filter(F.col("neg_label") != F.col("anchor_label"))
-        # ring wrap (N <= 2k): the same candidate appears at two
-        # offsets — keep its first occurrence only
-        .withColumn(
-            "dup",
-            F.row_number().over(
-                Window.partitionBy("anchor", "negative").orderBy("offset")
-            ),
-        )
-        .filter(F.col("dup") == 1)
         .withColumn(
             "rk",
             F.row_number().over(

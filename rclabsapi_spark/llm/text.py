@@ -138,6 +138,23 @@ def lang_scores(text: Column) -> dict[str, Column]:
     }
 
 
+def lang_pred_expr(text: Column) -> Column:
+    """The predicted-language Column alone (the ``lang_id`` argmax as a
+    composable expression): lets a caller stamp the prediction onto an
+    existing single scan instead of joining ``lang_id``'s output back on
+    the doc key — same iterated-CASE argmax, ties resolve in
+    LANG_MARKERS declaration order."""
+    scores = lang_scores(text)
+    langs = list(scores)
+    best = F.lit(langs[0])
+    best_score = scores[langs[0]]
+    for lang in langs[1:]:
+        is_better = scores[lang] > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    return best
+
+
 def lang_id(docs: DataFrame, *, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
     """Marker-token language ID with a deterministic argmax (ties resolve
     in LANG_MARKERS declaration order)."""
@@ -145,17 +162,10 @@ def lang_id(docs: DataFrame, *, text_col: str = "text", key_col: str = "doc_id")
     langs = list(scores)
     # argmax via iterated CASE: lang L wins if its score >= all later langs
     # and > all earlier langs (strict ties keep the earliest).
-    pred = None
     out_cols = [F.col(key_col)]
     for lang in langs:
         out_cols.append(scores[lang].alias(f"score_{lang}"))
-    best = F.lit(langs[0])
-    best_score = scores[langs[0]]
-    for lang in langs[1:]:
-        is_better = scores[lang] > best_score
-        best = F.when(is_better, F.lit(lang)).otherwise(best)
-        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
-    out_cols.append(best.alias("predicted_lang"))
+    out_cols.append(lang_pred_expr(F.col(text_col)).alias("predicted_lang"))
     return docs.select(*out_cols)
 
 

@@ -319,31 +319,42 @@ GROUP BY d.source
 def q_curation_funnel(spark, sf_dir):
     """The corpus owner's funnel view: per source, documents surviving
     each curation gate cumulatively — language-ID agrees with the
-    label, composite quality ≥ 0.5, exact-dedup keeper. Composes three
-    individually-verified operators (lang_id, quality_features,
-    exact_dedup) and hash-verifies the COMPOSED retention counts; one
-    corpus scan per feature branch, all joined on the doc key, one
-    per-source rollup. The quality threshold compares the 6dp
+    label, composite quality ≥ 0.5, exact-dedup keeper. All three gate
+    signals are per-row functions of the text, so they ride ONE corpus
+    scan (quality_features' ``carry`` + the ``lang_pred_expr`` argmax +
+    md5); the exact-dedup keeper verdict (doc_id = min doc_id of its
+    text-hash group) is a window MIN over that hash — one narrow
+    exchange where the previous three-branch shape scanned the corpus
+    four times and re-joined it on the doc key three times (guide §2.4:
+    remove shuffles outright; the semantics are byte-identical and
+    oracle-hash-verified). The quality threshold compares the 6dp
     half-up-rounded score, identical on both engines."""
-    from rclabsapi_spark.llm.dedup import exact_dedup
-    from rclabsapi_spark.llm.text import lang_id, quality_features
+    from pyspark.sql import Window
+
+    from rclabsapi_spark.llm.text import lang_pred_expr, quality_features
 
     docs = load_table(spark, sf_dir, "documents")
-    pred = lang_id(docs).select("doc_id", "predicted_lang")
-    q = quality_features(docs).select("doc_id", "quality_score")
-    keep = exact_dedup(docs).select(
-        F.col("keeper_doc_id").alias("doc_id")
-    ).withColumn("_keep", F.lit(1))
-    j = (
-        docs.select("doc_id", "source", "lang")
-        .join(pred, "doc_id")
-        .join(q, "doc_id")
-        .join(keep, "doc_id", "left")
+    stamped = quality_features(
+        docs,
+        carry=(
+            F.col("source"),
+            F.col("lang"),
+            lang_pred_expr(F.col("text")).alias("predicted_lang"),
+            F.md5(F.col("text")).alias("__h"),
+        ),
+    ).select(
+        "doc_id", "source", "lang", "predicted_lang", "quality_score", "__h"
+    )
+    # keeper ⇔ doc_id == MIN(doc_id) over the doc's text-hash group —
+    # exactly exact_dedup's keeper_doc_id, stamped in place instead of
+    # aggregated and left-joined back
+    marked = stamped.withColumn(
+        "__kmin", F.min("doc_id").over(Window.partitionBy("__h"))
     )
     lang_ok = F.col("predicted_lang") == F.col("lang")
     qual_ok = lang_ok & (F.col("quality_score") >= 0.5)
-    kept = qual_ok & F.col("_keep").isNotNull()
-    return j.groupBy("source").agg(
+    kept = qual_ok & (F.col("doc_id") == F.col("__kmin"))
+    return marked.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_total"),
         F.sum(lang_ok.cast("long")).alias("n_lang_ok"),
         F.sum(qual_ok.cast("long")).alias("n_quality_ok"),

@@ -30,6 +30,7 @@ def main() -> None:
         spec = registry[name]
 
         def run():
+            spark.catalog.clearCache()  # every run recomputes, as bench.py
             spec.fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()

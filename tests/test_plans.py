@@ -919,31 +919,34 @@ def test_no_single_partition_window_anywhere(spark):
 def test_duplicate_spans_single_scan_fold_aggregate(spark):
     """Duplicate spans: ONE documents scan; word-start spans come from
     a single regex pass with a zero-width word-start anchor (no
-    doc-partitioned window — the r8 shape shuffled full text per word
-    row through the window exchange), so the only exchanges are the
-    span aggregate's and the document text never leaves its scan
-    stage."""
+    doc-partitioned window — the r8 shape shuffled full text per WORD
+    ROW through the window exchange). r16: the posting spreads the
+    (doc_id, text) projection by key before the regex stage (the
+    shingle_posting precedent — one corpus-bytes exchange, 32-way
+    parallel extraction after; the fixture parquet is one unsplittable
+    file, so the un-spread regex pass ran serially), so the exchanges
+    are that spread plus the span aggregate's two-phase distinct."""
     from rclabsapi_spark.planaudit import audit
 
     scans, counts = audit(_fn(spark, "dedup_duplicate_spans"))
     assert scans["documents"] == 1
-    assert counts["exch"] <= 2  # countDistinct partial + span aggregate
+    assert counts["exch"] <= 3  # spread + countDistinct + span agg
     p = _plan(spark, "dedup_duplicate_spans")
     assert "Join" not in p
     assert "Window" not in p  # regex-derived spans, never a window
-    # no exchange keyed on the doc alone (the text-carrying shuffle)
-    import re
-
-    assert not re.search(r"hashpartitioning\(doc_id#\d+L?, \d+\)", p)
 
 
 def test_url_canonicalize_pure_project(spark):
     """URL canonicalization: codegen string expressions over one scan —
-    NO exchange, no join, no window. The operator must stay a pure
-    Project so it rides along any downstream plan for free."""
+    no join, no window, and the ONLY exchange is the explicit narrow
+    spread (doc_id/source/lang, tens of bytes per row) that
+    parallelizes the regex stage across the cluster (r16: the fixture
+    parquet is one unsplittable file, so the un-spread shape ran the
+    whole canonicalization in a single scan task). The operator itself
+    stays a pure Project over the spread input."""
     p = _plan(spark, "clean_url_canonicalize")
     assert _scans(p)["documents"] == 1
-    assert "Exchange" not in p
+    assert p.count("Exchange") == 1  # the narrow spread, nothing else
     assert "Join" not in p and "Window" not in p
 
 
@@ -1042,14 +1045,19 @@ def test_truncation_audit_single_scan(spark):
 
 
 def test_curation_funnel_one_scan_per_feature_branch(spark):
-    """Curation funnel: one documents scan per feature branch (spine,
-    lang-id, quality, dedup keepers), all joined by broadcast on the
-    doc key — no sort-merge of the corpus, no extra passes."""
+    """Curation funnel (r16 single-pass shape): all three gate signals
+    are per-row functions of the text, so they ride ONE documents scan
+    (quality carry + lang argmax + md5) and the exact-dedup keeper
+    verdict is a window MIN over the text hash — NO join at all, no
+    doc-key re-shuffle of the corpus; the previous shape scanned the
+    corpus four times and joined it back three times."""
     from rclabsapi_spark.planaudit import audit
 
     scans, counts = audit(_fn(spark, "pipeline_curation_funnel"))
-    assert scans["documents"] <= 4
+    assert scans["documents"] == 1
     assert counts["smj"] == 0
+    p = _plan(spark, "pipeline_curation_funnel")
+    assert "Join" not in p
 
 
 def test_semantic_decontaminate_broadcasts_eval(spark):
@@ -1087,13 +1095,16 @@ def test_domain_quality_prior_single_scan(spark):
 def test_span_exposure_broadcasts_boilerplate(spark):
     """Span exposure: the flagged-boilerplate set must broadcast back
     onto the posting (corpus-duplicated spans are orders smaller than
-    the corpus), ONE per-doc aggregate counts totals and hits in a
-    single pass, and document text still never crosses an exchange
-    (no doc-keyed hashpartitioning of the posting's text)."""
+    the corpus) and ONE per-doc aggregate counts totals and hits in a
+    single pass. r16: the span posting is extracted ONCE (lazy local
+    checkpoint shared by the detection aggregate and the exposure
+    stamp — the un-shared shape ran the whole regex pass twice), so
+    the only documents scan left in the plan is the doc-base spine;
+    the posting subtree shows as the checkpoint's RDD scan."""
     from rclabsapi_spark.planaudit import audit
 
     scans, counts = audit(_fn(spark, "dedup_span_exposure"))
-    assert scans["documents"] <= 3  # detection + exposure + doc base
+    assert scans["documents"] <= 1  # doc base; posting is checkpointed
     assert counts["bhj"] >= 1
     p = _plan(spark, "dedup_span_exposure")
     assert "Window" not in p
