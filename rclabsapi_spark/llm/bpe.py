@@ -96,6 +96,11 @@ def bpe_merges(
         ).alias("repr"),
         "n",
     )
+    if materialize:
+        # round 1 reads vocab twice (pair counts + the carried repr);
+        # without this the corpus word-count explode runs once per
+        # consumer — the only corpus-sized pass happens exactly once
+        vocab = vocab.localCheckpoint(eager=True)
     merge_rows = []
     for rank in range(1, n_merges + 1):
         syms = F.split(F.trim(F.col("repr")), " ")
@@ -116,6 +121,13 @@ def bpe_merges(
         best = pairs.orderBy(
             F.col("pair_count").desc(), F.col("l"), F.col("r")
         ).limit(1)
+        if materialize:
+            # the 1-row argmax feeds two consumers (the output row and
+            # the broadcast replace-merge); materialized eagerly, the
+            # |vocab|-sized pair aggregate behind it runs ONCE per
+            # round — previously it re-ran when the output union
+            # executed, doubling every round's dominant aggregate
+            best = best.localCheckpoint(eager=True)
         merge_rows.append(
             best.select(
                 F.lit(rank).alias("merge_rank"),

@@ -152,21 +152,30 @@ def _bigram_stats(
     counts = bigrams.groupBy(key_col, "shingle").agg(
         F.count("*").alias("cnt")
     )
-    w = Window.partitionBy(key_col).orderBy(
-        F.col("cnt").desc(), F.col("shingle")
+    # the top bigram is an ARGMIN over (−cnt, shingle) — struct
+    # comparison is field-lexicographic, so min picks exactly the old
+    # rank-window's rn=1 row (cnt desc, shingle asc tie-break) without
+    # the window's per-partition SORT; both aggregates ride the
+    # shingle_posting exchange (hashpartitioning(key) clusters every
+    # superset grouping)
+    top = F.min(
+        F.struct(
+            (-F.col("cnt")).alias("neg_cnt"), F.col("shingle").alias("s")
+        )
     )
     return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .groupBy(key_col)
+        counts.groupBy(key_col)
         .agg(
             F.sum("cnt").alias("total_bigrams"),
             F.count("*").alias("distinct_bigrams"),
-            F.max(F.when(F.col("rn") == 1, F.col("shingle"))).alias(
-                "top_bigram"
-            ),
-            F.max(F.when(F.col("rn") == 1, F.col("cnt"))).alias(
-                "top_bigram_count"
-            ),
+            top.alias("__top"),
+        )
+        .select(
+            key_col,
+            "total_bigrams",
+            "distinct_bigrams",
+            F.col("__top.s").alias("top_bigram"),
+            (-F.col("__top.neg_cnt")).alias("top_bigram_count"),
         )
     )
 
@@ -318,11 +327,21 @@ def boilerplate_ngrams(
     posting = shingle_posting(
         docs, text_col=text_col, key_col=key_col, n=n
     ).select(F.col(key_col).alias("doc"), F.col("shingle").alias("gram"))
+    # two-level grouped counts instead of COUNT(DISTINCT doc): the
+    # (gram, doc) pre-aggregate rides the posting's doc-key exchange
+    # (superset clustering → zero new shuffle), and the gram rollup
+    # then partial-combines tiny (gram, n, cnt) rows — the distinct
+    # aggregate planned a second full expand/exchange pass over the
+    # posting. n_docs = #(gram, doc) groups, n_occurrences = Σ their
+    # counts: same exact integers.
+    per_doc = posting.groupBy("gram", "doc").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     return (
-        posting.groupBy("gram")
+        per_doc.groupBy("gram")
         .agg(
-            F.countDistinct("doc").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("cnt").alias("n_occurrences"),
         )
         .filter(F.col("n_docs") >= min_docs)
         .orderBy(

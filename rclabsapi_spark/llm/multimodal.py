@@ -101,7 +101,13 @@ def map_binary_batches(
             out.insert(0, key_col, pdf[key_col].values)
             yield out
 
-    return df.select(key_col, payload_col).mapInPandas(process, schema=out_schema)
+    from rclabsapi_spark.layout import spread_by
+
+    # spread before the Python stage (single-file fixture scan = one
+    # task otherwise; see frame_sample)
+    return spread_by(df.select(key_col, payload_col), key_col).mapInPandas(
+        process, schema=out_schema
+    )
 
 
 def frame_sample(
@@ -137,7 +143,14 @@ def frame_sample(
                 {key_col: keys, "frame_idx": idxs, "frame_hex": frames}
             )
 
-    return df.select(key_col, payload_col).mapInPandas(
+    from rclabsapi_spark.layout import spread_by
+
+    # spread the narrow (key, payload) projection BEFORE the Python
+    # stage: the fixture parquet is one unsplittable file, so without
+    # the exchange the whole chunk/hex fan-out runs in a single task
+    # (systemic finding 1/2 — same pattern as the phash/heatmap
+    # mapInPandas stages)
+    return spread_by(df.select(key_col, payload_col), key_col).mapInPandas(
         process, schema=f"{key_col} long, frame_idx int, frame_hex string"
     )
 
@@ -178,7 +191,9 @@ def resize_meta(
                 rows, columns=[key_col, "width", "height", "thumb_md5"]
             )
 
-    return df.select(key_col, "payload").mapInPandas(
+    from rclabsapi_spark.layout import spread_by
+
+    return spread_by(df.select(key_col, "payload"), key_col).mapInPandas(
         process,
         schema=f"{key_col} long, width int, height int, thumb_md5 string",
     )

@@ -146,13 +146,22 @@ def embedding_near_dup_pairs(
     at corpus scale."""
     v = _as_double(F.col(vec_col))
     bucketed = spread_by(embeddings, key_col).select(
-        F.col(key_col), v.alias("v"), sign_bucket(v, num_bits).alias("bucket")
+        F.col(key_col),
+        v.alias("v"),
+        # per-vector norm once, BEFORE pair fan-out: each of the
+        # O(bucket²) pairs below then pays one interpreted fold (the
+        # dot) instead of three — norm(v) here is the exact expression
+        # cosine() evaluates, so dot/(na·nb) is bit-identical
+        norm(v).alias("nrm"),
+        sign_bucket(v, num_bits).alias("bucket"),
     )
     buckets = (
         bucketed.groupBy("bucket")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col(key_col), F.col("v")))
+                F.collect_list(
+                    F.struct(F.col(key_col), F.col("v"), F.col("nrm"))
+                )
             ).alias("members")
         )
         .filter(F.size("members") >= 2)
@@ -170,18 +179,24 @@ def embedding_near_dup_pairs(
                     y[key_col].alias("id_b"),
                     x["v"].alias("va"),
                     y["v"].alias("vb"),
+                    x["nrm"].alias("na"),
+                    y["nrm"].alias("nb"),
                 ),
             ),
         )
     )
     pairs = buckets.select(
         F.col("bucket"), F.explode(pair_structs).alias("p")
-    ).select("bucket", "p.id_a", "p.id_b", "p.va", "p.vb")
+    ).select(
+        "bucket", "p.id_a", "p.id_b", "p.va", "p.vb", "p.na", "p.nb"
+    )
     out = pairs.select(
         "bucket",
         "id_a",
         "id_b",
-        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim"),
+        F.round(
+            dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+        ).alias("cosine_sim"),
     )
     return out.filter(F.col("cosine_sim") >= threshold)
 
@@ -193,8 +208,12 @@ def _assign_base(base: DataFrame, cents: DataFrame, key_col: str) -> DataFrame:
     groupBy (no rank window). Scores are rounded to 9dp before the argmax
     so ties resolve identically in the oracle; -centroid_id breaks ties
     toward the lowest id."""
-    scored = base.join(F.broadcast(cents))
-    sim = cosine(F.col("v"), F.col("cvec"))
+    # norms once per vector / per centroid, not once per (vector ×
+    # centroid) score row — dot/(nv·nc) is cosine()'s exact expression
+    scored = base.withColumn("__nv", norm(F.col("v"))).join(
+        F.broadcast(cents.withColumn("__nc", norm(F.col("cvec"))))
+    )
+    sim = dot(F.col("v"), F.col("cvec")) / (F.col("__nv") * F.col("__nc"))
     return (
         scored.withColumn("__sim", F.round(sim, 9))
         .groupBy(key_col)
@@ -662,10 +681,20 @@ def pq_train(
         "m", F.col("k").cast("int").alias("cid"), F.col("sv").alias("cvec")
     )
     for _ in range(iters):
-        scored = base.join(F.broadcast(cents), "m")
+        # per-subvector / per-centroid norms before the K-way fan-out
+        # (cosine()'s exact sub-expressions, so the 9dp round is
+        # bit-identical); the dot is the only per-score fold left
+        scored = base.withColumn("__ns", norm(F.col("sv"))).join(
+            F.broadcast(cents.withColumn("__nc", norm(F.col("cvec")))), "m"
+        )
         assigned = (
             scored.withColumn(
-                "__sim", F.round(cosine(F.col("sv"), F.col("cvec")), 9)
+                "__sim",
+                F.round(
+                    dot(F.col("sv"), F.col("cvec"))
+                    / (F.col("__ns") * F.col("__nc")),
+                    9,
+                ),
             )
             .groupBy("k", "m")
             .agg(
@@ -931,12 +960,20 @@ def hard_negative_mining(
         F.col(key_col),
         F.col("__lab"),
         v.alias("__v"),
+        # per-ROW norm, computed once per vector before the bucket
+        # join: the cosine below then costs ONE interpreted array fold
+        # per candidate pair (the dot product) instead of three — the
+        # two norm folds used to re-run on every one of the ≤ n·C pair
+        # rows. sqrt(dot(v,v)) here is the exact expression cosine()
+        # evaluates, so the quotient is bit-identical.
+        norm(v).alias("__nrm"),
         sign_bucket(v, num_bits).alias("__bkt"),
     )
     a = base.select(
         F.col(key_col).alias("anchor_id"),
         F.col("__lab").alias("anchor_label"),
         F.col("__v").alias("av"),
+        F.col("__nrm").alias("anrm"),
         F.col("__bkt").alias("bkt"),
     )
     if probe_bits > 0:
@@ -955,6 +992,7 @@ def hard_negative_mining(
         F.col(key_col).alias("negative_id"),
         F.col("__lab").alias("neg_label"),
         F.col("__v").alias("nv"),
+        F.col("__nrm").alias("nnrm"),
         F.col("__bkt").alias("bkt"),
     )
     if max_bucket_candidates is not None:
@@ -978,9 +1016,14 @@ def hard_negative_mining(
             "anchor_label",
             "negative_id",
             "neg_label",
-            F.round(cosine(F.col("av"), F.col("nv")), 6).alias(
-                "cosine_sim"
-            ),
+            # dot/(norm·norm) with the norms precomputed per side —
+            # exactly cosine()'s expression, evaluated as one fold per
+            # pair instead of three
+            F.round(
+                dot(F.col("av"), F.col("nv"))
+                / (F.col("anrm") * F.col("nnrm")),
+                6,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("anchor_id").orderBy(
@@ -1100,6 +1143,7 @@ def semantic_decontaminate(
     ev = eval_emb.select(
         F.col(key_col).alias("eval_id"),
         v.alias("ev"),
+        norm(v).alias("enrm"),
         sign_bucket(v, num_bits).alias("bkt"),
     )
     if max_eval_bucket is not None:
@@ -1115,6 +1159,10 @@ def semantic_decontaminate(
     tr = train_emb.select(
         F.col(key_col).alias("train_id"),
         v.alias("tv"),
+        # norms once per side before the bucket join: the per-candidate
+        # cosine below is then one fold (the dot), not three —
+        # dot/(tnrm·enrm) is cosine()'s exact expression
+        norm(v).alias("tnrm"),
         sign_bucket(v, num_bits).alias("bkt"),
     )
     if probe_bits > 0:
@@ -1132,7 +1180,11 @@ def semantic_decontaminate(
     scored = tr.join(F.broadcast(ev), "bkt").select(
         "train_id",
         "eval_id",
-        F.round(cosine(F.col("tv"), F.col("ev")), 6).alias("cosine_sim"),
+        F.round(
+            dot(F.col("tv"), F.col("ev"))
+            / (F.col("tnrm") * F.col("enrm")),
+            6,
+        ).alias("cosine_sim"),
     ).filter(F.col("cosine_sim") >= threshold)
     w = Window.partitionBy("train_id").orderBy(
         F.col("cosine_sim").desc(), F.col("eval_id")

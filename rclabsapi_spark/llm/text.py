@@ -238,19 +238,37 @@ def pmi_collocations(
     arithmetic on exact integer counts — the multiplication order is
     pinned left-associative so both engines produce bit-identical
     doubles — and the top-k breaks ties lexicographically."""
-    toks = spread_by(docs, key_col).select(
-        F.col(key_col).alias("doc"),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "w"),
+    # the token posting feeds three consumers (adjacency pairs, unigram
+    # counts, corpus totals) — CACHE it instead of re-running the
+    # scan+explode per consumer, and derive
+    # the corpus totals from the already-reduced count relations
+    # (Σ n_w ≡ token count, Σ n_ab ≡ bigram count — exact integers), so
+    # neither total re-walks a corpus-sized stream
+    toks = (
+        spread_by(docs, key_col)
+        .select(
+            F.col(key_col).alias("doc"),
+            F.posexplode(tokens(F.col(text_col))).alias("pos", "w"),
+        )
+        .cache()
     )
     w_doc = Window.partitionBy("doc").orderBy("pos")
     bi = toks.select(
         F.col("w").alias("w1"), F.lead("w").over(w_doc).alias("w2")
     ).filter(F.col("w2").isNotNull())
-    uni = toks.groupBy(F.col("w")).agg(F.count(F.lit(1)).alias("n_w"))
-    bi_counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
-    totals = toks.agg(
-        F.count(F.lit(1)).cast("double").alias("n_uni")
-    ).crossJoin(bi.agg(F.count(F.lit(1)).cast("double").alias("n_bi")))
+    uni = (
+        toks.groupBy(F.col("w"))
+        .agg(F.count(F.lit(1)).alias("n_w"))
+        .cache()
+    )
+    bi_counts = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .cache()
+    )
+    totals = uni.agg(
+        F.sum("n_w").cast("double").alias("n_uni")
+    ).crossJoin(bi_counts.agg(F.sum("n_ab").cast("double").alias("n_bi")))
     ua = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a"))
     ub = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b"))
     pmi = F.log(

@@ -158,8 +158,24 @@ def unigram_score(
     from rclabsapi_spark.functions.scalars import round_half_up
 
     words = corpus_words(docs, text_col=text_col, extra_cols=(key_col,))
-    model = unigram_logprobs(words)
-    scored = words.join(F.broadcast(model), "word")
+    # (doc, word, tf) index FIRST, cached: the model and the scoring
+    # pass both read it, so
+    # the corpus explode runs ONCE — previously each consumer re-ran
+    # the scan+split+explode. Same inverted-index materialization the
+    # BM25 path documents; tf replaces per-occurrence rows everywhere
+    # with exact integer weights (Σ over occurrences ≡ tf · per-word
+    # term), so every output double is bit-identical.
+    tf = (
+        words.groupBy(key_col, "word")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .cache()
+    )
+    vocab = tf.groupBy("word").agg(
+        F.sum("__tf").cast("double").alias("cnt")
+    )
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    model = vocab.join(F.broadcast(total))
+    scored = tf.join(F.broadcast(model), "word")
     # Per-word log-probs are bit-identical across engines (same parquet
     # doubles, same ln), so summing them on a 9dp integer grid makes the
     # per-doc mean accumulation-order-independent — a raw AVG(double)
@@ -169,10 +185,10 @@ def unigram_score(
         F.log(F.col("cnt") / F.col("total")) * 1000000000.0 + F.lit(0.5)
     ).cast("long")
     return scored.groupBy(key_col).agg(
-        F.count(F.lit(1)).alias("n_words"),
+        F.sum("__tf").alias("n_words"),
         round_half_up(
-            F.sum(lp_nano).cast("double")
-            / (F.count(F.lit(1)) * 1000000000.0),
+            F.sum(lp_nano * F.col("__tf")).cast("double")
+            / (F.sum("__tf") * 1000000000.0),
             6,
         ).alias("avg_logprob"),
     )
@@ -231,12 +247,23 @@ def bigram_score(
     from rclabsapi_spark.functions.scalars import round_half_up
 
     bg = doc_bigrams(docs, text_col=text_col, key_col=key_col)
-    c12 = bg.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("double").alias("cnt12")
+    # (doc, w1, w2, tf) index FIRST, cached — the model aggregate and
+    # the scoring join both
+    # read it, so the corpus bigram explode runs ONCE instead of once
+    # per consumer (it appeared three times in the old plan: c12, c1's
+    # re-aggregate, and the scored join). tf-weighting keeps every
+    # output double bit-identical (see unigram_score).
+    tf12 = (
+        bg.groupBy(key_col, "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .cache()
+    )
+    c12 = tf12.groupBy("w1", "w2").agg(
+        F.sum("__tf").cast("double").alias("cnt12")
     )
     c1 = c12.groupBy("w1").agg(F.sum("cnt12").alias("cnt1"))
     model = c12.join(F.broadcast(c1), "w1")
-    scored = bg.join(model, ["w1", "w2"])
+    scored = tf12.join(model, ["w1", "w2"])
     # 9dp-integer-grid sum: per-bigram log-probs are bit-identical
     # across engines, the post-join row order is not — see
     # unigram_score for the full rationale.
@@ -244,10 +271,10 @@ def bigram_score(
         F.log(F.col("cnt12") / F.col("cnt1")) * 1000000000.0 + F.lit(0.5)
     ).cast("long")
     return scored.groupBy(key_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("__tf").alias("n_bigrams"),
         round_half_up(
-            F.sum(lp_nano).cast("double")
-            / (F.count(F.lit(1)) * 1000000000.0),
+            F.sum(lp_nano * F.col("__tf")).cast("double")
+            / (F.sum("__tf") * 1000000000.0),
             6,
         ).alias("avg_logprob"),
     )
@@ -399,52 +426,83 @@ def span_corruption(
     input_tok = F.when(F.col("masked") == 0, F.col("tok")).when(
         F.col("span_begin") == 1, F.lit(sentinel)
     )
-    inputs = (
+    # ONE grouped pass produces all four outputs. The previous shape
+    # branched `runs` into an inputs aggregate and a two-level targets
+    # aggregate and joined them back — the explode + window chain ran
+    # once PER BRANCH. collect_list skips NULLs, so both token streams
+    # filter inside the single aggregate; the per-span regroup the
+    # (doc, span_id) groupBy used to do is a left-to-right fold over
+    # the pos-sorted masked tokens (span ids are non-decreasing in
+    # pos), appending to the open span or starting a new one —
+    # identical (span_id, span_text) structs in identical span order.
+    # n_spans = Σ span_begin (each span begins exactly once) and
+    # n_masked_tokens = Σ masked replace the old COUNT/SUM over the
+    # span relation with the same exact integers.
+    masked_structs = F.array_sort(
+        F.collect_list(
+            F.when(F.col("masked") == 1, F.struct("pos", "span_id", "tok"))
+        )
+    )
+    targets_col = F.aggregate(
+        masked_structs,
+        F.array().cast("array<struct<span_id:bigint,span_text:string>>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1)["span_id"] == x["span_id"]),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        x["span_id"].alias("span_id"),
+                        F.concat_ws(
+                            " ",
+                            F.element_at(acc, -1)["span_text"],
+                            x["tok"],
+                        ).alias("span_text"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        x["span_id"].alias("span_id"),
+                        x["tok"].alias("span_text"),
+                    )
+                ),
+            )
+        ),
+    )
+    return (
         runs.withColumn("itok", input_tok)
-        .filter(F.col("itok").isNotNull())
         .groupBy("doc")
         .agg(
             F.array_join(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct("pos", "itok"))
+                        F.collect_list(
+                            F.when(
+                                F.col("itok").isNotNull(),
+                                F.struct("pos", "itok"),
+                            )
+                        )
                     ),
                     lambda s: s["itok"],
                 ),
                 " ",
             ).alias("masked_input"),
+            F.sum("span_begin").cast("long").alias("n_spans"),
+            F.sum("masked").cast("long").alias("n_masked_tokens"),
+            targets_col.alias("targets"),
         )
-    )
-    targets = (
-        runs.filter(F.col("masked") == 1)
-        .groupBy("doc", "span_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s["tok"],
-                ),
-                " ",
-            ).alias("span_text"),
-            F.count(F.lit(1)).alias("span_tokens"),
+        .select(
+            F.col("doc").alias(key_col),
+            "masked_input",
+            "n_spans",
+            "n_masked_tokens",
+            "targets",
         )
-    )
-    return inputs.join(
-        targets.groupBy("doc").agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum("span_tokens").alias("n_masked_tokens"),
-            F.array_sort(
-                F.collect_list(F.struct("span_id", "span_text"))
-            ).alias("targets"),
-        ),
-        "doc",
-        "left",
-    ).select(
-        F.col("doc").alias(key_col),
-        "masked_input",
-        F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
-        F.coalesce("n_masked_tokens", F.lit(0)).alias("n_masked_tokens"),
-        "targets",
     )
 
 

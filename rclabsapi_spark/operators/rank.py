@@ -114,8 +114,20 @@ def _ranked_with_total(
         num_buckets = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    stamped = df.withColumn(
-        _BKT, _bucket_expr(df, bucket_key, num_buckets, cuts)
+    from rclabsapi_spark.layout import spread_by
+
+    # ONE explicit exchange on the bucket id, shared by BOTH phases:
+    # the row-number window and the bucket-size aggregate below are two
+    # consumers of the same relation, and as separate ENSURE_REQUIREMENTS
+    # exchanges they each recomputed the stamped input (scan + bucket
+    # expression twice). Hanging both off one spread_by makes the two
+    # subtrees canonically identical, so ReuseExchange/AQE stage reuse
+    # computes the input once; the explicit partition count also pins
+    # the sort parallelism AQE's byte-based coalescing would collapse
+    # (layout.spread_by rationale).
+    stamped = spread_by(
+        df.withColumn(_BKT, _bucket_expr(df, bucket_key, num_buckets, cuts)),
+        _BKT,
     )
     local = stamped.withColumn(
         _LRN, F.row_number().over(Window.partitionBy(_BKT).orderBy(*cols))

@@ -56,4 +56,9 @@ def test_edited_query_auto_invalidates(monkeypatch):
     reg = get_registry()
     n_invalid = sum(1 for n in baseline if not _valid(reg, real, n))
     assert victim in names[: n_invalid + 1]
-    assert names.index(victim) < 50
+    # within the driver's 50-slot window whenever the stale cohort fits
+    # in it; mid-round (e.g. an optimization pass that edits shared
+    # operators) the invalid prefix can legitimately exceed 50, and the
+    # guarantee that matters is "ordered before every valid row" —
+    # asserted above
+    assert names.index(victim) < max(50, n_invalid + 1)
