@@ -62,8 +62,13 @@ def join_prepartitioned(
         left = left.repartition(num_partitions, *cols)
         right = right.repartition(num_partitions, *cols)
     else:
-        left = left.repartition(*cols)
-        right = right.repartition(*cols)
+        # explicit count (layout.spread_by): a count-less repartition is
+        # an AQE coalescing target sized by BYTES, which collapses the
+        # co-partitioning this helper exists to establish
+        from rclabsapi_spark.layout import spread_by
+
+        left = spread_by(left, *cols)
+        right = spread_by(right, *cols)
     return left.join(right, on=on, how=how)
 
 
