@@ -101,13 +101,7 @@ def map_binary_batches(
             out.insert(0, key_col, pdf[key_col].values)
             yield out
 
-    from rclabsapi_spark.layout import spread_by
-
-    # spread before the Python stage (single-file fixture scan = one
-    # task otherwise; see frame_sample)
-    return spread_by(df.select(key_col, payload_col), key_col).mapInPandas(
-        process, schema=out_schema
-    )
+    return df.select(key_col, payload_col).mapInPandas(process, schema=out_schema)
 
 
 def frame_sample(
@@ -143,14 +137,14 @@ def frame_sample(
                 {key_col: keys, "frame_idx": idxs, "frame_hex": frames}
             )
 
-    from rclabsapi_spark.layout import spread_by
-
-    # spread the narrow (key, payload) projection BEFORE the Python
-    # stage: the fixture parquet is one unsplittable file, so without
-    # the exchange the whole chunk/hex fan-out runs in a single task
-    # (systemic finding 1/2 — same pattern as the phash/heatmap
-    # mapInPandas stages)
-    return spread_by(df.select(key_col, payload_col), key_col).mapInPandas(
+    # NOT spread before the Python stage: unlike the phash/heatmap
+    # harnesses (heavy per-row decode/render), the chunk/hex fan-out is
+    # trivial per byte, and an exchange that ships every PAYLOAD costs
+    # more than the serial stage it parallelizes — measured +71% on
+    # mm_frame_dedup at sf0.1 (interleaved A/B). At real scale the scan
+    # itself parallelizes (many files); a deployment swapping in an
+    # expensive decoder should spread first (see attach_token_heatmap_frames).
+    return df.select(key_col, payload_col).mapInPandas(
         process, schema=f"{key_col} long, frame_idx int, frame_hex string"
     )
 
@@ -191,9 +185,7 @@ def resize_meta(
                 rows, columns=[key_col, "width", "height", "thumb_md5"]
             )
 
-    from rclabsapi_spark.layout import spread_by
-
-    return spread_by(df.select(key_col, "payload"), key_col).mapInPandas(
+    return df.select(key_col, "payload").mapInPandas(
         process,
         schema=f"{key_col} long, width int, height int, thumb_md5 string",
     )

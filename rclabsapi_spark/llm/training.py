@@ -158,24 +158,20 @@ def unigram_score(
     from rclabsapi_spark.functions.scalars import round_half_up
 
     words = corpus_words(docs, text_col=text_col, extra_cols=(key_col,))
-    # (doc, word, tf) index FIRST, cached: the model and the scoring
-    # pass both read it, so
-    # the corpus explode runs ONCE — previously each consumer re-ran
-    # the scan+split+explode. Same inverted-index materialization the
-    # BM25 path documents; tf replaces per-occurrence rows everywhere
-    # with exact integer weights (Σ over occurrences ≡ tf · per-word
-    # term), so every output double is bit-identical.
-    tf = (
-        words.groupBy(key_col, "word")
-        .agg(F.count(F.lit(1)).alias("__tf"))
+    # cache the VOCAB-sized model relation, not a doc-level tf index:
+    # without it the corpus totals and the scoring join each re-derived
+    # the vocab aggregate (and its corpus explode) — but materializing a
+    # (doc, word, tf) index measured 66% SLOWER at sf0.1 (interleaved
+    # A/B, min-of-4): the index's cache write costs more than the one
+    # explode it saves, while the word-count relation is tiny
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
         .cache()
-    )
-    vocab = tf.groupBy("word").agg(
-        F.sum("__tf").cast("double").alias("cnt")
     )
     total = vocab.agg(F.sum("cnt").alias("total"))
     model = vocab.join(F.broadcast(total))
-    scored = tf.join(F.broadcast(model), "word")
+    scored = words.join(F.broadcast(model), "word")
     # Per-word log-probs are bit-identical across engines (same parquet
     # doubles, same ln), so summing them on a 9dp integer grid makes the
     # per-doc mean accumulation-order-independent — a raw AVG(double)
@@ -185,10 +181,10 @@ def unigram_score(
         F.log(F.col("cnt") / F.col("total")) * 1000000000.0 + F.lit(0.5)
     ).cast("long")
     return scored.groupBy(key_col).agg(
-        F.sum("__tf").alias("n_words"),
+        F.count(F.lit(1)).alias("n_words"),
         round_half_up(
-            F.sum(lp_nano * F.col("__tf")).cast("double")
-            / (F.sum("__tf") * 1000000000.0),
+            F.sum(lp_nano).cast("double")
+            / (F.count(F.lit(1)) * 1000000000.0),
             6,
         ).alias("avg_logprob"),
     )
@@ -247,23 +243,19 @@ def bigram_score(
     from rclabsapi_spark.functions.scalars import round_half_up
 
     bg = doc_bigrams(docs, text_col=text_col, key_col=key_col)
-    # (doc, w1, w2, tf) index FIRST, cached — the model aggregate and
-    # the scoring join both
-    # read it, so the corpus bigram explode runs ONCE instead of once
-    # per consumer (it appeared three times in the old plan: c12, c1's
-    # re-aggregate, and the scored join). tf-weighting keeps every
-    # output double bit-identical (see unigram_score).
-    tf12 = (
-        bg.groupBy(key_col, "w1", "w2")
-        .agg(F.count(F.lit(1)).alias("__tf"))
-        .cache()
-    )
-    c12 = tf12.groupBy("w1", "w2").agg(
-        F.sum("__tf").cast("double").alias("cnt12")
+    # deliberately UN-materialized: the bigram explode behind c12 runs
+    # once per consumer (context totals + scoring join), and that
+    # recompute measured CHEAPER at sf0.1 than materializing either a
+    # doc-level (doc, w1, w2, tf) index (+107%, interleaved A/B) or the
+    # model aggregate itself (+56%) — codegen explode+partial-aggregate
+    # is the cheap currency, cache writes are not (the
+    # lsh_candidate_pairs shingling-twice lesson at the LM tier)
+    c12 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt12")
     )
     c1 = c12.groupBy("w1").agg(F.sum("cnt12").alias("cnt1"))
     model = c12.join(F.broadcast(c1), "w1")
-    scored = tf12.join(model, ["w1", "w2"])
+    scored = bg.join(model, ["w1", "w2"])
     # 9dp-integer-grid sum: per-bigram log-probs are bit-identical
     # across engines, the post-join row order is not — see
     # unigram_score for the full rationale.
@@ -271,10 +263,10 @@ def bigram_score(
         F.log(F.col("cnt12") / F.col("cnt1")) * 1000000000.0 + F.lit(0.5)
     ).cast("long")
     return scored.groupBy(key_col).agg(
-        F.sum("__tf").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_bigrams"),
         round_half_up(
-            F.sum(lp_nano * F.col("__tf")).cast("double")
-            / (F.sum("__tf") * 1000000000.0),
+            F.sum(lp_nano).cast("double")
+            / (F.count(F.lit(1)) * 1000000000.0),
             6,
         ).alias("avg_logprob"),
     )

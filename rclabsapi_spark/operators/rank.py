@@ -114,20 +114,19 @@ def _ranked_with_total(
         num_buckets = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
-    from rclabsapi_spark.layout import spread_by
-
-    # ONE explicit exchange on the bucket id, shared by BOTH phases:
-    # the row-number window and the bucket-size aggregate below are two
-    # consumers of the same relation, and as separate ENSURE_REQUIREMENTS
-    # exchanges they each recomputed the stamped input (scan + bucket
-    # expression twice). Hanging both off one spread_by makes the two
-    # subtrees canonically identical, so ReuseExchange/AQE stage reuse
-    # computes the input once; the explicit partition count also pins
-    # the sort parallelism AQE's byte-based coalescing would collapse
-    # (layout.spread_by rationale).
-    stamped = spread_by(
-        df.withColumn(_BKT, _bucket_expr(df, bucket_key, num_buckets, cuts)),
-        _BKT,
+    # Two INDEPENDENT branches, deliberately: r16's optimization pass
+    # tried hanging both phases off one shared repartition(_BKT) (both
+    # a pinned-width and an AQE-adaptive variant) so the stamped input
+    # computes once — and measured it NET-SLOWER at bench scale
+    # (a_histogram_equidepth +40% on 4-alternation interleaved minima;
+    # rfm −9% to −32%, family total ≈ noise). The duplicate input
+    # compute below is a column-pruned scan + codegen CASE chain, and
+    # the sizes branch partial-aggregates MAP-SIDE so its exchange
+    # carries ≤B rows per task — cheaper than forcing the full relation
+    # through a shared shuffle barrier before the count (guide §1.1:
+    # the "ideal" single-pass plan lost to the empirical one).
+    stamped = df.withColumn(
+        _BKT, _bucket_expr(df, bucket_key, num_buckets, cuts)
     )
     local = stamped.withColumn(
         _LRN, F.row_number().over(Window.partitionBy(_BKT).orderBy(*cols))

@@ -1022,10 +1022,7 @@ def test_mm_frame_dedup_digest_shuffle(spark):
 
     scans, counts = audit(_fn(spark, "mm_frame_dedup"))
     assert scans["documents"] == 1
-    # 3rd exchange is the deliberate spread_by before the mapInPandas
-    # fan-out (single-file fixture scan = one Python task otherwise);
-    # it carries the narrow (key, payload) projection once
-    assert counts["exch"] <= 3
+    assert counts["exch"] <= 2
     df = _fn(spark, "mm_frame_dedup")
     p = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -1138,17 +1135,16 @@ def test_quality_keeper_broadcasts_clusters(spark):
 
 
 def test_bigram_model_not_broadcast_by_plan(spark):
-    """Bigram LM: the corpus bigram explode materializes ONCE into the
-    cached (doc, w1, w2, tf) index and every consumer (model count,
-    context totals, scoring join) reads the cache — zero visible
-    parquet scans in the executed plan, ≥2 cache reads. Nothing rides
-    a window — the model join is free to be AQE-chosen, but the SHAPE
-    must stay aggregate+join, no per-doc window."""
+    """Bigram LM: the corpus is scanned exactly three times (scoring
+    posting + model count + context totals) and nothing rides a window —
+    the model join is free to be AQE-chosen, but the SHAPE must stay
+    aggregate+join, no per-doc window. (r16: materializing either a
+    doc-level tf index or the model aggregate measured SLOWER than the
+    three codegen explodes — recompute is the cheap currency here.)"""
     from rclabsapi_spark.planaudit import audit
 
     scans, counts = audit(_fn(spark, "train_bigram_lm_score"))
-    assert scans["documents"] == 0
-    assert counts["cached"] >= 2
+    assert scans["documents"] == 3
     p = _plan(spark, "train_bigram_lm_score")
     assert "Window" not in p
 
@@ -1197,15 +1193,15 @@ def test_centroid_drift_single_pass_shape(spark):
 
 def test_quality_vs_lm_reduces_before_joins(spark):
     """Quality-vs-LM audit: the corpus reduces to doc-count-sized score
-    relations before any doc-key join — ONE visible scan (the quality
-    branch); both LM scorers read their cached tf indexes (≥4 cache
-    reads: each scorer's index serves its model + scoring consumers) —
-    no window, no sort-merge of corpus-sized text relations."""
+    relations before any doc-key join — quality branch + unigram's
+    scoring posting (its vocab model is cached, ≥2 cache reads) +
+    bigram's three explodes — no window, no sort-merge of corpus-sized
+    text relations."""
     from rclabsapi_spark.planaudit import audit
 
     scans, counts = audit(_fn(spark, "text_quality_vs_lm"))
-    assert scans["documents"] == 1
-    assert counts["cached"] >= 4
+    assert scans["documents"] == 5
+    assert counts["cached"] >= 2
     p = _plan(spark, "text_quality_vs_lm")
     assert "Window" not in p
 
