@@ -33,7 +33,7 @@ from rclabsapi_spark.registry import get_registry
 from rclabsapi_spark.session import get_spark
 
 
-def _time_all(spark, bench_specs, sf_dir, runs=2):
+def _time_all(spark, bench_specs, sf_dir, runs=2, per_query_score=False):
     """Warm each query once un-timed (JVM classloading + whole-stage
     codegen — one-time costs on a long-lived cluster), then keep the min
     of ``runs`` timed executions: a transient load spike on a shared
@@ -71,7 +71,15 @@ def _time_all(spark, bench_specs, sf_dir, runs=2):
 
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
+    scores: dict[str, int] = {}
     for name, spec in bench_specs.items():
+        if per_query_score:
+            # Box fingerprint bracketing THIS query's timed runs: the box
+            # shows multi-minute CPU-steal episodes (single-run scores
+            # 801–1457), and one score per bench run cannot de-noise
+            # per-query deltas across rounds. 0.5 s spin, normalized to
+            # the 2 s unit so the numbers stay comparable.
+            scores[name] = _cpu_score(0.5)
         run(spec)
         ts = []
         for _ in range(runs):
@@ -80,10 +88,10 @@ def _time_all(spark, bench_specs, sf_dir, runs=2):
             ts.append(round(time.perf_counter() - t0, 3))
         samples[name] = ts
         timings[name] = min(ts)
-    return timings, samples
+    return timings, samples, scores
 
 
-def _cpu_score() -> int:
+def _cpu_score(seconds: float = 2.0) -> int:
     """Fixed-work single-thread spin, higher = faster box. The bench
     runs on whatever box the round hands it, and byte-identical queries
     have measured ±15-25% wall swings across rounds (graph_triangles
@@ -91,15 +99,19 @@ def _cpu_score() -> int:
     drift MEASURABLE so cross-round comparisons can normalize instead
     of adjudicating every swing from scratch. Pure-Python integer loop:
     no allocation, no parallelism — deliberately insensitive to memory
-    and scheduler state, sensitive only to effective CPU speed."""
+    and scheduler state, sensitive only to effective CPU speed.
+
+    ``seconds`` trades sampling cost for variance; the returned score
+    is normalized to loops-per-2s so every sample is in the same unit
+    regardless of spin length."""
     t0 = time.perf_counter()
     n = 0
     x = 0
-    while time.perf_counter() - t0 < 2.0:
+    while time.perf_counter() - t0 < seconds:
         for _ in range(10_000):
             x = (x * 1103515245 + 12345) % 2147483648
         n += 1
-    return n
+    return int(round(n * 2.0 / seconds))
 
 
 def main() -> None:
@@ -114,7 +126,9 @@ def main() -> None:
     registry = get_registry()
     bench_specs = {n: s for n, s in sorted(registry.items()) if s.bench}
 
-    timings, samples = _time_all(spark, bench_specs, sf_dir)
+    timings, samples, query_scores = _time_all(
+        spark, bench_specs, sf_dir, per_query_score=True
+    )
 
     # Scaling slope: re-run the set one SF down (default 10× less data)
     # and report t_high / t_low per query. Linear-in-data queries land
@@ -132,7 +146,7 @@ def main() -> None:
         elif (m2 := re.search(r"sf([0-9.]+)", low_dir)) is not None:
             low_sf = float(m2.group(1).rstrip("."))
         if low_dir is not None and os.path.isdir(low_dir):
-            low_timings, _ = _time_all(spark, bench_specs, low_dir, runs=1)
+            low_timings, _, _ = _time_all(spark, bench_specs, low_dir, runs=1)
             slope = {
                 "sf_low": low_sf,
                 "queries_low": low_timings,
@@ -161,6 +175,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "samples": samples,
+        "cpu_scores": query_scores,
         "sf": sf,
         "rows_per_sec": int(rows_scanned / total) if total > 0 else None,
         "n_queries": len(timings),
@@ -171,9 +186,20 @@ def main() -> None:
     print(json.dumps(out))
     # The full record above can run long enough that tail-capture
     # tooling truncates it mid-object (BENCH_r12/r13 landed with
-    # "parsed": null). Emit a second, SHORT, self-contained summary
-    # line last so any tail window always holds one complete JSON
-    # record with the headline numbers.
+    # "parsed": null — and in r15/r16 the truncation erased the
+    # per-query dict entirely, so the round-over-round comparison
+    # came back empty, n_common: 0). Emit a second, SHORT,
+    # self-contained summary line LAST so any tail window always
+    # holds one complete JSON record — and since r17 that record
+    # carries the per-query timings itself (2-dp, compact separators,
+    # no samples: ~2.5 KB for 89 queries) plus a downsampled
+    # per-block cpu_score list (one 0.5 s fingerprint was taken
+    # before each query's timed block; every 10th is emitted here,
+    # full map in the long record) so per-query deltas can be
+    # de-noised against box drift. Keys are additions-only: every
+    # field the previous rounds' summary carried is still present
+    # under the same name.
+    score_list = [query_scores[n] for n in sorted(query_scores)]
     print(json.dumps({
         "metric": "headline_query_wallclock_summary",
         "value": total,
@@ -182,7 +208,11 @@ def main() -> None:
         "n_queries": len(timings),
         "rows_per_sec": out["rows_per_sec"],
         "cpu_score": cpu_score,
-    }))
+        "queries": {n: round(t, 2) for n, t in timings.items()},
+        "cpu_score_blocks": [
+            s for i, s in enumerate(score_list) if i % 10 == 0
+        ],
+    }, separators=(",", ":")))
 
 
 if __name__ == "__main__":

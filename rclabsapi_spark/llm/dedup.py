@@ -475,6 +475,17 @@ def dedup_clusters(
     # aggregate per round instead of a new-vs-old join + count (halves
     # the per-round job count; exact BIGINT arithmetic).
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # ONE propagation hop per materialized round — deliberately. The
+    # r17 pass tried fusing TWO HashMin hops per lazily-checkpointed
+    # round (halve the job count, same fixpoint — min-propagation is
+    # monotone with a unique fixpoint, so any schedule agrees) and
+    # measured it SLOWER on interleaved A/B minima:
+    # dedup_cluster_audit +13.0%, pipeline_dedup_apply +2.9%,
+    # mm_frame_dedup +2.5% (dedup_clusters_star, untouched control,
+    # −2.5% = the noise band). Near-dup graphs are shallow stars that
+    # converge in ~1-2 hops, so the fused second hop re-shuffles the
+    # edge relation for nothing on most rounds — per-round job
+    # scheduling is cheaper than a wasted edge join. Reverted.
     for _ in range(max_iters):
         prop = edges.join(
             labels, edges["src"] == labels["doc"]

@@ -632,6 +632,10 @@ def phash_near_dup_pairs(
     opts into; the registered query leaves it off so the oracle's
     O(n²) spec matches exactly)."""
     assert n_bands > max_hamming, "pigeonhole needs max_hamming < n_bands"
+    # the packed probe below allocates 16 bits per band in one 64-bit
+    # long; a 5th band would shift past bit 63 and silently corrupt
+    # every Hamming distance — fail loudly instead
+    assert n_bands <= 4, "band packing holds at most 4 16-bit bands"
     band_names = [f"b{b}" for b in range(n_bands)]
     # Pack the band columns into ONE 64-bit word (band b at bits
     # [16b, 16b+16)): bands are bit-disjoint, so the pair Hamming

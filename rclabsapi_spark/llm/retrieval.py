@@ -43,6 +43,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from rclabsapi_spark.functions.scalars import round_half_up
+from rclabsapi_spark.layout import spread_by
 from rclabsapi_spark.llm.training import corpus_words
 
 
@@ -57,8 +58,19 @@ def term_postings(
 
     The filter sits between the explode and the aggregate, so the
     groupBy's map-side combine only ever sees query-term tokens — the
-    shuffled relation is |matching docs| × |terms| rows, not the corpus."""
-    words = corpus_words(docs, text_col=text_col, extra_cols=(key_col,))
+    shuffled relation is |matching docs| × |terms| rows, not the corpus.
+
+    The corpus spreads by the doc key BEFORE the tokenize/explode (r17):
+    a fixture parquet is one unsplittable file, so the explode — the
+    only corpus-sized work here — ran as a single serial task; the
+    narrow (key, text) exchange fans it out, and the postings aggregate
+    clusters on a superset of the key so it reuses that partitioning
+    instead of adding its own exchange."""
+    words = corpus_words(
+        spread_by(docs.select(key_col, text_col), key_col),
+        text_col=text_col,
+        extra_cols=(key_col,),
+    )
     return (
         words.filter(F.col("word").isin(*terms))
         .groupBy(key_col, "word")
@@ -175,12 +187,29 @@ def bm25_scores(
     """Unranked BM25 score relation (key, score, n_terms) — see
     `bm25_topk` for the physical shape; this is the same relation
     without the TakeOrdered heap, for whole-distribution consumers."""
-    words = corpus_words(docs, text_col=text_col, extra_cols=(key_col,))
+    # ONE fact exchange for the whole pipeline (r17): the corpus spreads
+    # by the doc key BEFORE the tokenize/explode (a fixture parquet is
+    # one unsplittable file → the explode ran serially; the old shape's
+    # first exchange shipped (doc, word, tf) partial aggregates — this
+    # one ships (doc, text), comparable bytes), and every downstream
+    # reduction clusters on a superset of the key, so the tf index, dl,
+    # the postings filter, the dl⋈postings join, and the final per-doc
+    # score ALL reuse that single partitioning — the plan drops from
+    # four data exchanges (tf index, dl, dl-for-avgdl, the join) to one
+    # plus the tiny per-term df aggregate.
+    words = corpus_words(
+        spread_by(docs.select(key_col, text_col), key_col),
+        text_col=text_col,
+        extra_cols=(key_col,),
+    )
     tf_all = words.groupBy(key_col, "word").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
     ).cache()
     dl = tf_all.groupBy(key_col).agg(F.sum("tf").alias("dl"))
     postings = tf_all.filter(F.col("word").isin(*terms))
+    # avgdl re-aggregates the CACHED tf index (vocab-sized, map-side
+    # partial, rides the key partitioning) — the old shape re-ran dl's
+    # aggregate through its own exchange just to average it
     avgdl = dl.agg(F.avg("dl").alias("avgdl"))
     scored = (
         postings.join(dl, key_col)

@@ -367,7 +367,11 @@ def span_corruption(
     per-row Python, no array lambdas. Consecutive masked tokens collapse
     to ONE sentinel in the input (run-length via lag); targets carry
     (span_id, span_text). One doc-key shuffle; collect_list reassembles
-    under the same partitioning."""
+    under the same partitioning.
+
+    Contract: a doc where no span start fires returns ``targets = []``
+    (an empty array, not NULL) with the input text unchanged — pinned
+    by tests/test_pack_bins.py::test_span_corruption_spanless_doc_contract."""
     toks = spread_by(docs, key_col).select(
         F.col(key_col).alias("doc"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),

@@ -24,7 +24,11 @@ from pyspark.sql.window import Window
 from rclabsapi_spark.layout import spread_by
 
 from rclabsapi_spark.functions.scalars import grid_sum, round_half_up
-from rclabsapi_spark.operators.rank import global_ntile, global_row_number
+from rclabsapi_spark.operators.rank import (
+    global_ntile,
+    global_ntile_multi,
+    global_row_number,
+)
 
 
 def transition_matrix(
@@ -131,14 +135,22 @@ def rfm_scores(
             / 1000000.0
         ).alias("monetary"),
     )
-    # Three shallow rank relations joined back on the key — chaining the
-    # ntiles would nest each ranked output as the next rank's input and
-    # copy the per-customer subtree exponentially; the equi-joins keep
-    # every branch two levels deep and shuffle on the customer key. ONE
-    # multi-column approxQuantile samples all three dimensions' cut
-    # points in a single pass over the cached aggregate (a descending
-    # order's cuts are the negated ascending cuts — any monotone
-    # thresholds are valid, only balance depends on them).
+    # ONE chained pass ranks all three dimensions (r17,
+    # rank.global_ntile_multi): each dimension keeps its own
+    # bucket-partitioned window exchange (the orders differ — those
+    # three exchanges are the irreducible core), but the old
+    # three-branch + equi-join-back shape additionally paid a key-hash
+    # join exchange per dimension to reattach the scores; the chain
+    # stamps the bucket ids once on the cached aggregate and
+    # broadcast-joins each dimension's ≤B-row offsets, so those join
+    # exchanges are gone. (The r16 shared-repartition variant lost by
+    # +40% because it forced a shuffle BARRIER before the size
+    # aggregates — here the sizes still partial-aggregate map-side off
+    # the cache, no barrier.) ONE multi-column approxQuantile samples
+    # all three dimensions' cut points in a single pass over the cached
+    # aggregate (a descending order's cuts are the negated ascending
+    # cuts — any monotone thresholds are valid, only balance depends on
+    # them).
     per_cust = per_cust.cache()
     n_buckets = int(
         per_cust.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
@@ -153,36 +165,23 @@ def rfm_scores(
         (
             "r_score",
             [F.col("recency_days"), F.col(key_col)],
-            "recency_days",
             F.col("recency_days"),
             q_r,
         ),
         (
             "f_score",
             [F.col("frequency").desc(), F.col(key_col)],
-            "frequency",
             -F.col("frequency"),  # desc order → negated bucket key
             [-q for q in q_f],
         ),
         (
             "m_score",
             [F.col("monetary").desc(), F.col(key_col)],
-            "monetary",
             -F.col("monetary"),
             [-q for q in q_m],
         ),
     ]
-    out = per_cust
-    for score_col, order, dim_col, bkey, cuts in dims:
-        ranked = global_ntile(
-            per_cust.select(key_col, dim_col),
-            order,
-            buckets,
-            out_col=score_col,
-            bucket_key=bkey,
-            cuts=cuts,
-        ).select(key_col, score_col)
-        out = out.join(ranked, key_col)
+    out = global_ntile_multi(per_cust, dims, buckets, num_buckets=n_buckets)
     out = out.select(
         F.col(key_col),
         "recency_days",

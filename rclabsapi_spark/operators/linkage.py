@@ -29,10 +29,11 @@ Scale posture:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from rclabsapi_spark.functions.scalars import round_half_up
+from rclabsapi_spark.layout import spread_by
 
 
 def blocked_fuzzy_pairs(
@@ -203,24 +204,49 @@ def basket_pair_support(
     a single exchange on the basket id — the r16 restructure; the
     previous shape spent a distinct exchange, a size aggregate, a
     semi-join, and a basket-keyed self-join on the same decisions).
-    Oversized baskets are dropped against ``max_basket`` as a plain
-    array-size filter (pair work is Σ basket² — the cap is the
+    Oversized baskets are dropped against ``max_basket`` BEFORE any
+    per-basket array exists (pair work is Σ basket² — the cap is the
     quadratic guard; unlike fuzzy-name head blocks, an oversized basket
     is corrupt data, not concentrated signal, so all-or-nothing is the
-    right contract here). Pairs come from in-bucket array
-    combinatorics over the sorted item set (the LSH pair-gen shape —
-    no self-join, and a basket is ≤ ``max_basket`` items by
-    construction, so the per-row array is bounded). Item supports and
-    N re-derive from the exploded basket relation (cached: three
-    consumers); lift is per-row arithmetic on exact counts.
+    right contract here). The r16 shape filtered ``F.size(its)`` AFTER
+    ``collect_set`` — which materializes one corrupt mega-basket as ONE
+    unsplittable array in a reducer before the filter can drop it (the
+    r13 single-task-funnel lesson applied to the reducer's buffer). Now
+    the guard is a distinct-item COUNT stamped by a window (spill-safe
+    aggregation rows, never an array; a window filter cannot be pushed
+    below its window, unlike a semi-join, which Catalyst pushes below
+    the repartition and thereby re-scans the fact per branch), and only
+    surviving baskets reach the array build; everything — the
+    (basket, item) dedup, the window count, the collect, the pair
+    explode — rides ONE spread exchange on the basket id (every
+    reduction clusters on a superset of the key). Pairs come from in-bucket array combinatorics
+    over the sorted item set (the LSH pair-gen shape — no self-join,
+    and a basket is ≤ ``max_basket`` items by construction, so the
+    per-row array is bounded). Item supports and N re-derive from the
+    cached basket-array relation (three consumers); lift is per-row
+    arithmetic on exact counts.
     Deterministic top-k: support desc, then item pair lexicographic."""
-    baskets = (
-        items.select(
-            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+    dedup = (
+        spread_by(
+            items.select(
+                F.col(basket_col).alias("basket"),
+                F.col(item_col).alias("item"),
+            ),
+            "basket",
         )
+        .groupBy("basket", "item")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .drop("__n")
+    )
+    sized = dedup.withColumn(
+        "__sz", F.count(F.lit(1)).over(Window.partitionBy("basket"))
+    )
+    baskets = (
+        sized.filter(F.col("__sz") <= max_basket)
         .groupBy("basket")
-        .agg(F.array_sort(F.collect_set("item")).alias("its"))
-        .filter(F.size("its") <= max_basket)
+        # items are distinct by construction here, so a sorted
+        # collect_list ≡ the old array_sort(collect_set) byte-for-byte
+        .agg(F.array_sort(F.collect_list("item")).alias("its"))
         .cache()
     )
     it = F.col("its")

@@ -199,15 +199,92 @@ def global_ntile(
     ranked = _ranked_with_total(
         df, order_by, rn_col, n_col, bucket_key, num_buckets, cuts
     )
+    return ranked.withColumn(
+        out_col, _ntile_bucket(rn_col, n_col, n_buckets)
+    ).drop(rn_col, n_col)
+
+
+def _ntile_bucket(rn_col: str, n_col: str, n_buckets: int) -> Column:
+    """SQL-standard NTILE bucket from (row_number, total): first
+    ``N mod b`` buckets take ⌈N/b⌉ rows, the rest ⌊N/b⌋ — the exact
+    integer arithmetic global_ntile uses, factored so the multi-dim
+    chain below computes bit-identical buckets."""
     n = F.col(n_col)
     rn = F.col(rn_col).cast("long")
     q = F.floor(n / n_buckets)  # small-bucket size
     r = n % n_buckets  # number of (q+1)-sized buckets
     big_span = (q + 1) * r  # rows covered by the big buckets
-    bucket = F.when(
-        rn <= big_span, F.floor((rn - 1) / (q + 1)) + 1
-    ).otherwise(r + F.floor((rn - big_span - 1) / q) + 1)
-    return ranked.withColumn(out_col, bucket.cast("int")).drop(rn_col, n_col)
+    return (
+        F.when(rn <= big_span, F.floor((rn - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rn - big_span - 1) / q) + 1)
+        .cast("int")
+    )
+
+
+def global_ntile_multi(
+    df: DataFrame,
+    dims: list[tuple[str, list, Column, list[float]]],
+    n_buckets: int,
+    *,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Exact global NTILE over SEVERAL dimensions of ONE relation in a
+    single chained pass: ``dims`` is [(out_col, order_by, bucket_key,
+    cuts)] with driver-frozen ``cuts`` per dimension (one multi-column
+    approxQuantile upstream). Appends every ``out_col``; preserves all
+    input columns.
+
+    Physical shape (r17, the rfm_segments rework): every dimension's
+    rank STILL needs its own bucket-partitioned window exchange (the
+    orders differ, so the exchanges are irreducible), but the old
+    per-dimension ``global_ntile`` + equi-join-back spent, on top of
+    those, one bucket-size pass AND a key-hash join exchange per
+    dimension to reattach the scores. Here all bucket ids are stamped
+    up front (pure codegen CASE chains — recompute from the caller's
+    cached input is the cheap currency, the measured r16 lesson that
+    killed the shared-repartition variant), the spine chains the three
+    windows directly, and each dimension's ≤B-row offsets relation
+    broadcast-joins onto its bucket id: the key-join exchanges are gone
+    and no shared shuffle barrier is introduced. Per-dimension buckets
+    are bit-identical to ``global_ntile`` (same cuts, same window
+    order, same integer arithmetic)."""
+    if num_buckets is None:
+        num_buckets = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    stamped = df
+    for out_col, order_by, bucket_key, cuts in dims:
+        stamped = stamped.withColumn(
+            f"{_BKT}__{out_col}",
+            _bucket_expr(df, bucket_key, num_buckets, cuts),
+        )
+    out = stamped
+    for out_col, order_by, bucket_key, cuts in dims:
+        bkt = f"{_BKT}__{out_col}"
+        rn_col, n_col = f"{out_col}__rn", f"{out_col}__n"
+        sizes = stamped.groupBy(bkt).agg(F.count(F.lit(1)).alias(_CNT))
+        w_cum = Window.orderBy(bkt).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        w_all = Window.orderBy(bkt).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        offsets = sizes.select(
+            F.col(bkt),
+            F.coalesce(F.sum(_CNT).over(w_cum), F.lit(0)).alias(_OFF),
+            F.sum(_CNT).over(w_all).alias(n_col),
+        )
+        lrn = F.row_number().over(
+            Window.partitionBy(bkt).orderBy(*_as_cols(order_by))
+        )
+        out = (
+            out.withColumn(_LRN, lrn)
+            .join(F.broadcast(offsets), bkt)
+            .withColumn(rn_col, (F.col(_OFF) + F.col(_LRN)).cast("long"))
+            .withColumn(out_col, _ntile_bucket(rn_col, n_col, n_buckets))
+            .drop(_LRN, _OFF, rn_col, n_col, bkt)
+        )
+    return out
 
 
 def global_percent_rank(

@@ -11,12 +11,21 @@ in-sums are ≤|types| terms and the final ranks round at 6 decimals.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from rclabsapi_spark.catalog import load_table
 from rclabsapi_spark.functions.scalars import sql_round_half_up
+from rclabsapi_spark.layout import spread_by
 from rclabsapi_spark.operators.graph import pagerank, triangle_count
 from rclabsapi_spark.registry import query
+
+# Baskets with more distinct items than this take the self-join pair
+# branch instead of the in-basket array build (mega-basket guard): a
+# 256-item basket's pair array is ~32k structs in one row — the upper
+# bound of "fine"; anything bigger is corrupt input that must never
+# funnel through a single reducer buffer. TPC-H baskets are ≤ 7 items.
+_ARRAY_CAP = 256
 
 # ---------------------------------------------------------------------------
 # Triangle count over the co-order part graph (support ≥ 2)
@@ -80,22 +89,56 @@ def q_triangles(spark, sf_dir, *, materialize=True):
     pair-gen (the basket_pair_support shape) — the fact's dedup, and
     the pair generation, ride a single exchange on the basket id; the
     previous distinct + basket-keyed self-join spent three exchanges on
-    the same 1.2M pairs. Baskets are ≤ tens of items (the co-order
-    relation), so the per-row array is bounded; the pair aggregate then
-    shuffles on (src, dst) as before. The edge set is byte-identical
-    (sorted distinct items, i < j pairs, count ≥ 2), and it arrives
-    already canonical — src < dst, distinct — so triangle_count skips
-    its normalization dedup (``edges_canonical``).
+    the same 1.2M pairs.
+
+    Mega-basket guard (r17): the r16 shape collect_set'ed EVERY basket
+    unbounded — one corrupt mega-basket materializes as ONE
+    unsplittable reducer array before any size check can see it. Now a
+    raw-row count per basket (partial-combining, rides the same spread
+    exchange) routes baskets: at or under ``_ARRAY_CAP`` rows they take
+    the array pair-gen fast path (every TPC-H basket: ≤ 7 items), and
+    bigger baskets dedup to distinct (basket, item) rows (spill-safe
+    aggregation) and route through the classic co-partitioned
+    self-join — row-at-a-time pair generation that never builds an
+    array and that AQE can skew-split. Routing by ANY deterministic
+    per-basket predicate is result-preserving because both branches
+    compute the same pair multiset for the baskets they receive.
+    The union is the identical pair multiset, so the edge set is
+    byte-identical (sorted distinct items, i < j pairs, count ≥ 2) and
+    still arrives canonical — src < dst, distinct — so triangle_count
+    skips its normalization dedup (``edges_canonical``).
     ``materialize=False`` exposes the pre-checkpoint plan for pins and
     the plan audit. operators/graph.py::triangle_count."""
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = (
+    # raw rides ONE spread exchange; its three consumers (size counts +
+    # both pair branches) reference byte-identical subtrees, so
+    # ReusedExchange materializes the shuffle once — no cache needed.
+    # The routing predicate is a RAW row count per basket (cheap
+    # partial-combining aggregate): any deterministic routing is
+    # correct here because BOTH branches compute the same pair
+    # multiset for whatever baskets they receive — the count only
+    # decides which physical shape a basket takes.
+    raw = spread_by(
         li.select(
             F.col("l_orderkey").alias("basket"),
             F.col("l_partkey").alias("item"),
-        )
-        .groupBy("basket")
-        .agg(F.array_sort(F.collect_set("item")).alias("its"))
+        ),
+        "basket",
+    )
+    # Window count, NOT a size aggregate + semi-join: Catalyst pushes a
+    # left-semi join below the repartition (PushDownLeftSemiAntiJoin),
+    # which de-duplicates the exchange subtrees and re-scans the fact
+    # once per branch (measured +35% — see git history); a filter on a
+    # window output cannot be pushed below its window, so both branches
+    # keep the byte-identical scan→exchange subtree and ReusedExchange
+    # materializes the shuffle once.
+    sized = raw.withColumn(
+        "__sz",
+        F.count(F.lit(1)).over(Window.partitionBy("basket")),
+    )
+    small = sized.filter(F.col("__sz") <= _ARRAY_CAP).drop("__sz")
+    baskets = small.groupBy("basket").agg(
+        F.array_sort(F.collect_set("item")).alias("its")
     )
     it = F.col("its")
     pair_structs = F.flatten(
@@ -107,9 +150,29 @@ def q_triangles(spark, sf_dir, *, materialize=True):
             ),
         )
     )
+    small_pairs = baskets.select(F.explode(pair_structs).alias("p")).select(
+        F.col("p.src").alias("src"), F.col("p.dst").alias("dst")
+    )
+    # mega-baskets: dedup to distinct (basket, item) rows first (spill-
+    # safe aggregation, still riding the exchange), then row-at-a-time
+    # pair generation via self-join — no array ever materializes, and
+    # AQE can skew-split the join. Empty on TPC-H input.
+    big = (
+        sized.filter(F.col("__sz") > _ARRAY_CAP)
+        .drop("__sz")
+        .groupBy("basket", "item")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .drop("__n")
+    )
+    big_pairs = (
+        big.alias("a")
+        .join(big.alias("b"), "basket")
+        .filter(F.col("a.item") < F.col("b.item"))
+        .select(F.col("a.item").alias("src"), F.col("b.item").alias("dst"))
+    )
     edges = (
-        baskets.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+        small_pairs.unionByName(big_pairs)
+        .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
     )

@@ -113,3 +113,39 @@ def test_span_corruption_reconstructs_and_is_deterministic(spark):
     assert {(r["doc_id"], r["masked_input"]) for r in again} == {
         (r["doc_id"], r["masked_input"]) for r in out
     }
+
+
+def test_span_corruption_spanless_doc_contract(spark):
+    """A doc where NO span start fires must come back untouched with
+    n_spans == 0, n_masked_tokens == 0 and — the pinned contract —
+    ``targets == []`` (an empty array, not NULL). The r16 single-pass
+    rewrite changed the spanless case from the old left-join-miss NULL
+    to the fold's empty array; [] is the declared contract (a consumer
+    iterating targets needs no null guard), and this test keeps it from
+    drifting silently in either direction."""
+    import hashlib
+
+    from rclabsapi_spark.llm.training import span_corruption
+
+    # find a doc id whose 3 token positions all hash ABOVE the 5%
+    # start threshold — the same md5(salt + doc + ":" + pos) rule the
+    # operator applies, so the doc is spanless by construction
+    thr = format(int(65536 * 0.05), "04x")
+    doc_id = next(
+        d
+        for d in range(1000)
+        if all(
+            hashlib.md5(f"span:{d}:{p}".encode()).hexdigest()[:4] >= thr
+            for p in range(3)
+        )
+    )
+    docs = spark.createDataFrame(
+        [(doc_id, "alpha beta gamma")], "doc_id long, text string"
+    )
+    [row] = span_corruption(
+        docs, span_len=3, start_rate=0.05, sentinel="<X>"
+    ).collect()
+    assert row["masked_input"] == "alpha beta gamma"
+    assert row["n_spans"] == 0
+    assert row["n_masked_tokens"] == 0
+    assert row["targets"] == []  # empty array, NOT None — the contract
