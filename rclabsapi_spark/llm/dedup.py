@@ -448,13 +448,19 @@ def dedup_clusters(
     edges = pairs.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
+    # Re-partition by src AFTER the distinct, BEFORE the cache (r17):
+    # the distinct leaves the cached edges hash-partitioned on
+    # (src, dst), but every round joins on src alone — so every round
+    # paid a fresh exchange of the (unchanging) edge relation. Cached
+    # hash(src) partitioning satisfies the join requirement once and
+    # for all; only the (shrinking) label relation shuffles per round.
     edges = (
         edges.union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .cache()
     )
+    edges = spread_by(edges, "src").cache()
     # localCheckpoint (not cache): each round's plan references labels
     # twice (join + union), so lineage grows ~3× per round and by the
     # round cap the ANALYZER, not execution, dominates — checkpointing

@@ -243,7 +243,14 @@ def pmi_collocations(
     # scan+explode per consumer, and derive
     # the corpus totals from the already-reduced count relations
     # (Σ n_w ≡ token count, Σ n_ab ≡ bigram count — exact integers), so
-    # neither total re-walks a corpus-sized stream
+    # neither total re-walks a corpus-sized stream.
+    # Measured trade (r17, re-examining the r16 ADVICE note): dropping
+    # this cache (cache only uni/bi_counts) read +20.6% on interleaved
+    # A/B minima — the double scan+posexplode costs more here than the
+    # cache write, unlike the bigram-LM case. The cache IS corpus-token
+    # sized: at 100 TB prefer eviction (it degrades to recompute) over
+    # removal, and note the entry lives until the session drops the
+    # returned plan — the bench clears caches between runs.
     toks = (
         spread_by(docs, key_col)
         .select(

@@ -60,6 +60,33 @@ def canon(v):
     return v
 
 
+_QDF_CACHE: dict = {}
+
+
+def build_query_df(spark, name: str):
+    """Build a registered query's DataFrame for PLAN/SCHEMA inspection,
+    memoized per test session (r17): the fleet-wide structural sweeps
+    (cartesian, single-partition-window, column-name alignment) each
+    paid a full ~240-query plan build — ~100 s apiece, the top three
+    entries of the suite's duration profile and the reason the driver's
+    verify window clipped the r16 run. Plan inspection is read-only, so
+    one shared DataFrame per query is safe. Queries whose production
+    path eagerly localCheckpoints expose a ``materialize`` kwarg; pins
+    pass False so the real pre-checkpoint plan is inspected (the column
+    SET is identical either way — materialize only truncates lineage)."""
+    import inspect
+
+    if name not in _QDF_CACHE:
+        from rclabsapi_spark.registry import get_registry
+
+        spec = get_registry()[name]
+        kw = {}
+        if "materialize" in inspect.signature(spec.fn).parameters:
+            kw["materialize"] = False
+        _QDF_CACHE[name] = spec.fn(spark, SF_CORRECT, **kw)
+    return _QDF_CACHE[name]
+
+
 def df_to_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     # key=repr: rows may mix types within a column (e.g. a NULL-keyed

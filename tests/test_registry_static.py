@@ -10,7 +10,7 @@ import pytest
 
 from rclabsapi_spark.registry import get_registry
 
-from .conftest import SF_CORRECT
+from .conftest import SF_CORRECT, build_query_df
 
 _REG = get_registry()
 _TABLES = (
@@ -45,12 +45,15 @@ def test_every_oracle_parses(duck_views):
 def test_spark_and_oracle_column_names_align(spark, duck_views):
     """Analysis-only: compare each query's Spark schema column set with
     its oracle's projected columns — the exact property the driver's
-    sorted-by-name value hash depends on."""
+    sorted-by-name value hash depends on. Uses the session-memoized
+    plan builder (r17): the production path here previously RAN the
+    eager-checkpoint queries just to read their columns (~98 s), and
+    the ``materialize`` kwarg never changes the column set."""
     bad = {}
     for name, spec in sorted(_REG.items()):
         if not spec.oracle:
             continue
-        scols = sorted(spec.fn(spark, SF_CORRECT).columns)
+        scols = sorted(build_query_df(spark, name).columns)
         rel = duck_views.execute(
             f"SELECT * FROM ({spec.oracle}) LIMIT 0"
         )
