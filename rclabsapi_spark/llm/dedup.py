@@ -710,22 +710,27 @@ def simhash_bits(
             "t", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
         )
     )
+    # Each vote sum and the 60-term fingerprint recombination are built
+    # as SQL strings (r17): composing them Column-by-Column paid ~500
+    # py4j round trips per query construction (the pq_encode finding —
+    # driver-side Python↔JVM chatter, not analysis). Parsed trees are
+    # operator-identical: shiftright/& on longs, integer literals 2^j
+    # (bigint), the same left-associative sum.
     ones = [
-        F.sum(
-            F.shiftright("t", 4 * (14 - j // 4) + j % 4)
-            .bitwiseAND(F.lit(1))
-            * F.col("tok_cnt")
+        F.expr(
+            f"sum((shiftright(`t`, {4 * (14 - j // 4) + j % 4}) & 1)"
+            f" * `tok_cnt`)"
         ).alias(f"o{j}")
         for j in range(bits)
     ]
     agg = tok.groupBy(key_col).agg(F.sum("tok_cnt").alias("cnt"), *ones)
-    fp = None
-    for j in range(bits):
-        bit = F.when(
-            F.col(f"o{j}") * 2 > F.col("cnt"), F.lit(2**j)
-        ).otherwise(F.lit(0))
-        fp = bit if fp is None else fp + bit
-    return agg.select(key_col, fp.cast("long").alias("simhash"))
+    fp_chain = " + ".join(
+        f"(CASE WHEN `o{j}` * 2 > `cnt` THEN {2**j}L ELSE 0L END)"
+        for j in range(bits)
+    )
+    return agg.select(
+        key_col, F.expr(fp_chain).cast("long").alias("simhash")
+    )
 
 
 def simhash_near_dup_pairs(

@@ -51,13 +51,11 @@ global/grouped rank statistics at cluster scale.
 
 from __future__ import annotations
 
-import functools
-import operator
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _BKT = "__rank_bkt"
+_KEY = "__rank_key"
 _LRN = "__rank_lrn"
 _OFF = "__rank_off"
 _CNT = "__rank_cnt"
@@ -67,31 +65,46 @@ def _as_cols(order_by) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in order_by]
 
 
-def _bucket_expr(
+def _bucket_cuts(
     df: DataFrame,
     bucket_key: Column,
     n_buckets: int,
     cuts: list[float] | None = None,
-) -> Column:
-    """Deterministic bucket id (0..B−1): count of driver-frozen quantile
-    cut points strictly below the key. Monotone non-decreasing in the
-    key, so bucket boundaries respect the rank order; equal keys always
-    share a bucket. Callers ranking several dimensions of one relation
-    pass precomputed ``cuts`` (one multi-column approxQuantile) so the
-    sampling pass runs once, not once per dimension."""
+) -> list[float]:
+    """Driver-frozen quantile cut points for the bucket id (sampled here
+    unless the caller precomputed them with one multi-column
+    approxQuantile), NaN-dropped and deduped."""
     if cuts is None:
         probs = [i / n_buckets for i in range(1, n_buckets)]
         cuts = df.select(
             bucket_key.cast("double").alias("__k")
         ).approxQuantile("__k", probs, 1.0 / (4.0 * n_buckets))
-    uniq = sorted({c for c in cuts if c == c})  # drop NaN, dedup
+    return sorted({c for c in cuts if c == c})  # drop NaN, dedup
+
+
+def _bucket_sql(key_col: str, uniq: list[float]) -> Column:
+    """Deterministic bucket id (0..B−1): count of cut points strictly
+    below the key — the sum-of-CASEs chain over an already-stamped
+    double key column. Monotone non-decreasing in the key, so bucket
+    boundaries respect the rank order; equal keys always share a
+    bucket.
+
+    Built as ONE SQL string (r17): the previous
+    ``reduce(add, [F.when(...)])`` construction paid a py4j round trip
+    per cut per reference — at the configured B−1 cuts (31 locally,
+    thousands on a real cluster where shuffle.partitions is sized for
+    the data) the Column-by-Column build dominates DRIVER time the same
+    way pq_encode's chains did. The parsed tree is the same codegen
+    CASE chain, left-associative, `1.5D` double literals via repr
+    round-trip — bit-identical bucket ids (and any monotone bucketing
+    yields identical final ranks regardless — rank.py module
+    docstring)."""
     if not uniq:
         return F.lit(0)
-    k = bucket_key.cast("double")
-    return functools.reduce(
-        operator.add,
-        [F.when(k > F.lit(c), 1).otherwise(0) for c in uniq],
+    chain = " + ".join(
+        f"(CASE WHEN `{key_col}` > {c!r}D THEN 1 ELSE 0 END)" for c in uniq
     )
+    return F.expr(chain)
 
 
 def _ranked_with_total(
@@ -125,8 +138,10 @@ def _ranked_with_total(
     # carries ≤B rows per task — cheaper than forcing the full relation
     # through a shared shuffle barrier before the count (guide §1.1:
     # the "ideal" single-pass plan lost to the empirical one).
-    stamped = df.withColumn(
-        _BKT, _bucket_expr(df, bucket_key, num_buckets, cuts)
+    stamped = (
+        df.withColumn(_KEY, bucket_key.cast("double"))
+        .withColumn(_BKT, _bucket_sql(_KEY, _bucket_cuts(df, bucket_key, num_buckets, cuts)))
+        .drop(_KEY)
     )
     local = stamped.withColumn(
         _LRN, F.row_number().over(Window.partitionBy(_BKT).orderBy(*cols))
@@ -254,9 +269,14 @@ def global_ntile_multi(
         )
     stamped = df
     for out_col, order_by, bucket_key, cuts in dims:
-        stamped = stamped.withColumn(
-            f"{_BKT}__{out_col}",
-            _bucket_expr(df, bucket_key, num_buckets, cuts),
+        key = f"{_KEY}__{out_col}"
+        stamped = (
+            stamped.withColumn(key, bucket_key.cast("double"))
+            .withColumn(
+                f"{_BKT}__{out_col}",
+                _bucket_sql(key, _bucket_cuts(df, bucket_key, num_buckets, cuts)),
+            )
+            .drop(key)
         )
     out = stamped
     for out_col, order_by, bucket_key, cuts in dims:
