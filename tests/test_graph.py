@@ -105,3 +105,21 @@ def test_service_mode_cache_hygiene_soak(spark):
     # 3 rounds × 3 ops: without the unpersists this is ≥18 cached
     # relations; with them, only the small checkpointed results linger
     assert stored() - baseline <= 9, stored()
+
+
+def test_triangles_mega_basket_branch_routing_invariant(spark, monkeypatch):
+    """q_triangles' mega-basket guard (r17): baskets over _ARRAY_CAP raw
+    rows route through the row-at-a-time self-join branch instead of the
+    in-basket array build. The routing must be RESULT-invariant — both
+    branches compute the same pair multiset — so running the query with
+    the cap forced to 1 (every basket through the self-join branch) must
+    reproduce the default-cap result exactly. This exercises the big
+    branch end-to-end (it is empty on TPC-H input at the default cap)."""
+    import rclabsapi_spark.suites.graph as g
+
+    sf = "/root/testdata/sf0.001"
+    base = g.q_triangles(spark, sf).collect()
+    monkeypatch.setattr(g, "_ARRAY_CAP", 1)
+    forced = g.q_triangles(spark, sf).collect()
+    assert base == forced
+    assert base[0]["n_triangles"] >= 0

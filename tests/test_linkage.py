@@ -326,3 +326,28 @@ def test_fuzzy_salts_must_be_a_pair(spark):
                 block_col=F.col("blk"),
                 salts=bad,
             )
+
+
+def test_basket_pairs_mega_basket_dropped_before_array(spark):
+    """Mega-basket guard (r17, VERDICT r16 item 4): a basket exceeding
+    ``max_basket`` DISTINCT items must be dropped — and the drop happens
+    on spill-safe aggregation rows (distinct count stamped by a window)
+    BEFORE any per-basket array is collected, so one corrupt basket can
+    never materialize as an unsplittable reducer buffer. Plants a
+    basket of 40 distinct items (cap 10) beside normal baskets, with
+    duplicate rows to prove the count is of DISTINCT items."""
+    rows = [(999, i) for i in range(40)]  # the mega-basket
+    rows += [(999, i) for i in range(5)]  # duplicates: distinct=40
+    rows += [(1, 10), (1, 11), (2, 10), (2, 11), (2, 12), (3, 10), (3, 11)]
+    df = spark.createDataFrame(rows, "basket long, item long")
+    out = basket_pair_support(
+        df, basket_col="basket", item_col="item", k=10, max_basket=10
+    ).collect()
+    # pairs exist only among baskets 1-3; (10, 11) co-occurs in all 3
+    top = out[0]
+    assert (top["item_a"], top["item_b"], top["support_ab"]) == (10, 11, 3)
+    # no pair involves any item unique to the mega-basket (ids >= 13)
+    assert all(r["item_b"] < 13 for r in out)
+    # supports count KEPT baskets only: item 10's support is 3, not 4
+    # (the mega-basket also contains item 10 but was dropped)
+    assert top["support_a"] == 3
